@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Core session/table plumbing for the graft engine.
+  *
+  * Mirrors the reference's session discipline (UTC timezone, no _SUCCESS
+  * markers — mozetl/clientsdaily/rollup.py:190-193) but is designed for a
+  * multi-executor cluster: AQE on, shuffle partitions sized to the
+  * parallelism at hand rather than the 200 default.
+  */
+object Graft {
+
+  /** All driver-provided test tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Configure a builder with the engine's standard settings. Safe for both
+    * local[*] testing and cluster deployment (nothing here is local-only).
+    */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+
+  /** Local session for tests / benches. */
+  def localSession(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Read one driver-provided table from an sf directory.
+    *
+    * Single-parquet per table here; on a real deployment these would be
+    * date-partitioned directories — Catalyst partition pruning applies
+    * either way (SURVEY.md §4: PruneFileSourcePartitions).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every test table as a temp view (for spark.sql-style queries,
+    * mirroring the reference's catalog-table access — SURVEY.md §2.1 S3).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Query signature used by the driver contract. */
+  type Q = (SparkSession, String) => DataFrame
+}
