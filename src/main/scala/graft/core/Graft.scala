@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Core session/table plumbing for the graft engine.
   *
-  * Mirrors the reference's session discipline (UTC timezone, no _SUCCESS
-  * markers — mozetl/clientsdaily/rollup.py:190-193) but is designed for a
+  * Suppresses _SUCCESS markers like the reference
+  * (mozetl/clientsdaily/rollup.py:192-193); pins UTC as an engine convention
+  * (the reference never sets a timezone, which its own tests flag as a
+  * hazard — tests/test_clientsdaily.py:62-118). Designed for a
   * multi-executor cluster: AQE on, shuffle partitions sized to the
   * parallelism at hand rather than the 200 default.
   */
@@ -26,6 +28,10 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Parquet TIMESTAMP(NANOS) (e.g. pandas-written events.ts) is
+      // otherwise unreadable by Spark; surface it as a long and let
+      // readers normalize (GateQuery.table does timestamp_micros(ns div 1000)).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
 
   /** Local session for tests / benches. */
@@ -48,9 +54,13 @@ object Graft {
 
   /** Register every test table as a temp view (for spark.sql-style queries,
     * mirroring the reference's catalog-table access — SURVEY.md §2.1 S3).
+    * Tables missing from a given sf dir are skipped.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    tableNames.foreach { n =>
+      if (new java.io.File(s"$sfDir/$n.parquet").exists())
+        table(spark, sfDir, n).createOrReplaceTempView(n)
+    }
 
   /** Query signature used by the driver contract. */
   type Q = (SparkSession, String) => DataFrame
