@@ -1,0 +1,180 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and brute-force n-gram Jaccard (the small-scale oracle).
+  *
+  * Scale design (100 TB, 1000 executors):
+  *  - Exact dedup is one hash-partitioned aggregation on the text (or a
+  *    fingerprint of it — dedup on `polyHash` first to avoid shuffling
+  *    full document bodies; only hash-colliding groups need the raw text).
+  *  - MinHash: signatures are computed map-side (explode → partial min
+  *    per permutation is a map-side-combinable agg); the only wide
+  *    exchange is the band-bucket self-join, which shuffles (band, key)
+  *    pairs — tiny rows — not documents. Pathological buckets (boilerplate
+  *    shingles shared by everything) are capped by `maxBucketSize`, the
+  *    standard guard against quadratic bucket blowup / join skew.
+  *  - Verification joins candidate id pairs back to shingle sets; at scale
+  *    this is a shuffle join on doc id, and candidates ≪ pairs.
+  *  - Brute force is O(n²) and exists as the correctness baseline only.
+  */
+object NearDup {
+
+  /** Exact dedup: one surviving (minimum) id per distinct key, plus the
+    * duplicate count. Single hash aggregation; map-side combinable.
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** (id, shingle_set) — the unit table for Jaccard-style dedup. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("shingle_set"))
+      .filter(size(col("shingle_set")) > 0)
+
+  /** MinHash signatures: one row per id with columns mh0..mh{k-1}.
+    *
+    * explode(shingles) → per-shingle polyHash → groupBy(id).agg(min of k
+    * permutations). The k mins are map-side combinable, so the shuffle
+    * carries k longs per document regardless of document size.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8): DataFrame = {
+    require(numHashes <= MinHashA.length, s"at most ${MinHashA.length} hashes")
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol), n)).as("shingle"))
+      .select(col("id"), polyHash(col("shingle")).as("h"))
+    val mins = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"mh$i"))
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band keys from a signature frame: (id, band, bkey) where bkey
+    * packs the band's r hashes into one long (each < HashMod < 2^30).
+    */
+  def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val perBand = (0 until bands).map { b =>
+      val key = (0 until r).map(j => col(s"mh${b * r + j}"))
+        .reduceLeft((acc, c) => acc * HashMod + c)
+      sig.select(col("id"), lit(b).as("band"), key.as("bkey"))
+    }
+    perBand.reduceLeft(_ union _)
+  }
+
+  /** Candidate id pairs (id_a < id_b) sharing at least one LSH bucket.
+    * Buckets larger than `maxBucketSize` are dropped (documented skew /
+    * quadratic-blowup guard; 0 disables).
+    */
+  def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
+    val keys0 = bandKeys(sig, numHashes, bands)
+    val keys =
+      if (maxBucketSize <= 0) keys0
+      else {
+        val ok = keys0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .drop("bucket_n")
+        keys0.join(ok, Seq("band", "bkey"))
+      }
+    val a = keys.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = keys.select(col("band"), col("bkey"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified by exact
+    * shingle-set Jaccard ≥ threshold. Output: id_a, id_b, jaccard.
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cand = minhashCandidates(sig, numHashes, bands, maxBucketSize)
+    verifyPairs(cand, shingleSets(df, idCol, textCol, n), threshold)
+  }
+
+  /** Join candidate pairs to shingle sets and keep exact Jaccard ≥ t. */
+  def verifyPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sets.select(col("id").as("id_a"), col("shingle_set").as("set_a"))
+    val sb = sets.select(col("id").as("id_b"), col("shingle_set").as("set_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("set_a"), col("set_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash bit-hash constants: multiplier/offset per bit, derived from a
+    * fixed recurrence so any engine can regenerate them.
+    */
+  val SimHashBits = 48
+  def simA(j: Int): Long = (104729L * (j + 1) + 12347L) % 1000000L | 1L
+  def simB(j: Int): Long = (15485863L * (j + 1) + 987L) % 1000000L
+
+  /** Per-document SimHash: for each bit j, sign of Σ_shingles
+    * (±1 by parity of an independent permutation of the shingle hash).
+    * One explode + one grouped agg (map-side combinable sums).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(shingleSet(col(textCol), n)).as("shingle"))
+      .select(col("id"), polyHash(col("shingle")).as("h"))
+    val sums = (0 until SimHashBits).map { j =>
+      val bit = ((col("h") * simA(j) + simB(j)) % HashMod) % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val agg = hashed.groupBy("id").agg(sums.head, sums.tail: _*)
+    val sh = (0 until SimHashBits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    agg.select(col("id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band on bit-chunks (standard hamming-space
+    * LSH), verify with popcount(xor) ≤ maxHamming.
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bandBits: Int = 6, maxHamming: Int = 10): DataFrame = {
+    val sh = simhash(df, idCol, textCol, n)
+    val bands = SimHashBits / bandBits
+    val keys = (0 until bands).map { b =>
+      sh.select(col("id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+    }.reduceLeft(_ union _)
+    val a = keys.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = keys.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= maxHamming)
+  }
+
+  /** O(n²) exact Jaccard pairs — correctness baseline for the LSH paths.
+    * Optional blocking column keeps the cross product per-block.
+    */
+  def bruteForceJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val a = sets.select(col("id").as("id_a"), col("shingle_set").as("set_a"))
+    val b = sets.select(col("id").as("id_b"), col("shingle_set").as("set_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("set_a"), col("set_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

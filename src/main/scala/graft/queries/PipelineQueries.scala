@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.dedup.NearDup
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+import GateQuery.{table => t}
+
+/** Training-data pipeline gate queries: dedup (exact / MinHash-LSH /
+  * SimHash / brute Jaccard), similarity search, and text analysis — each
+  * with a DuckDB oracle generated from the SAME hash constants as the
+  * Spark implementation, so both engines replay identical arithmetic.
+  */
+object PipelineQueries {
+
+  // ---- shared DuckDB fragments (mirror TextFunctions exactly) ----
+
+  /** documents → (doc_id, toks) */
+  private val tokCte =
+    "tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
+
+  /** (doc_id, toks) → (doc_id, ss): distinct 3-gram shingle set, short-doc
+    * fallback to tokens, empty sets dropped — mirrors NearDup.shingleSets.
+    */
+  private val setsCte =
+    """sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE toks END) AS ss FROM tok),
+      |sets AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0)""".stripMargin
+
+  /** polynomial rolling hash of column `c` — mirrors TextFunctions.polyHash */
+  private def polyHashSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(h, ch) -> (h*31 + ch) % $HashMod)"
+
+  /** (sets) → exploded per-shingle hashes */
+  private val hashCte =
+    s"""ex AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+       |hh AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM ex)""".stripMargin
+
+  private val jaccardSql =
+    """CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+      |  / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))""".stripMargin
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Exact dedup by content key over a simulated re-crawl (corpus ∪ copy
+    // with shifted ids): hash-groupBy keeps the minimum id per distinct text.
+    GateQuery(
+      "d01_dedup_exact",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val recrawl = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        NearDup.exactDedup(d.union(recrawl), "doc_id", "text")
+          .select("keep_id", "dup_count")
+          .orderBy("keep_id")
+      },
+      Some("""
+        SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_count FROM (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text FROM documents)
+        GROUP BY text ORDER BY keep_id""")),
+
+    // MinHash + banded LSH near-dup detection, LSH candidates verified by
+    // exact shingle Jaccard — finds the corpus's planted near-dup pairs.
+    GateQuery(
+      "d02_minhash_lsh",
+      (s, dir) =>
+        NearDup.minhashNearDuplicates(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, numHashes = 8, bands = 4, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |j AS (SELECT id_a, id_b, $jaccardSql AS jaccard
+           |      FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |                JOIN sets sb ON cand.id_b = sb.doc_id)
+           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Brute-force n-gram Jaccard pairs — the O(n²) correctness baseline
+    // the LSH path is checked against.
+    GateQuery(
+      "d03_jaccard_brute",
+      (s, dir) =>
+        NearDup.bruteForceJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(
+        s"""WITH $tokCte, $setsCte,
+           |j AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, $jaccardSql AS jaccard
+           |      FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id)
+           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash near-dup pairs: 48-bit signatures, hamming-space banded LSH,
+    // popcount(xor) verification.
+    GateQuery(
+      "d04_simhash",
+      (s, dir) =>
+        NearDup.simhashNearDuplicates(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, bandBits = 6, maxHamming = 10)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val nb = NearDup.SimHashBits
+        val sumCols = (0 until nb).map(j =>
+          s"SUM(CASE WHEN ((h*${NearDup.simA(j)} + ${NearDup.simB(j)}) % $HashMod) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(", ")
+        val bitSum = (0 until nb).map(j =>
+          s"(CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+          .mkString(" + ")
+        val bandRows = (0 until nb / 6).map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> ${6 * b}) & 63 AS bkey FROM shh")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sums AS (SELECT doc_id, $sumCols FROM hh GROUP BY doc_id),
+           |shh AS (SELECT doc_id, $bitSum AS simhash FROM sums),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_dist
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, hamming_dist FROM cand WHERE hamming_dist <= 10
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Brute-force cosine top-k similarity search (rank output: float
+    // summation-order differences can never flip a rank here, values are
+    // well separated).
+    GateQuery(
+      "d05_ann_brute",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+              FROM q JOIN n c ON q.vec_id <> c.vec_id),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+              FROM s)
+        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // LSH-bucketed approximate nearest neighbors — the 100 TB scale path.
+    // Not ANSI-SQL-expressible compactly → driver records rows-only check;
+    // AnnSpec asserts recall against d05's exact ranks.
+    GateQuery(
+      "d06_ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Ann.lshTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dim = 64, planes = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      None),
+
+    // Language-ID heuristic: marker-stopword counts + deterministic argmax.
+    GateQuery(
+      "t01_langid",
+      (s, dir) =>
+        TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some {
+        val hitCols = TextAnalysis.LangMarkers.map { case (l, m) =>
+          val lst = m.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS BIGINT) AS ${l}_hits"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map(_ + "_hits").mkString(", ")})"
+        val caseArms = langs.dropRight(1)
+          .map(l => s"WHEN ${l}_hits = $best THEN '$l'").mkString(" ")
+        s"""WITH $tokCte,
+           |sc AS (SELECT doc_id, $hitCols FROM tok)
+           |SELECT doc_id, ${langs.map(_ + "_hits").mkString(", ")},
+           |  CASE WHEN $best = 0 THEN 'und' $caseArms
+           |       ELSE '${langs.last}' END AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: token stats + bit-stable ratio metrics.
+    GateQuery(
+      "t02_quality",
+      (s, dir) =>
+        TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokCte,
+           |d AS (SELECT doc_id, text FROM documents)
+           |SELECT d.doc_id,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS type_token_ratio,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / len(toks) END AS mean_token_len
+           |FROM d JOIN tok ON d.doc_id = tok.doc_id
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    // Token counting: whitespace + regex word tokens.
+    GateQuery(
+      "t03_token_count",
+      (s, dir) =>
+        TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokCte,
+           |d AS (SELECT doc_id, text FROM documents)
+           |SELECT d.doc_id,
+           |  CAST(len(toks) AS BIGINT) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens
+           |FROM d JOIN tok ON d.doc_id = tok.doc_id
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    // Content fingerprinting: engine-portable rolling hash of the raw text.
+    GateQuery(
+      "t04_fingerprint",
+      (s, dir) =>
+        TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, ${polyHashSql("text")} AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

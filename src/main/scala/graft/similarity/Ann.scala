@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    O(|queries| × |corpus|); fine when the query side is small enough to
+  *    broadcast (the common "probe a training shard" case). All arithmetic
+  *    is double-precision column expressions inside codegen.
+  *  - `lshTopK`: random-hyperplane LSH — the 100 TB path. Each vector maps
+  *    to a small bucket key (sign bits of h fixed projections); the join is
+  *    a hash join on bucket, shuffling keys instead of the full corpus
+  *    cross product. Recall is tunable via hyperplane count / multiprobe.
+  */
+object Ann {
+
+  /** Elementwise-double dot product of two array columns (left-to-right
+    * fold: deterministic summation order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query id, rank 1..k, neighbor id, cosine).
+    * The query side should be small; Spark broadcasts it under AQE /
+    * the session's broadcast threshold, making this a map-only pass over
+    * the corpus followed by a per-query top-k (no corpus shuffle).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("nvec")).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table t,
+    * plane p, dim d): a fixed hash folded to [-0.5, 0.5). Engine-portable
+    * by construction.
+    */
+  private def planeComponent(tbl: Int, p: Int, d: Int): Double =
+    (((1103515245L * ((tbl * 64 + p) * 1024 + d + 1) + 12345L) % 1000003L)
+      .toDouble / 1000003.0) - 0.5
+
+  /** Bucket key for one hash table: sign bits of `planes` projections. */
+  def lshBucket(vec: Column, dim: Int, planes: Int, tbl: Int = 0): Column =
+    (0 until planes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeComponent(tbl, p, d))
+      }.reduceLeft(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  /** (id, vec, table, bucket) keys across `tables` independent hash
+    * tables — OR-amplification: a pair is a candidate if it collides in
+    * ANY table, the standard recall lever for hyperplane LSH.
+    */
+  private def bucketKeys(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, tables: Int): DataFrame =
+    (0 until tables).map { tb =>
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lit(tb).as("tbl"),
+        lshBucket(col(vecCol), dim, planes, tb).as("bucket"))
+    }.reduceLeft(_ union _)
+
+  /** Approximate top-k: candidates share an LSH bucket in any of `tables`
+    * hash tables, then exact cosine rank within candidates. Trades recall
+    * for a bucket-local join (no corpus cross product).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val c = bucketKeys(corpus, idCol, vecCol, dim, planes, tables)
+      .select(col("tbl"), col("bucket"), col("id").as("nid"),
+        col("vec").as("nvec"))
+    val q = bucketKeys(queries, idCol, vecCol, dim, planes, tables)
+      .select(col("tbl"), col("bucket"), col("id").as("qid"),
+        col("vec").as("qvec"))
+    val scored = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("nvec")).as("cosine_sim"))
+      .groupBy("qid", "nid").agg(max("cosine_sim").as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cosine_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) via
+    * LSH bucketing — the embedding-space analogue of NearDup.
+    */
+  def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, planes: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val keyed = bucketKeys(df, idCol, vecCol, dim, planes, tables)
+    val a = keyed.select(col("tbl"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = keyed.select(col("tbl"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine_sim"))
+      .distinct()
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

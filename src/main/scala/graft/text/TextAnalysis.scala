@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document-level text analysis for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. Pure column
+  * expressions (codegen'd); each helper returns a DataFrame keyed by the
+  * id column so pipelines can join them back cheaply.
+  */
+object TextAnalysis {
+
+  /** Marker stopword lists per language for the n-gram/stopword-count
+    * language-ID heuristic. Deliberately tiny and fixed: the heuristic is
+    * a deterministic scoring rule, not a trained model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def hits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
+      .cast("long")
+
+  /** Per-document language scores + argmax prediction ("und" when no
+    * marker hits; ties break in LangMarkers order).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      (col(idCol).as("id") +:
+        LangMarkers.map { case (l, m) => hits(toks, m).as(s"${l}_hits") }): _*)
+    val best = LangMarkers.map(l => col(s"${l._1}_hits"))
+      .reduceLeft((a, b) => greatest(a, b))
+    // first-match-wins in LangMarkers order; no hits at all → "und"
+    val pred = LangMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) =>
+        when(col(s"${l}_hits") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality metrics: token count, distinct-token count, type/token ratio,
+    * mean token length, char count. Ratios are single double divisions of
+    * exact integers (bit-stable across engines).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nTypes = size(array_distinct(toks)).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    df.select(
+      col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      nTypes.as("n_types"),
+      when(nTok > 0, nTypes.cast("double") / nTok).as("type_token_ratio"),
+      when(nTok > 0, sumLen.cast("double") / nTok).as("mean_token_len"))
+  }
+
+  /** Token counts: whitespace tokens and regex word tokens ([a-z0-9]+,
+    * a BPE-ish lower-ASCII word pattern).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit("[a-z0-9]+")).cast("long")
+        .as("re_tokens"))
+
+  /** Content fingerprint: polynomial rolling hash of the raw text (exact-
+    * dup key that shuffles 8 bytes instead of document bodies).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), polyHash(col(textCol)).as("fingerprint"))
+}
