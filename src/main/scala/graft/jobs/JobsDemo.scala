@@ -1,0 +1,134 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Executable usage example: drives every ported mozetl job end-to-end on
+  * small inline fixtures and prints result shapes. This is the library's
+  * "does it run" surface — the per-operator correctness lives in the specs
+  * and the driver gate queries.
+  *
+  * Run: sbt "runMain graft.jobs.JobsDemo"
+  */
+object JobsDemo {
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Graft.localSession(4, "graft-jobs-demo")
+    import spark.implicits._
+
+    def show(name: String, n: Long, cols: Int): Unit =
+      println(f"[jobs-demo] $name%-28s rows=$n%-6d cols=$cols")
+
+    // --- clients_daily ---------------------------------------------------
+    val ms = fixtures.mainSummary(spark)
+    val withSearches = clientsdaily.Rollup.extractSearchCounts(ms)
+    val daily = clientsdaily.Rollup.toProfileDayAggregates(withSearches)
+    show("clients_daily", daily.count(), daily.columns.length)
+
+    // --- experiments_daily ----------------------------------------------
+    val expDaily = experiments.ExperimentsDaily
+      .toExperimentProfileDayAggregates(
+        clientsdaily.Rollup.extractSearchCounts(
+          experiments.ExperimentsDaily.loadFilter(
+            ms.withColumn("experiment_id", lit("exp-1"))
+              .withColumn("experiment_branch", lit("control")))))
+    show("experiments_daily", expDaily.count(), expDaily.columns.length)
+
+    // --- search_clients_daily / search_aggregates ------------------------
+    val scd = search.SearchAggregates.searchClientsDaily(ms)
+    show("search_clients_daily", scd.count(), scd.columns.length)
+    val sa = search.SearchAggregates.searchAggregates(ms)
+    show("search_aggregates", sa.count(), sa.columns.length)
+
+    // --- addon_aggregates ------------------------------------------------
+    val aa = addons.AddonAggregates.run(ms)
+    show("addon_aggregates", aa.count(), aa.columns.length)
+
+    // --- sync bookmark validation ---------------------------------------
+    fixtures.syncSummary(spark).createOrReplaceTempView("sync_summary")
+    val (problems, aggs) = sync.BookmarkValidation.transform(spark)
+    show("bmk_validation_problems", problems.count(), problems.columns.length)
+    show("bmk_total_per_day", aggs.count(), aggs.columns.length)
+
+    // --- landfill sampler ------------------------------------------------
+    val lf = landfill.Sampler.transform(fixtures.landfill(spark), 100)
+    show("landfill_sample", lf.count(), lf.columns.length)
+
+    spark.stop()
+  }
+
+  /** Inline fixture frames (mirrors the spec fixtures). */
+  object fixtures {
+    import MainSummaryFixture._
+
+    def mainSummary(spark: SparkSession) = {
+      val snippets = Seq(
+        Map[String, Any]("document_id" -> "d1"),
+        Map[String, Any]("document_id" -> "d2", "subsession_counter" -> 2L,
+          "scalar_parent_browser_search_ad_clicks" ->
+            Map("google" -> 2L)),
+        Map[String, Any]("document_id" -> "d3", "client_id" -> "b",
+          "search_counts" -> null))
+      val rows = snippets.map { sn =>
+        val merged = base ++ sn
+        Row.fromSeq(schema.fields.toSeq.map(f =>
+          merged.getOrElse(f.name, null)))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+
+    def syncSummary(spark: SparkSession) = {
+      val problemType = StructType(Seq(StructField("name", StringType),
+        StructField("count", LongType)))
+      val validationType = StructType(Seq(
+        StructField("version", LongType), StructField("checked", LongType),
+        StructField("took", LongType),
+        StructField("problems", ArrayType(problemType))))
+      val engineType = StructType(Seq(
+        StructField("name", StringType), StructField("status", StringType),
+        StructField("failure_reason",
+          StructType(Seq(StructField("name", StringType)))),
+        StructField("validation", validationType)))
+      val syncSchema = StructType(Seq(
+        StructField("app_build_id", StringType),
+        StructField("app_version", StringType),
+        StructField("app_display_version", StringType),
+        StructField("app_name", StringType),
+        StructField("app_channel", StringType),
+        StructField("uid", StringType),
+        StructField("device_id", StringType),
+        StructField("when", LongType),
+        StructField("failure_reason",
+          StructType(Seq(StructField("name", StringType)))),
+        StructField("status",
+          StructType(Seq(StructField("sync", StringType)))),
+        StructField("engines", ArrayType(engineType)),
+        StructField("submission_date_s3", StringType)))
+      val rows = Seq(
+        Row("b1", "54.0", "54.0", "Firefox", "release", "u1", "dev1",
+          1483228800000L, null, Row("success"),
+          Seq(Row("bookmarks", "ok", null,
+            Row(1L, 100L, 5L, Seq(Row("missing", 2L))))), "20170101"))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), syncSchema)
+    }
+
+    def landfill(spark: SparkSession) = {
+      val metaType = StructType(
+        landfill_.MetaWhitelist.map(StructField(_, StringType)))
+      val s = StructType(Seq(StructField("meta", metaType),
+        StructField("content", StringType)))
+      val rows = Seq(
+        Row(Row.fromSeq(landfill_.MetaWhitelist.map {
+          case "uri" => "/submit/telemetry/doc-1/main/Firefox/54.0/release/b1"
+          case _ => null
+        }), """{"ver": 4}"""),
+        Row(Row.fromSeq(landfill_.MetaWhitelist.map {
+          case "uri" => "/submit/eng-workflow/hgpush/1/doc-2"
+          case _ => null
+        }), """{"x": 1}"""))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), s)
+    }
+    private val landfill_ = graft.jobs.landfill.Sampler
+  }
+}
