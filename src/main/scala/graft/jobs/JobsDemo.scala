@@ -55,6 +55,18 @@ object JobsDemo {
     val lf = landfill.Sampler.transform(fixtures.landfill(spark), 100)
     show("landfill_sample", lf.count(), lf.columns.length)
 
+    // --- taar family -----------------------------------------------------
+    fixtures.clientsDaily(spark).createOrReplaceTempView("clients_daily")
+    val wl = Seq("a@x", "b@x", "c@x")
+    val gg = taar.LiteGuidGuid.transform(
+      taar.LiteGuidGuid.extractTelemetry(spark, wl))
+    show("taar_lite_guidguid", gg.count(), gg.columns.length)
+    val gr = taar.LiteGuidRanking.extractTelemetry(spark)
+    show("taar_lite_guidranking", gr.count(), gr.columns.length)
+    val localeDict = taar.Locale.generateDictionary(spark, wl, "20190101",
+      numAddons = 3, seed = 42L)
+    println(s"[jobs-demo] taar_locale                  locales=${localeDict.size}")
+
     spark.stop()
   }
 
@@ -130,5 +142,22 @@ object JobsDemo {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), s)
     }
     private val landfill_ = graft.jobs.landfill.Sampler
+
+    def clientsDaily(spark: SparkSession) = {
+      val s = StructType(Seq(
+        StructField("client_id", StringType),
+        StructField("submission_date_s3", StringType),
+        StructField("channel", StringType),
+        StructField("normalized_channel", StringType),
+        StructField("app_name", StringType),
+        StructField("locale", StringType),
+        StructField("active_addons", ArrayType(addonType))))
+      val rows = Seq(
+        Row("c1", "20190101", "release", "release", "Firefox", "en-US",
+          Seq(addon("a@x"), addon("b@x"))),
+        Row("c2", "20190102", "release", "release", "Firefox", "de",
+          Seq(addon("a@x"), addon("c@x"))))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), s)
+    }
   }
 }

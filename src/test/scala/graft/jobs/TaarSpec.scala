@@ -1,0 +1,192 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.jobs.taar._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+class TaarSpec extends SparkSpec {
+  import MainSummaryFixture.{addonType, addon}
+
+  private val cdSchema = StructType(Seq(
+    StructField("client_id", StringType),
+    StructField("submission_date_s3", StringType),
+    StructField("channel", StringType),
+    StructField("normalized_channel", StringType),
+    StructField("app_name", StringType),
+    StructField("locale", StringType),
+    StructField("city", StringType),
+    StructField("os", StringType),
+    StructField("active_addons", ArrayType(addonType)),
+    StructField("subsession_hours_sum", DoubleType),
+    StructField("places_bookmarks_count_mean", DoubleType),
+    StructField("scalar_parent_browser_engagement_tab_open_event_count_sum", DoubleType),
+    StructField("scalar_parent_browser_engagement_total_uri_count_sum", DoubleType),
+    StructField("scalar_parent_browser_engagement_unique_domains_count_mean", DoubleType),
+    StructField("scalar_parent_browser_engagement_unique_domains_count_max", DoubleType)))
+
+  private def cdRow(clientId: String, addons: Seq[Row],
+      day: String = "20190101", locale: String = "en-US",
+      os: String = "windows", hours: Double = 2.5): Row =
+    Row(clientId, day, "release", "release", "Firefox", locale, "Berlin",
+      os, addons, hours, 10.0, 5.0, 100.0, 7.0, 9.0)
+
+  private def clientsDaily(rows: Row*): DataFrame = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cdSchema)
+    df.createOrReplaceTempView("clients_daily")
+    df
+  }
+
+  private val wl = Seq("a@x", "b@x", "c@x", "d@x")
+
+  it should "count co-installations per key addon (guidguid)" in {
+    clientsDaily(
+      cdRow("c1", Seq(addon("a@x"), addon("b@x"), addon("c@x"))),
+      cdRow("c2", Seq(addon("a@x"), addon("b@x"))),
+      cdRow("c3", Seq(addon("a@x"), addon("sys@only", isSystem = true))))
+    val training = LiteGuidGuid.extractTelemetry(spark, wl)
+    // c3 drops (only 1 valid addon)
+    training.count() shouldBe 2
+    val model = LiteGuidGuid.toModel(LiteGuidGuid.transform(training))
+    model("a@x") shouldBe Map("b@x" -> 2L, "c@x" -> 1L)
+    model("b@x") shouldBe Map("a@x" -> 2L, "c@x" -> 1L)
+    model("c@x") shouldBe Map("a@x" -> 1L, "b@x" -> 1L)
+  }
+
+  it should "rank addon install counts via SQL (guidranking)" in {
+    clientsDaily(
+      cdRow("c1", Seq(addon("a@x"), addon("b@x"))),
+      cdRow("c2", Seq(addon("a@x"))))
+    LiteGuidRanking.toModel(LiteGuidRanking.extractTelemetry(spark)) shouldBe
+      Map("a@x" -> 2L, "b@x" -> 1L)
+  }
+
+  it should "dedup to the latest client day and build locale top-lists" in {
+    clientsDaily(
+      cdRow("c1", Seq(addon("a@x"), addon("b@x")), day = "20190101"),
+      cdRow("c1", Seq(addon("a@x")), day = "20190105"),
+      cdRow("c2", Seq(addon("b@x")), day = "20190103"),
+      cdRow("c3", Seq(addon("c@x")), day = "20190103", locale = "de"))
+    val ca = Locale.getClientAddons(spark, "20190101")
+    // c1 keeps only its latest day's addons
+    rowsOf(ca, "client_id", "addon") shouldBe Set(
+      Seq("c1", "a@x"), Seq("c2", "b@x"), Seq("c3", "c@x"))
+    val dict = Locale.generateDictionary(spark, wl, "20190101",
+      numAddons = 2, seed = 7L)
+    dict.keySet shouldBe Set("en-US", "de")
+    dict("en-US").length shouldBe 2
+    // weights are normalized relative proportions
+    dict.values.foreach(_.foreach { case (_, w) => w should (be >= -1.0 and be <= 1.0) })
+  }
+
+  it should "add seeded Laplace noise over the full locale×whitelist grid" in {
+    val noisy = Locale.computeNoisyCounts(
+      Seq(("en", "a@x", 10L)), Map("en" -> 1), Seq("a@x", "b@x"), seed = 1L)
+    noisy.map(t => (t._1, t._2)) shouldBe Seq(("en", "a@x"), ("en", "b@x"))
+    val again = Locale.computeNoisyCounts(
+      Seq(("en", "a@x", 10L)), Map("en" -> 1), Seq("a@x", "b@x"), seed = 1L)
+    noisy shouldBe again // seeded determinism
+    math.abs(noisy.head._3 - 10.0) should be < 50.0
+  }
+
+  it should "export latest-day client profiles through a batched sink (dynamo)" in {
+    val schema = StructType(Seq(
+      StructField("client_id", StringType),
+      StructField("subsession_start_date", StringType),
+      StructField("subsession_length", LongType),
+      StructField("city", StringType),
+      StructField("locale", StringType),
+      StructField("os", StringType),
+      StructField("places_bookmarks_count", LongType),
+      StructField("scalar_parent_browser_engagement_tab_open_event_count", LongType),
+      StructField("scalar_parent_browser_engagement_total_uri_count", LongType),
+      StructField("scalar_parent_browser_engagement_unique_domains_count", LongType),
+      StructField("active_addons", ArrayType(addonType)),
+      StructField("disabled_addons_ids", ArrayType(StringType))))
+    val rows = Seq(
+      Row("c1", "2019-01-01", 100L, "Berlin", "de", "win", 1L, 2L, 3L, 4L,
+        Seq(addon("a@x")), Seq("off@x")),
+      Row("c1", "2019-01-03", 100L, "Berlin", "de", "win", 1L, 2L, 3L, 4L,
+        Seq(addon("a@x")), Seq.empty[String]),
+      Row("", "2019-01-01", 100L, null, null, null, null, null, null, null,
+        null, null),
+      Row("c2", "1601-01-01", 100L, "Oslo", "no", "mac", 1L, 2L, 3L, 4L,
+        Seq(addon("b@x")), Seq.empty[String]))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = Dynamo.extractTransform(df)
+    // c1 deduped to latest day; empty client and pre-1970 dates dropped
+    rowsOf(out, "client_id", "start_date") shouldBe
+      Set(Seq("c1", "20190103"))
+
+    object MemSink extends Dynamo.KeyValueSink {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def putBatch(rows: Seq[(String, String, String)]): Seq[String] = {
+        rows.foreach(r => seen.add(r._1)); Seq.empty
+      }
+    }
+    val stats = Dynamo.load(out, MemSink, batchSize = 1)
+    stats.pushed shouldBe 1L
+    stats.seen shouldBe 1L
+    stats.errors shouldBe empty
+  }
+
+  it should "cluster clients by addons and compute LR curves (similarity)" in {
+    val users = clientsDaily(
+      (1 to 12).map { i =>
+        val addons =
+          if (i % 2 == 0) Seq(addon("a@x"), addon("b@x"), addon("c@x"), addon("d@x"))
+          else Seq(addon("e@y"), addon("f@y"), addon("g@y"), addon("a@x"))
+        cdRow(s"c$i", addons, os = if (i % 2 == 0) "windows" else "mac",
+          hours = 1.0 + i)
+      }: _*)
+    val samples = Similarity.getSamples(spark, "20190101")
+    samples.count() shouldBe 12
+    val addonsDf = Similarity.getAddonsPerClient(samples,
+      wl ++ Seq("e@y", "f@y", "g@y"), 2)
+    addonsDf.count() shouldBe 12
+    val clusters = Similarity.computeClusters(addonsDf, 2, Some(42L))
+    clusters.select("prediction").distinct().count() shouldBe 2
+    // even/odd clients land in different clusters
+    val byClient = clusters.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    byClient("c2") shouldBe byClient("c4")
+    byClient("c1") shouldBe byClient("c3")
+    byClient("c1") should not be byClient("c2")
+
+    val features = samples.join(clusters, "client_id")
+    val curves = Similarity.getLrCurves(spark, features, Seq(0, 1),
+      kernelBandwidth = 0.1, numPdfPoints = 10, randomSeed = Some(42L))
+    curves.length should be <= 10
+    curves.length should be > 0
+  }
+
+  it should "compute CostLLR and fit ensemble weights" in {
+    val cllr = new Ensemble.CostLLR
+    val v = cllr.evalcllr(Seq("a" -> 0.8, "b" -> 0.1), Seq("a"))
+    v should be > 0.0
+    cllr.total shouldBe v
+
+    object Rec extends Ensemble.Recommender {
+      def recommend(info: Map[String, Any], limit: Int): Seq[(String, Double)] =
+        info("installed_addons").asInstanceOf[Seq[String]]
+          .take(limit).map(_ -> 0.5)
+    }
+    val rows = (1 to 40).map(i =>
+      Map[String, Any]("installed_addons" -> Seq("a", "b", "c")))
+    val stacked = rows.flatMap(r =>
+      Ensemble.toStackedRow(Seq(Rec, Rec, Rec), r))
+    stacked should not be empty
+    import spark.implicits._
+    val df = spark.createDataFrame(stacked)
+    val coefs = Ensemble.computeRegression(spark, Seq(df), 0.1, 0.0)
+    coefs.keySet shouldBe Ensemble.PredictorOrder.toSet
+  }
+
+  it should "split folds that partition the dataset" in {
+    import spark.implicits._
+    val data = (1 to 100).map(i => (s"c$i", i)).toDF("client_id", "n")
+    val folds = Ensemble.crossValidationSplit(data, 4, seed = Some(42L))
+    folds.map(_.count()).sum shouldBe 100L
+  }
+}
