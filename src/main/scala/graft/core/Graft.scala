@@ -64,4 +64,13 @@ object Graft {
 
   /** Query signature used by the driver contract. */
   type Q = (SparkSession, String) => DataFrame
+
+  /** Bridges for custom Catalyst expressions (Spark 4 hides the
+    * Column(expr) constructor behind the classic converter).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
 }

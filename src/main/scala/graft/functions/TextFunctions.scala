@@ -31,28 +31,49 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Word n-gram shingles (joined by single spaces); documents shorter than
+  /** Word n-gram shingles (joined by single spaces); inputs shorter than
     * n tokens fall back to their token list so they still dedup.
+    *
+    * Implemented as zip_with over n shifted slices of the token array —
+    * the token expression is evaluated n times per ROW. The indexing
+    * formulation (transform(sequence, i -> element_at(toks, i+k))) looks
+    * equivalent but re-evaluates `toks` per ELEMENT inside the lambda
+    * (no CSE in HOFs; CollapseProject re-inlines projections), which is
+    * O(len²) per document — a measured 20× slowdown at 5k docs.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ",
-          (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(toks)
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
+    val m = size(toks) - (n - 1)
+    val shingled = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, shingled).otherwise(toks)
   }
+
+  /** Convenience single-expression form — fine for small frames, but
+    * prefer projecting tokens + shinglesFromTokens on large corpora (see
+    * note above).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Distinct shingle set — the unit of Jaccard similarity. */
   def shingleSet(text: Column, n: Int = 3): Column =
     array_distinct(shingles(text, n))
 
-  /** Polynomial rolling hash of a string: fold over characters of
-    * (h*31 + codepoint) % HashMod. Deterministic, engine-portable.
+  /** Distinct shingle set from materialized tokens (the scale path). */
+  def shingleSetFromTokens(toks: Column, n: Int = 3): Column =
+    array_distinct(shinglesFromTokens(toks, n))
+
+  /** Polynomial rolling hash of a string: fold over code points of
+    * (h*31 + cp) % HashMod. Deterministic, engine-portable. Backed by a
+    * native codegen'd Catalyst expression (see expressions.PolyHash);
+    * the equivalent higher-order-function form allocates per character
+    * and was the profile's hottest scalar.
     */
   def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (h, c) => (h * 31L + ascii(c)) % HashMod)
+    graft.core.Graft.column(graft.functions.expressions.PolyHash(
+      graft.core.Graft.expression(s)))
 
   /** i-th MinHash permutation applied to a pre-hashed token value. */
   def permute(h: Column, i: Int): Column =

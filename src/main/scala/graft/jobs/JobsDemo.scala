@@ -67,6 +67,31 @@ object JobsDemo {
       numAddons = 3, seed = 42L)
     println(s"[jobs-demo] taar_locale                  locales=${localeDict.size}")
 
+    // --- graphics/hardware/bhr analytics cores ---------------------------
+    val freq = analytics.Analytics.frequencyMap(
+      fixtures.clientsDaily(spark), "locale")
+    println(s"[jobs-demo] graphics_frequency           keys=${freq.size}")
+    val hw = hardware.HardwareReport.finalizeData(
+      hardware.HardwareReport.collapseBuckets(
+        hardware.HardwareReport.aggregateDimensions(
+          Seq(Map("os" -> "win"), Map("os" -> "win"), Map("os" -> "mac"))
+            .toDF("dimensions")), 2), 3)
+    show("hardware_report", hw.count(), hw.columns.length)
+    val hangs = Seq(
+      bhr.BhrCollection.Hang(Seq("f1"), 10.0, "Gecko", "r", "parent",
+        "20190101", "win")).toDS()
+    val bhrAgg = bhr.BhrCollection.aggregateHangs(hangs)
+    show("bhr_hang_aggregate", bhrAgg.count(), bhrAgg.columns.length)
+
+    // --- multimodal plumbing --------------------------------------------
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "fake-image-bytes".getBytes, "image/png", null),
+        Row(2L, "fake-audio-bytes-longer".getBytes, "audio/wav", null)), 1),
+      graft.multimodal.Multimodal.mediaSchema)
+    val mm = graft.multimodal.Multimodal.decodeMeta(media)
+    show("multimodal_decode", mm.count(), mm.columns.length)
+
     spark.stop()
   }
 

@@ -238,6 +238,32 @@ object PipelineQueries {
            |FROM d JOIN tok ON d.doc_id = tok.doc_id
            |ORDER BY d.doc_id""".stripMargin)),
 
+    // Multimodal plumbing surface: documents' text bytes treated as an
+    // opaque binary payload — byte length + deterministic fake decode
+    // dims (the codec itself is stubbed; see graft.multimodal.Multimodal).
+    GateQuery(
+      "m01_media_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            (octet_length(col("text")) % 640).cast("long").as("fake_width"),
+            (TextFunctions.polyHash(col("text")) % 480).as("fake_height"),
+            when(octet_length(col("text")) % 3 === 0, "image")
+              .when(octet_length(col("text")) % 3 === 1, "audio")
+              .otherwise("video").as("media_format"))
+          .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+           |  ${polyHashSql("text")} % 480 AS fake_height,
+           |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+           |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+           |       ELSE 'video' END AS media_format
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Content fingerprinting: engine-portable rolling hash of the raw text.
     GateQuery(
       "t04_fingerprint",

@@ -56,14 +56,26 @@ object Ann {
     (((1103515245L * ((tbl * 64 + p) * 1024 + d + 1) + 12345L) % 1000003L)
       .toDouble / 1000003.0) - 0.5
 
-  /** Bucket key for one hash table: sign bits of `planes` projections. */
-  def lshBucket(vec: Column, dim: Int, planes: Int, tbl: Int = 0): Column =
-    (0 until planes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(planeComponent(tbl, p, d))
-      }.reduceLeft(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduceLeft(_ + _)
+  /** Bucket key for one hash table: sign bits of `planes` projections.
+    *
+    * The plane matrix ships as a nested array LITERAL and the projection
+    * runs through zip_with/aggregate — a constant-size expression tree.
+    * (The unrolled form — planes×dim element_at terms — made Catalyst
+    * optimize a ~1000-node tree per union branch and dominated runtime
+    * with planning, not math.)
+    */
+  def lshBucket(vec: Column, dim: Int, planes: Int, tbl: Int = 0): Column = {
+    val planeMatrix = array((0 until planes).map { p =>
+      array((0 until dim).map(d => lit(planeComponent(tbl, p, d))): _*)
+    }: _*)
+    val weights = array((0 until planes).map(p => lit(1L << p)): _*)
+    val bits = transform(planeMatrix, plane =>
+      when(aggregate(zip_with(vec, plane,
+        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, weights, (b, w) => b * w), lit(0L),
+      (acc, v) => acc + v)
+  }
 
   /** (id, vec, table, bucket) keys across `tables` independent hash
     * tables — OR-amplification: a pair is a candidate if it collides in
