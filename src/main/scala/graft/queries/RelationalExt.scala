@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import GateQuery.{dec, dsum, table => t}
+
+/** Extended relational coverage: the spark.sql catalog surface (SURVEY
+  * §2.1 S3), set operations, CUBE grouping sets, unpivot, and the
+  * hash-slice sampling pattern (§2.1 S6 / graphics sampling §4).
+  */
+object RelationalExt {
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // S3: textual SQL over registered catalog views — the TAAR jobs' access
+    // path (taar_locale.py:46-101), exercised end-to-end through
+    // spark.sql + temp views (TPC-H Q3 shape).
+    GateQuery(
+      "q26_sql_catalog",
+      (s, dir) => {
+        graft.core.Graft.registerAll(s, dir)
+        s.sql("""
+          SELECT o.o_orderkey,
+            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+              AS revenue,
+            date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_day
+          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            AND l.l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY o.o_orderkey, o.o_orderdate
+          ORDER BY revenue DESC, o.o_orderkey LIMIT 20
+          """)
+      },
+      Some("""
+        SELECT o.o_orderkey,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS revenue,
+          strftime(o.o_orderdate, '%Y-%m-%d') AS order_day
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey LIMIT 20""")),
+
+    // Set ops beyond the reference's positional union: INTERSECT/EXCEPT
+    // (SURVEY §2.8 notes their absence; first-class here).
+    GateQuery(
+      "q27_intersect_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val buyers98 = o.filter(year(col("o_orderdate")) === 1998)
+          .select("o_custkey")
+        val buyers95 = o.filter(year(col("o_orderdate")) === 1995)
+          .select("o_custkey")
+        val both = buyers98.intersect(buyers95)
+          .withColumn("kind", lit("both"))
+        val only98 = buyers98.except(buyers95)
+          .withColumn("kind", lit("only98"))
+        both.union(only98)
+          .groupBy("kind").agg(count(lit(1)).as("cnt"))
+          .orderBy("kind")
+      },
+      Some("""
+        WITH b98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+        b95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        u AS (
+          SELECT o_custkey, 'both' AS kind FROM (SELECT * FROM b98 INTERSECT SELECT * FROM b95)
+          UNION ALL
+          SELECT o_custkey, 'only98' AS kind FROM (SELECT * FROM b98 EXCEPT SELECT * FROM b95))
+        SELECT kind, COUNT(*) AS cnt FROM u GROUP BY kind ORDER BY kind""")),
+
+    // CUBE grouping sets with a GROUPING() disambiguator.
+    GateQuery(
+      "q28_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            grouping("o_orderstatus").cast("long").as("g_status"),
+            grouping("o_orderpriority").cast("long").as("g_prio"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority")),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+          CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")),
+
+    // Unpivot (wide → long), the inverse of the A5 pivot.
+    GateQuery(
+      "q29_unpivot",
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            expr("""stack(2, 'acctbal', s_acctbal,
+                             'nationkey', CAST(s_nationkey AS DOUBLE))
+                    AS (metric, value)"""))
+          .orderBy("s_suppkey", "metric"),
+      Some("""
+        SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+        ORDER BY s_suppkey, metric""")),
+
+    // Deterministic hash-slice sampling — the engine's reproducible
+    // sampling primitive (the reference samples via BigQuery
+    // FARM_FINGERPRINT MOD slices, bhr_collection.py:534-545; mozetl's
+    // sample_id partitioning is the same idea). polyHash makes the slice
+    // assignment engine-portable.
+    GateQuery(
+      "q30_hash_sample",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("slice",
+            graft.functions.TextFunctions.polyHash(
+              col("o_orderkey").cast("string")) % 100)
+          .filter(col("slice") < 5)
+          .agg(count(lit(1)).as("sampled_cnt"),
+            dsum(col("o_totalprice")).as("sampled_total")),
+      Some(s"""
+        SELECT COUNT(*) AS sampled_cnt,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total
+        FROM (
+          SELECT *,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+                ch -> CAST(ascii(ch) AS BIGINT))),
+              (h, ch) -> (h*31 + ch) % 1000000007) % 100 AS slice
+          FROM orders)
+        WHERE slice < 5"""))
+  )
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is pure batch; its closest streaming analogue is the
+  * activity-day submission-lag window (mozetl/utils.py:16,131-160 — accept
+  * up to 10 days of late data, then aggregate per day). Here that becomes
+  * a first-class streaming pipeline: event-time watermark + tumbling
+  * window aggregation, plus gap-based sessionization via
+  * flatMapGroupsWithState (SURVEY §2.12 future-work made real). All
+  * transforms take a (possibly streaming) DataFrame, so the same code
+  * runs on `readStream` sources and on batch frames in tests.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type counts with late-data tolerance — the
+    * streaming form of the clients_daily activity window. `lateness`
+    * mirrors ACTIVITY_SUBMISSION_LAG (10 days there; typically minutes
+    * in a live stream).
+    */
+  def windowedEventCounts(events: DataFrame, windowLength: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("value_sum"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("cnt"), col("value_sum"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+      value: Double)
+
+  case class SessionState(start: Long, lastSeen: Long, events: Int,
+      valueSum: Double)
+
+  case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Int, value_sum: Double)
+
+  /** Gap-based sessionization: a user's events belong to one session until
+    * `gapMs` of event-time silence. Custom state machine via
+    * flatMapGroupsWithState with an EVENT-time timeout — sessions close
+    * either when a later event arrives past the gap, or when the
+    * watermark passes lastSeen+gap (idle users). The caller must apply a
+    * watermark on `ts` upstream (see the spec); processing-time timeouts
+    * would make the query self-schedule batches forever.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.events, s.valueSum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(s))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var current = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  current = Some(s.copy(lastSeen = t, events = s.events + 1,
+                    valueSum = s.valueSum + e.value))
+                case Some(s) =>
+                  closed += emit(s)
+                  current = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  current = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            current match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastSeen + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dedup on an id column within the watermark horizon —
+    * the streaming form of exact dedup (NearDup.exactDedup).
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+      lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates(Seq(idCol, "ts"))
+}

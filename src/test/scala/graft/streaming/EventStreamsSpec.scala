@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  it should "aggregate tumbling windows over a stream with a watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStreams
+      .windowedEventCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0),
+        (ts(12), "view", 5.0))
+      query.processAllAvailable()
+      val rows = rowsOf(spark.table("win_counts"),
+        "event_type", "cnt", "value_sum")
+      rows shouldBe Set(Seq("click", 2L, 3.0), Seq("view", 1L, 5.0))
+      // late-but-within-watermark event lands in its original window
+      input.addData((ts(3), "click", 10.0))
+      query.processAllAvailable()
+      rowsOf(spark.table("win_counts"), "event_type", "cnt") should
+        contain(Seq("click", 3L))
+    } finally query.stop()
+  }
+
+  it should "close sessions after the idle gap" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val withWm = input.toDS()
+      .withWatermark("ts", "1 minute")
+      .as[EventStreams.Event]
+    val query = EventStreams.sessionize(withWm, gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two bursts separated by > gap → first session closes when the
+      // second burst arrives
+      input.addData(
+        EventStreams.Event(1L, ts(0), "click", 1.0),
+        EventStreams.Event(1L, ts(2), "view", 2.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(1L, ts(20), "click", 7.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      sessions.length shouldBe 1
+      val s = sessions.head
+      s.getAs[Int]("n_events") shouldBe 2
+      s.getAs[Double]("value_sum") shouldBe 3.0
+      s.getAs[Timestamp]("start_ts") shouldBe ts(0)
+      s.getAs[Timestamp]("end_ts") shouldBe ts(2)
+    } finally query.stop()
+  }
+
+  it should "drop duplicate ids within the watermark horizon" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val query = EventStreams.dedupStream(events, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), "click"), (1L, ts(1), "click"),
+        (2L, ts(2), "view"))
+      query.processAllAvailable()
+      spark.table("deduped").count() shouldBe 2
+    } finally query.stop()
+  }
+}
