@@ -35,7 +35,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
-        q.name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // pipelines cache intermediate frames (LSH fan-outs); drop them so
+        // queries don't steal each other's execution memory
+        spark.catalog.clearCache()
+        q.name -> elapsed
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

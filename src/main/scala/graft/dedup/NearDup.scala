@@ -65,12 +65,15 @@ object NearDup {
   def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val perBand = (0 until bands).map { b =>
+    // one scan + explode, NOT a bands-way union: a union re-reads (or at
+    // best re-projects) the signature frame once per band
+    val bandStructs = array((0 until bands).map { b =>
       val key = (0 until r).map(j => col(s"mh${b * r + j}"))
         .reduceLeft((acc, c) => acc * HashMod + c)
-      sig.select(col("id"), lit(b).as("band"), key.as("bkey"))
-    }
-    perBand.reduceLeft(_ union _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+    sig.select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
   /** Candidate id pairs (id_a < id_b) sharing at least one LSH bucket.
@@ -79,6 +82,10 @@ object NearDup {
     */
   def minhashCandidates(sig: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = 0): DataFrame = {
+    // NOTE on reuse: the band-key frame feeds both sides of the self-join;
+    // Catalyst's ReuseExchange deduplicates the identical subplans, and
+    // measured at sf0.1 an explicit .cache() here is a net LOSS (array
+    // serialization + broken pipelining cost more than the recompute).
     val keys0 = bandKeys(sig, numHashes, bands)
     val keys =
       if (maxBucketSize <= 0) keys0
@@ -152,11 +159,16 @@ object NearDup {
       n: Int = 3, bandBits: Int = 6, maxHamming: Int = 10): DataFrame = {
     val sh = simhash(df, idCol, textCol, n)
     val bands = SimHashBits / bandBits
-    val keys = (0 until bands).map { b =>
-      sh.select(col("id"), col("simhash"), lit(b).as("band"),
+    // single-pass explode of (band, bkey) structs — see bandKeys note
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
-    }.reduceLeft(_ union _)
+    }: _*)
+    val keys = sh.select(col("id"), col("simhash"),
+      explode(bandStructs).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
     val a = keys.select(col("band"), col("bkey"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = keys.select(col("band"), col("bkey"),

@@ -83,11 +83,11 @@ object Ann {
     */
   private def bucketKeys(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, tables: Int): DataFrame =
-    (0 until tables).map { tb =>
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lit(tb).as("tbl"),
-        lshBucket(col(vecCol), dim, planes, tb).as("bucket"))
-    }.reduceLeft(_ union _)
+    // single pass + posexplode of per-table buckets (a tables-way union
+    // would rescan the corpus per table)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map(tb =>
+        lshBucket(col(vecCol), dim, planes, tb)): _*)).as(Seq("tbl", "bucket")))
 
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
     * hash tables, then exact cosine rank within candidates. Trades recall
