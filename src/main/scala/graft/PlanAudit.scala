@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative gate queries
+  * so plan regressions (lost pushdown, surprise shuffles, broken
+  * broadcast) are visible in review. Output is summarized in PLANS.md.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.Graft.localSession(8, "graft-plans")
+    val interesting = Set("q01_agg_mixed", "q02_filter_project",
+      "q03_join_agg", "q07_broadcast_dims", "q08_window_latest",
+      "q11_pivot", "d02_minhash_lsh", "d05_ann_brute", "t04_fingerprint")
+    SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
+      .foreach { q =>
+        println(s"\n===== ${q.name} =====")
+        q.fn(spark, sfDir).explain("formatted")
+      }
+    spark.stop()
+  }
+}
