@@ -49,8 +49,12 @@ object Graft {
     * date-partitioned directories — Catalyst partition pruning applies
     * either way (SURVEY.md §4: PruneFileSourcePartitions).
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String,
+      mergeSchema: Boolean = false): DataFrame =
+    // mergeSchema mirrors the reference's evolving-schema reads
+    // (mozetl/clientsdaily/rollup.py:23 et al.)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(s"$sfDir/$name.parquet")
 
   /** Register every test table as a temp view (for spark.sql-style queries,
     * mirroring the reference's catalog-table access — SURVEY.md §2.1 S3).

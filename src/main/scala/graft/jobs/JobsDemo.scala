@@ -17,6 +17,10 @@ object JobsDemo {
     val spark = graft.core.Graft.localSession(4, "graft-jobs-demo")
     import spark.implicits._
 
+    graft.core.GraftExtensions.register(spark)
+    println("[jobs-demo] graft_polyhash('ab') = " +
+      spark.sql("SELECT graft_polyhash('ab')").collect().head.getLong(0))
+
     def show(name: String, n: Long, cols: Int): Unit =
       println(f"[jobs-demo] $name%-28s rows=$n%-6d cols=$cols")
 
