@@ -41,6 +41,8 @@ object PipelineQueries {
     s"""ex AS (SELECT doc_id, unnest(ss) AS s FROM sets),
        |hh AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM ex)""".stripMargin
 
+  private val polyHashSqlFp: String = polyHashSql("text")
+
   private val jaccardSql =
     """CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
       |  / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))""".stripMargin
@@ -64,6 +66,30 @@ object PipelineQueries {
           UNION ALL
           SELECT doc_id + 10000 AS doc_id, text FROM documents)
         GROUP BY text ORDER BY keep_id""")),
+
+    // Fingerprint-first exact dedup: group on the 8-byte polyHash instead
+    // of the document body — at 100 TB the shuffle carries hashes, not
+    // text (hash-colliding groups would re-check raw text; none here).
+    GateQuery(
+      "d08_dedup_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val recrawl = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        NearDup.exactDedup(
+          d.union(recrawl).withColumn("fp",
+            graft.functions.TextFunctions.polyHash(col("text"))),
+          "doc_id", "fp")
+          .select(col("fp"), col("keep_id"), col("dup_count"))
+          .orderBy("keep_id")
+      },
+      Some(s"""
+        SELECT ${polyHashSqlFp} AS fp, min(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text FROM documents)
+        GROUP BY fp ORDER BY keep_id""")),
 
     // MinHash + banded LSH near-dup detection, LSH candidates verified by
     // exact shingle Jaccard — finds the corpus's planted near-dup pairs.
@@ -172,6 +198,21 @@ object PipelineQueries {
         val e = t(s, dir, "embeddings")
         Ann.lshTopK(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, dim = 64, planes = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      None),
+
+    // IVF approximate nearest neighbors — the data-adaptive scale path
+    // (k-means cells + nprobe probing). KMeans reduce order isn't
+    // bit-reproducible across cluster layouts → rows-only check; IvfSpec
+    // asserts exact recall on clustered data.
+    GateQuery(
+      "d07_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.similarity.Ivf.topK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2, seed = 42L)
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },

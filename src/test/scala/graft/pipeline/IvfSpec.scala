@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.similarity.{Ann, Ivf}
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated clusters in 8d; neighbors live in-cluster
+  private def corpus = {
+    val rng = new scala.util.Random(7)
+    (0 until 90).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(8)(d => if (d == c) 10.0f else 0.0f)
+      (i.toLong, base.map(v => v + rng.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  it should "recover in-cluster neighbors with nprobe=1" in {
+    val q = corpus.filter($"vec_id" < 3)
+    val ivf = Ivf.topK(corpus, q, "vec_id", "embedding",
+      k = 5, nlist = 3, nprobe = 1, seed = 42L)
+    val brute = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5)
+    val iset = ivf.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bset = brute.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with clean clusters, probing the single nearest cell recovers the
+    // exact top-5 for every query
+    iset shouldBe bset
+    // neighbors share the query's cluster (ids ≡ qid mod 3)
+    iset.foreach { case (qid, nid) => nid % 3 shouldBe qid % 3 }
+  }
+
+  it should "assign every corpus row to exactly one cell" in {
+    val model = Ivf.train(corpus, "embedding", nlist = 3, seed = 42L)
+    val assigned = Ivf.assign(corpus, "vec_id", "embedding", model)
+    assigned.count() shouldBe 90
+    assigned.select("cid").distinct().count() shouldBe 3
+    // cells align with the planted clusters
+    val purity = assigned.groupBy("cid")
+      .agg(countDistinct(expr("id % 3")).as("n"))
+      .agg(max("n")).collect().head.getLong(0)
+    purity shouldBe 1L
+  }
+}
