@@ -75,12 +75,29 @@ object JobsDemo {
     val freq = analytics.Analytics.frequencyMap(
       fixtures.clientsDaily(spark), "locale")
     println(s"[jobs-demo] graphics_frequency           keys=${freq.size}")
+    val pings = Seq(
+      ("x86", 4L, 2400L, "GenuineIntel", "0x10de", "0x1401", 1920L, 1080L,
+        8192L, "Windows_NT", "10.0", true, true),
+      ("x86-64", 8L, 3200L, "AuthenticAMD", "0x8086", "0x0042", 2560L,
+        1440L, 16384L, "Darwin", "17.0", false, false))
+      .toDF("browser_arch", "cpu_cores", "cpu_speed", "cpu_vendor",
+        "gfx0_vendor_id", "gfx0_device_id", "screen_width", "screen_height",
+        "memory_mb", "os_name", "os_version", "is_wow64", "has_flash")
+    val prepared = hardware.Dimensions.prepareData(pings,
+      hardware.Dimensions.deviceMapDf(spark,
+        Seq(("0x10de", "0x1401", "Maxwell", "GM206"))))
     val hw = hardware.HardwareReport.finalizeData(
       hardware.HardwareReport.collapseBuckets(
         hardware.HardwareReport.aggregateDimensions(
-          Seq(Map("os" -> "win"), Map("os" -> "win"), Map("os" -> "mac"))
-            .toDF("dimensions")), 2), 3)
+          hardware.Dimensions.toDimensionsMap(prepared)), 1), 2)
     show("hardware_report", hw.count(), hw.columns.length)
+    val rollupTmp = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    ms.write.mode("overwrite")
+      .parquet(s"$rollupTmp/ms/submission_date_s3=20170101")
+    val rollupOut = search.Rollups.searchClientsDailyEtl(spark, "20170101",
+      s"$rollupTmp/ms", s"$rollupTmp/out")
+    println(s"[jobs-demo] search_rollup_etl            wrote=$rollupOut " +
+      s"rows=${spark.read.parquet(rollupOut).count()}")
     val hangs = Seq(
       bhr.BhrCollection.Hang(Seq("f1"), 10.0, "Gecko", "r", "parent",
         "20190101", "win")).toDS()

@@ -1,0 +1,62 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.core.PathFlatten
+import graft.jobs.hardware.{Dimensions, HardwareReport}
+import org.apache.spark.sql.functions.col
+
+class DimensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pings = Seq(
+    // browser_arch, cpu_cores, cpu_speed, cpu_vendor, gfx vendor/device,
+    // screen w/h, memory, os name/version, wow64, flash
+    ("x86", 4L, 2400L, "GenuineIntel", "0x10de", "0x1401", 1920L, 1080L,
+      8192L, "Windows_NT", "10.0", true, true),
+    ("x86-64", 8L, 3200L, "AuthenticAMD", "0xdead", "0xbeef", 2560L, 1440L,
+      16384L, "Darwin", "17.0", false, false))
+    .toDF("browser_arch", "cpu_cores", "cpu_speed", "cpu_vendor",
+      "gfx0_vendor_id", "gfx0_device_id", "screen_width", "screen_height",
+      "memory_mb", "os_name", "os_version", "is_wow64", "has_flash")
+
+  private val deviceMap = Dimensions.deviceMapDf(spark,
+    Seq(("0x10de", "0x1401", "Maxwell", "GM206")))
+
+  it should "prepare hardware dimensions with device-map lookup" in {
+    val out = Dimensions.prepareData(pings, deviceMap)
+    val r1 = out.filter(col("browser_arch") === "x86").collect().head
+    r1.getAs[String]("gfx0_vendor_name") shouldBe "NVIDIA"
+    r1.getAs[String]("gfx0_model") shouldBe "Maxwell-GM206"
+    r1.getAs[String]("cpu_cores_speed") shouldBe "4_2.4"
+    r1.getAs[String]("resolution") shouldBe "1920x1080"
+    r1.getAs[Int]("memory_gb") shouldBe 8
+    // 32-bit browser + WOW64 on Windows → 64-bit OS
+    r1.getAs[String]("os_arch") shouldBe "x86-64"
+    val r2 = out.filter(col("browser_arch") === "x86-64").collect().head
+    r2.getAs[String]("gfx0_vendor_name") shouldBe "Other"
+    r2.getAs[String]("gfx0_model") shouldBe "Unknown"
+    r2.getAs[String]("os_arch") shouldBe "x86-64"
+  }
+
+  it should "feed the dimension aggregation end-to-end" in {
+    val dims = Dimensions.toDimensionsMap(
+      Dimensions.prepareData(pings, deviceMap))
+    val agg = HardwareReport.aggregateDimensions(dims)
+    rowsOf(agg.filter(col("dimension") === "gfx0_vendor_name"),
+      "value", "count") shouldBe Set(Seq("NVIDIA", 1L), Seq("Other", 1L))
+  }
+
+  it should "flatten slash paths into nested column selects" in {
+    val nested = Seq((("win", "10"), 5L))
+      .toDF("os", "count")
+      .selectExpr("named_struct('name', os._1, 'version', os._2) AS system",
+        "count")
+    val flat = PathFlatten.flatten(nested,
+      Seq("system/name", "system/version"))
+    flat.columns.toSeq shouldBe Seq("system/name", "system/version")
+    flat.collect().head.getString(0) shouldBe "win"
+    PathFlatten.existingPaths(nested,
+      Seq("system/name", "system/missing", "nope")) shouldBe
+      Seq("system/name")
+  }
+}
