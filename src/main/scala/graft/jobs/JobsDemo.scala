@@ -98,9 +98,19 @@ object JobsDemo {
       s"$rollupTmp/ms", s"$rollupTmp/out")
     println(s"[jobs-demo] search_rollup_etl            wrote=$rollupOut " +
       s"rows=${spark.read.parquet(rollupOut).count()}")
-    val hangs = Seq(
-      bhr.BhrCollection.Hang(Seq("f1"), 10.0, "Gecko", "r", "parent",
-        "20190101", "win")).toDS()
+    import bhr.HangExtraction._
+    // ping models carry an ADT stack → Kryo-encoded Dataset (production
+    // pings arrive as JSON strings parsed inside the flatMap instead)
+    implicit val pingEnc: org.apache.spark.sql.Encoder[Ping] =
+      org.apache.spark.sql.Encoders.kryo[Ping]
+    val bhrPings = spark.createDataset(Seq(Ping("20190101120000",
+      "Windows_NT", Seq(Module("xul.pdb", "ABC")),
+      Seq(RawHang(Seq(NativeFrame(0, "0x1f")), 10.0, "Gecko", "parent",
+        Map.empty),
+        RawHang(Seq(PseudoFrame("js::Run")), 5.0, "Gecko", "parent",
+          Map("PaintWhileInterruptingJS" -> "1"))))))
+    val hangs = bhr.BhrCollection.getAllHangs(bhrPings,
+      (p: Ping) => processHangs(p, Config(threadFilter = "Gecko")))
     val bhrAgg = bhr.BhrCollection.aggregateHangs(hangs)
     show("bhr_hang_aggregate", bhrAgg.count(), bhrAgg.columns.length)
 

@@ -110,6 +110,46 @@ object RelationalExt {
         SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
         ORDER BY s_suppkey, metric""")),
 
+    // Gap-based batch sessionization: lag + boundary flag + running sum —
+    // the batch twin of streaming/EventStreams.sessionize (30-minute gap).
+    GateQuery(
+      "q31_sessionize",
+      (s, dir) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val e = t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+              1L).otherwise(0L))
+          .withColumn("session_id",
+            sum("new_session").over(byUser.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        e.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(GateQuery.dec(col("value"))).cast("double").as("value_sum"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, event_id, value,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
     // Deterministic hash-slice sampling — the engine's reproducible
     // sampling primitive (the reference samples via BigQuery
     // FARM_FINGERPRINT MOD slices, bhr_collection.py:534-545; mozetl's

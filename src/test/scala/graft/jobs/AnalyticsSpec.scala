@@ -79,6 +79,34 @@ class AnalyticsSpec extends SparkSpec {
     h2.getSeq[org.apache.spark.sql.Row](1).head.getAs[String]("symbol") shouldBe null
   }
 
+  behavior of "HangExtraction"
+
+  it should "extract, filter, and fork ForcePaint hangs from a ping" in {
+    import graft.jobs.bhr.HangExtraction._
+    val ping = Ping(
+      buildId = "20170103120000",
+      osName = "Windows_NT",
+      modules = Seq(Module("xul.pdb", "ABC123")),
+      hangs = Seq(
+        RawHang(Seq(NativeFrame(0, "0x1f"), PseudoFrame("js::Run")),
+          duration = 120.0, thread = "Gecko", process = "parent",
+          annotations = Map.empty),
+        RawHang(Seq(NativeFrame(5, "0x2f")), 80.0, "Gecko", "content",
+          annotations = Map("PaintWhileInterruptingJS" -> "true")),
+        RawHang(Seq(NativeFrame(0, "0x3f")), 50.0, "OtherThread", "parent",
+          Map.empty),
+        RawHang(Seq.empty, 10.0, "Gecko", "parent", Map.empty)))
+    val hangs = processHangs(ping, Config(threadFilter = "Gecko"))
+    // 1 plain + (1 annotated × 2 threads); off-thread + empty-stack dropped
+    hangs.length shouldBe 3
+    hangs.map(_.thread).sorted shouldBe
+      Seq("Gecko", "Gecko", "Gecko_Child_ForcePaint")
+    hangs.head.stack shouldBe Seq("xul.pdb\\ABC123:0x1f", "pseudo\\null:js::Run")
+    // out-of-range module index → unresolved frame
+    hangs(1).stack shouldBe Seq("?:0x2f")
+    hangs.foreach(_.buildDate shouldBe "20170103")
+  }
+
   behavior of "HardwareReport"
 
   private val pings = Seq(
