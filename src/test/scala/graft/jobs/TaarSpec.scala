@@ -183,6 +183,45 @@ class TaarSpec extends SparkSpec {
     coefs.keySet shouldBe Ensemble.PredictorOrder.toSet
   }
 
+  it should "parse and guard the editorial whitelist" in {
+    import graft.jobs.taar.UpdateWhitelist._
+    val rows = (1 to 150).map(i => EditorialRow(Some(s"g$i@x"))) ++
+      Seq(EditorialRow(None), EditorialRow(Some("")), EditorialRow(Some("null")),
+        EditorialRow(Some("g1@x"))) // dup
+    val guids = parseRows(rows)
+    guids.length shouldBe 150
+    guids shouldBe guids.sorted
+    an[ShortWhitelistError] should be thrownBy
+      parseRows(Seq(EditorialRow(Some("only@one"))))
+    parseRows(Seq(EditorialRow(Some("only@one"))),
+      allowShortGuidList = true) shouldBe Seq("only@one")
+  }
+
+  it should "filter AMO addons into whitelists" in {
+    import graft.jobs.taar.AmoWhitelist._
+    val now = java.time.LocalDate.parse("2019-06-01")
+    val addons = Seq(
+      AmoAddon("good@x", isFeatured = true, currentVersionHasFiles = true,
+        currentVersionIsWebextension = true, averageRating = 4.5,
+        firstCreateDate = Some(java.time.LocalDate.parse("2018-01-01"))),
+      AmoAddon("young@x", isFeatured = false, currentVersionHasFiles = true,
+        currentVersionIsWebextension = true, averageRating = 5.0,
+        firstCreateDate = Some(java.time.LocalDate.parse("2019-05-20"))),
+      AmoAddon("lowrated@x", isFeatured = false, currentVersionHasFiles = true,
+        currentVersionIsWebextension = true, averageRating = 2.0,
+        firstCreateDate = Some(java.time.LocalDate.parse("2018-01-01"))),
+      AmoAddon("legacy@x", isFeatured = true, currentVersionHasFiles = true,
+        currentVersionIsWebextension = false, averageRating = 5.0,
+        firstCreateDate = Some(java.time.LocalDate.parse("2018-01-01"))),
+      AmoAddon(PioneerGuid, isFeatured = false, currentVersionHasFiles = true,
+        currentVersionIsWebextension = true, averageRating = 5.0,
+        firstCreateDate = Some(java.time.LocalDate.parse("2018-01-01"))))
+    val out = transform(addons, now)
+    out("whitelist").map(_.guid) shouldBe Seq("good@x")
+    out("featured").map(_.guid) shouldBe Seq("good@x", "legacy@x")
+    out("featured_whitelist").map(_.guid) shouldBe Seq("good@x")
+  }
+
   it should "split folds that partition the dataset" in {
     import spark.implicits._
     val data = (1 to 100).map(i => (s"c$i", i)).toDF("client_id", "n")
