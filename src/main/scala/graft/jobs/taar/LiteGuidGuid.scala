@@ -1,6 +1,6 @@
 package graft.jobs.taar
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TAAR-lite GUID→GUID co-installation model, ported from
@@ -11,17 +11,23 @@ import org.apache.spark.sql.functions._
   * pair expansion (123-130). Both are higher-order array functions here —
   * the whole pipeline stays in codegen until the pair-count shuffle, which
   * is the only unavoidable wide op. The manual broadcast-variable
-  * semi-join (line 105) becomes a literal `array_contains` filter inside
-  * the expression (the whitelist is a few-hundred-entry literal that ships
-  * with the plan, the same physical effect as a broadcast).
+  * semi-join (line 105) becomes an `array_contains` filter against a
+  * whitelist column: a plan literal for small lists, a broadcast
+  * single-row frame beyond LiteralWhitelistMax entries.
   */
 object LiteGuidGuid {
 
-  /** taar_lite_guidguid.py:29-46 validity predicate, as an array filter
-    * over the active_addons struct array.
+  /** Above this size a literal whitelist array stops being free: the plan
+    * (and every task binary) carries it. Larger lists ride in as a
+    * broadcast single-row frame instead (see whitelisted()).
     */
-  private def validAddonIds(whitelist: Seq[String]) = {
-    val wl = array(whitelist.map(lit): _*)
+  val LiteralWhitelistMax = 1000
+
+  /** taar_lite_guidguid.py:29-46 validity predicate, as an array filter
+    * over the active_addons struct array, intersected with the whitelist
+    * column.
+    */
+  private def validAddonIds(wl: Column) = {
     val valid = expr("""filter(active_addons, a ->
         NOT (a.is_system OR a.app_disabled OR a.type != 'extension'
              OR a.user_disabled OR a.foreign_install)
@@ -30,6 +36,19 @@ object LiteGuidGuid {
     filter(org.apache.spark.sql.functions.transform(
       valid, a => a.getField("addon_id")), id => array_contains(wl, id))
   }
+
+  /** Attach the whitelist to `df` as a column named `__wl`: a plan literal
+    * for small lists, a broadcast single-row cross join for large ones
+    * (constant plan size, one tiny broadcast — the DataFrame analogue of
+    * the reference's sc.broadcast set, taar_lite_guidguid.py:105).
+    */
+  private def withWhitelist(df: DataFrame, whitelist: Seq[String]): DataFrame =
+    if (whitelist.length <= LiteralWhitelistMax)
+      df.withColumn("__wl", array(whitelist.map(lit): _*))
+    else {
+      import df.sparkSession.implicits._
+      df.crossJoin(broadcast(Seq(whitelist).toDF("__wl")))
+    }
 
   /** taar_lite_guidguid.py:81-97: coarse release-channel sample. */
   def getInitialSample(spark: SparkSession): DataFrame =
@@ -45,8 +64,8 @@ object LiteGuidGuid {
     * keeping clients with more than one valid add-on.
     */
   def getAddonsPerClient(whitelist: Seq[String], usersDf: DataFrame): DataFrame =
-    usersDf.select(col("client_id"),
-      validAddonIds(whitelist).as("addon_ids"))
+    withWhitelist(usersDf, whitelist)
+      .select(col("client_id"), validAddonIds(col("__wl")).as("addon_ids"))
       .filter(size(col("addon_ids")) > 1)
 
   /** Training frame: one `installed_addons` array per client

@@ -55,6 +55,18 @@ class TaarSpec extends SparkSpec {
     model("c@x") shouldBe Map("a@x" -> 1L, "b@x" -> 1L)
   }
 
+  it should "use the broadcast whitelist path for large lists with identical results" in {
+    clientsDaily(
+      cdRow("c1", Seq(addon("a@x"), addon("b@x"), addon("c@x"))),
+      cdRow("c2", Seq(addon("a@x"), addon("b@x"))))
+    val bigWl = wl ++ (1 to 2000).map(i => s"pad$i@x")
+    val small = LiteGuidGuid.toModel(LiteGuidGuid.transform(
+      LiteGuidGuid.extractTelemetry(spark, wl)))
+    val big = LiteGuidGuid.toModel(LiteGuidGuid.transform(
+      LiteGuidGuid.extractTelemetry(spark, bigWl)))
+    big shouldBe small
+  }
+
   it should "rank addon install counts via SQL (guidranking)" in {
     clientsDaily(
       cdRow("c1", Seq(addon("a@x"), addon("b@x"))),
