@@ -305,6 +305,27 @@ object PipelineQueries {
            |       ELSE 'video' END AS media_format
            |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Text normalization — the canonicalization step upstream of exact
+    // dedup (lowercase, collapse runs of whitespace, trim) with the
+    // fingerprint of the normalized form.
+    GateQuery(
+      "t05_normalize",
+      (s, dir) => {
+        val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(norm).cast("long").as("n_norm_chars"),
+            TextFunctions.polyHash(norm).as("fp_norm"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val norm = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+        s"""SELECT doc_id,
+           |  CAST(length($norm) AS BIGINT) AS n_norm_chars,
+           |  ${polyHashSql(norm)} AS fp_norm
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // Content fingerprinting: engine-portable rolling hash of the raw text.
     GateQuery(
       "t04_fingerprint",
