@@ -1,0 +1,41 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val data = Seq(("a", 1L, 1.5), ("b", 2L, 2.5), ("a", 3L, 3.5))
+    .toDF("k", "n", "v")
+
+  it should "round-trip parquet, json and csv" in {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    for (fmt <- Seq("parquet", "json", "csv")) {
+      IO.write(data, s"$tmp/$fmt", fmt, coalesceTo = 1)
+      val back = IO.read(spark, s"$tmp/$fmt", fmt,
+        schema = if (fmt == "parquet") None else Some(data.schema))
+      back.count() shouldBe 3
+      back.agg(sum("n")).collect().head.getLong(0) shouldBe 6L
+      // coalesceTo=1 → a single data file
+      new java.io.File(s"$tmp/$fmt").listFiles()
+        .count(_.getName.startsWith("part-")) shouldBe 1
+    }
+  }
+
+  it should "write hive-partitioned layouts (landfill-style)" in {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io-part").toString
+    IO.write(data, s"$tmp/out", "json", partitionBy = Seq("k"))
+    new java.io.File(s"$tmp/out").listFiles().map(_.getName)
+      .filter(_.startsWith("k=")).sorted.toSeq shouldBe Seq("k=a", "k=b")
+    IO.read(spark, s"$tmp/out", "json",
+      Some(org.apache.spark.sql.types.StructType(data.schema.filterNot(_.name == "k"))))
+      .count() shouldBe 3
+  }
+
+  it should "estimate distinct counts within tolerance (approx HLL)" in {
+    val ids = spark.range(100000).select((col("id") % 34567).as("k"))
+    val approx = ids.agg(approx_count_distinct("k")).collect().head.getLong(0)
+    math.abs(approx - 34567.0) / 34567.0 should be < 0.05
+  }
+}
