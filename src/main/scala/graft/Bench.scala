@@ -1,6 +1,24 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
+/** Accumulates shuffle bytes across completed stages — the per-query
+  * shuffle footprint quantifies the engine's shuffle-minimization design
+  * alongside wall time.
+  */
+private class ShuffleMetricsListener extends SparkListener {
+  private val read = new java.util.concurrent.atomic.AtomicLong
+  private val write = new java.util.concurrent.atomic.AtomicLong
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) {
+      read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+  def snapshot: (Long, Long) = (read.get, write.get)
+}
 
 /** Benchmark entry point (driver contract): runs the headline gate
   * queries against SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -29,9 +47,13 @@ object Bench {
     // doesn't pay JVM/session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    val metrics = new ShuffleMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+
     val results = SparkEntry.gateQueries
       .filterNot(q => NonHeadline.contains(q.name))
       .map { q =>
+        val (r0, w0) = metrics.snapshot
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
@@ -39,12 +61,15 @@ object Bench {
         // pipelines cache intermediate frames (LSH fan-outs); drop them so
         // queries don't steal each other's execution memory
         spark.catalog.clearCache()
-        q.name -> elapsed
+        val (r1, w1) = metrics.snapshot
+        (q.name, elapsed, (r1 - r0) + (w1 - w0))
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, b) =>
+      "\"" + k + "\":" + (b / 1024 / 1024.0) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
