@@ -75,6 +75,12 @@ object JobsDemo {
     val freq = analytics.Analytics.frequencyMap(
       fixtures.clientsDaily(spark), "locale")
     println(s"[jobs-demo] graphics_frequency           keys=${freq.size}")
+    val gfxPings = Seq(("54", "Windows", "10.0", "0x10de", "d1", "v1"),
+      ("55", "Darwin", "17", "0x8086", "d2", "v2"))
+      .toDF("FxVersion", "OSName", "OSVersion", "vendorID", "deviceID",
+        "driverVersion")
+    val byFx = graphics.Dashboard.statisticsByFxVersion(gfxPings)
+    println(s"[jobs-demo] graphics_dashboard           fx_versions=${byFx.size}")
     val pings = Seq(
       ("x86", 4L, 2400L, "GenuineIntel", "0x10de", "0x1401", 1920L, 1080L,
         8192L, "Windows_NT", "10.0", true, true),

@@ -46,6 +46,27 @@ class AnalyticsSpec extends SparkSpec {
       Seq("2017-01-01", 2L, 1L), Seq("2017-01-08", 1L, 1L))
   }
 
+  behavior of "Dashboard"
+
+  it should "compute general and per-version statistics in grouped passes" in {
+    val pings = Seq(
+      ("54", "Windows", "10.0", "0x10de", "dev1", "1.1"),
+      ("54", "Windows", "7.0", "0x10de", "dev1", "1.2"),
+      ("54", "Darwin", "17", "0x8086", "dev2", "2.0"),
+      ("55", "Windows", "10.0", "0x8086", "dev2", "2.0"))
+      .toDF("FxVersion", "OSName", "OSVersion", "vendorID", "deviceID",
+        "driverVersion")
+    val general = graft.jobs.graphics.Dashboard.generalStatistics(pings)
+    general("devices") shouldBe Map("dev1" -> 2L, "dev2" -> 2L)
+    val subset = graft.jobs.graphics.Dashboard.subsetStatistics(pings)
+    subset("os") shouldBe Map("Windows" -> 3L, "Darwin" -> 1L)
+    subset("windows") shouldBe Map("10.0" -> 2L, "7.0" -> 1L)
+    val byFx = graft.jobs.graphics.Dashboard.statisticsByFxVersion(pings)
+    byFx("54")("vendors") shouldBe Map("0x10de" -> 2L, "0x8086" -> 1L)
+    byFx("55")("windows") shouldBe Map("10.0" -> 1L)
+    byFx("55")("os") shouldBe Map("Windows" -> 1L)
+  }
+
   behavior of "BhrCollection"
 
   it should "aggregate hang durations per key and normalize by usage hours" in {
