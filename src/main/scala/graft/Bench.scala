@@ -50,10 +50,18 @@ object Bench {
     val metrics = new ShuffleMetricsListener
     spark.sparkContext.addSparkListener(metrics)
 
+    // Listener events arrive asynchronously on the bus; drain it before
+    // every snapshot so a query's shuffle bytes aren't attributed to the
+    // next query (or missed entirely).
+    def drainedSnapshot(): (Long, Long) = {
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+      metrics.snapshot
+    }
+
     val results = SparkEntry.gateQueries
       .filterNot(q => NonHeadline.contains(q.name))
       .map { q =>
-        val (r0, w0) = metrics.snapshot
+        val (r0, w0) = drainedSnapshot()
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
@@ -61,7 +69,7 @@ object Bench {
         // pipelines cache intermediate frames (LSH fan-outs); drop them so
         // queries don't steal each other's execution memory
         spark.catalog.clearCache()
-        val (r1, w1) = metrics.snapshot
+        val (r1, w1) = drainedSnapshot()
         (q.name, elapsed, (r1 - r0) + (w1 - w0))
       }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -23,10 +23,25 @@ object Bucketing {
 
   /** True iff the executed plan of `df` contains a shuffle exchange —
     * the thing bucketing is supposed to eliminate.
+    *
+    * With AQE on, the top-level plan is an AdaptiveSparkPlanExec — a leaf
+    * as far as `exists` is concerned — so the query is materialized first
+    * (a count) and the final adaptive plan is unwrapped recursively;
+    * without that, the check passes vacuously on every plan.
     */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.exists {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
-      case _ => false
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+    df.count() // finalize AQE so the adaptive plan is the executed one
+
+    def anyShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => anyShuffle(a.executedPlan)
+      case s: QueryStageExec        => anyShuffle(s.plan)
+      case _: ShuffleExchangeLike   => true
+      case other                    => other.children.exists(anyShuffle)
     }
+    anyShuffle(df.queryExecution.executedPlan)
+  }
 }

@@ -446,13 +446,17 @@ object Relational {
       "q23_json_extract",
       (s, dir) =>
         t(s, dir, "events")
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          // Cast through DOUBLE then truncate: Spark's direct string→long
+          // cast truncates '3.7'→3 while DuckDB's rounds to 4; going
+          // via DOUBLE + trunc makes both sides floor toward zero.
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("double").cast("long"))
           .groupBy("event_type")
           .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("cnt"))
           .orderBy("event_type"),
       Some("""
         SELECT event_type,
-          SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+          SUM(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS k_sum,
           COUNT(*) AS cnt
         FROM events GROUP BY event_type ORDER BY event_type""")),
 

@@ -119,9 +119,13 @@ object RelationalExt {
           .partitionBy("user_id").orderBy("ts", "event_id")
         val e = t(s, dir, "events")
           .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          // Gap compared in integer microseconds (unix_micros here,
+          // epoch_us in the oracle) — DuckDB's epoch() yields fractional
+          // DOUBLE seconds while a Spark long cast truncates, so
+          // second-granularity comparisons disagree near the boundary.
           .withColumn("new_session",
             when(col("prev_ts").isNull ||
-              col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
               1L).otherwise(0L))
           .withColumn("session_id",
             sum("new_session").over(byUser.rowsBetween(
@@ -135,7 +139,7 @@ object RelationalExt {
         WITH marked AS (
           SELECT user_id, event_id, ts, value,
             CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                  THEN 1 ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

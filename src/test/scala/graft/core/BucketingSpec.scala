@@ -25,6 +25,12 @@ class BucketingSpec extends SparkSpec {
         .join(spark.table("graft_test_dims"), "key")
         .groupBy("key").agg(sum("amount").as("total"))
       again.count() shouldBe 100
+      // positive control: the SAME join over unbucketed frames must
+      // shuffle — proves hasShuffle sees through the AQE wrapper rather
+      // than passing vacuously on AdaptiveSparkPlanExec.
+      val unbucketed = facts.join(dims, "key")
+        .groupBy("key").agg(sum("amount").as("total"))
+      Bucketing.hasShuffle(unbucketed) shouldBe true
       // both sides bucketed on the join key → no Exchange anywhere:
       // the join AND the groupBy reuse the bucket partitioning
       Bucketing.hasShuffle(again) shouldBe false
