@@ -28,12 +28,14 @@ def canon(rows, cols):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None:
-            return False
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b  # demand bitwise equality, like a hash would
+    if isinstance(a, float) and isinstance(b, float) \
+            and math.isnan(a) and math.isnan(b):
+        return True
+    # Compare formatted values, like the driver's hasher: float64 5.0
+    # ("5.0") != int64 5 ("5"), so a DuckDB HUGEINT/DECIMAL column that
+    # pandas widens to float64 fails against a Spark BIGINT — this is
+    # exactly what made q23/q31 driver-red in rounds 2-3 while the old
+    # fetchall()-based check (HUGEINT -> python int) passed.
     return str(a) == str(b)
 
 
@@ -55,11 +57,15 @@ def main():
             continue
         files = glob.glob(f"{res_dir}/*.parquet")
         try:
-            sdf = con.execute(
-                "SELECT * FROM read_parquet(?)", [files]).fetchall()
-            scols = [d[0] for d in con.description]
-            odf = con.execute(oracles[name]).fetchall()
-            ocols = [d[0] for d in con.description]
+            # Fetch through pandas so DuckDB HUGEINT/DECIMAL columns widen
+            # to float64 exactly as they would in the driver's hasher.
+            spd = con.execute(
+                "SELECT * FROM read_parquet(?)", [files]).df()
+            sdf = list(spd.itertuples(index=False, name=None))
+            scols = list(spd.columns)
+            opd = con.execute(oracles[name]).df()
+            odf = list(opd.itertuples(index=False, name=None))
+            ocols = list(opd.columns)
         except Exception as e:
             print(f"FAIL {name}: exec error {e}")
             n_fail += 1

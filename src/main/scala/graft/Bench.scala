@@ -77,7 +77,15 @@ object Bench {
     val sh = results.map { case (k, _, b) =>
       "\"" + k + "\":" + (b / 1024 / 1024.0) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver captures stdout via a bounded
+    // tail, which truncated the (long) single-line JSON in round 3.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

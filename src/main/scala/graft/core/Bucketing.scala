@@ -25,21 +25,29 @@ object Bucketing {
     * the thing bucketing is supposed to eliminate.
     *
     * With AQE on, the top-level plan is an AdaptiveSparkPlanExec — a leaf
-    * as far as `exists` is concerned — so the query is materialized first
-    * (a count) and the final adaptive plan is unwrapped recursively;
-    * without that, the check passes vacuously on every plan.
+    * as far as `exists` is concerned — so THIS query execution is run to
+    * completion first (`toRdd.foreach` on the same QueryExecution — a
+    * separate `df.count()` would build a new QueryExecution and leave this
+    * one's adaptive plan un-finalized) and the final adaptive plan is
+    * unwrapped recursively; without that, the check passes vacuously on
+    * every plan.
     */
   def hasShuffle(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
-    df.count() // finalize AQE so the adaptive plan is the executed one
+    // finalize AQE on df's OWN QueryExecution so executedPlan below is the
+    // runtime-adapted plan, not the initial static one
+    df.queryExecution.toRdd.foreach(_ => ())
 
     def anyShuffle(p: SparkPlan): Boolean = p match {
       case a: AdaptiveSparkPlanExec => anyShuffle(a.executedPlan)
       case s: QueryStageExec        => anyShuffle(s.plan)
       case _: ShuffleExchangeLike   => true
+      // ReusedExchangeExec is a leaf wrapping the reused exchange — recurse
+      // into its child or a reused shuffle is invisible to this check
+      case r: ReusedExchangeExec    => anyShuffle(r.child)
       case other                    => other.children.exists(anyShuffle)
     }
     anyShuffle(df.queryExecution.executedPlan)

@@ -190,8 +190,10 @@ object PipelineQueries {
         SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     // LSH-bucketed approximate nearest neighbors — the 100 TB scale path.
-    // Not ANSI-SQL-expressible compactly → driver records rows-only check;
-    // AnnSpec asserts recall against d05's exact ranks.
+    // The oracle replays the full pipeline: `planeComponent` is portable
+    // integer arithmetic, so bucket assignment, candidate join, cosine and
+    // rank all reproduce bitwise in DuckDB (ranks only in the output —
+    // no raw floats cross the gate).
     GateQuery(
       "d06_ann_lsh",
       (s, dir) => {
@@ -201,22 +203,77 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      None),
+      Some {
+        // mirror Ann.planeComponent / Ann.lshBucket exactly
+        def plane(p: Int): String =
+          s"list_transform(range(0, 64), d -> ((1103515245 * ((tbl*64 + $p)*1024 + d + 1) + 12345) % 1000003) / 1000003.0 - 0.5)"
+        val bucket = (0 until 4).map(p =>
+          s"(CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |tbs AS (SELECT unnest([0,1,2,3]) AS tbl),
+           |bk AS (SELECT vec_id, v, tbl, $bucket AS bucket FROM e, tbs),
+           |q AS (SELECT * FROM bk WHERE vec_id < 10),
+           |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           |         FROM q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           |              AND q.vec_id <> c.vec_id),
+           |sc AS (SELECT qid, nid,
+           |         list_dot_product(a.v, b.v)
+           |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+           |       FROM cand JOIN e a ON a.vec_id = cand.qid
+           |                 JOIN e b ON b.vec_id = cand.nid),
+           |r AS (SELECT qid, nid,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           |      FROM sc)
+           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+      }),
 
-    // IVF approximate nearest neighbors — the data-adaptive scale path
-    // (k-means cells + nprobe probing). KMeans reduce order isn't
-    // bit-reproducible across cluster layouts → rows-only check; IvfSpec
-    // asserts exact recall on clustered data.
+    // IVF approximate nearest neighbors — the data-adaptive scale path.
+    // The gate uses deterministic hash-sampled centroids (a standard IVF
+    // seeding) instead of trained KMeans, making every stage — centroid
+    // pick, map-side argmin assignment, nprobe probing, cosine rank —
+    // bit-replayable in DuckDB. IvfSpec covers the KMeans-trained path.
     GateQuery(
       "d07_ann_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        graft.similarity.Ivf.topK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2, seed = 42L)
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        graft.similarity.Ivf.search(assigned, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", model, k = 5, nprobe = 2)
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      None),
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT e.vec_id, e.v, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT q.vec_id AS qid, cent.cid,
+          |                 row_number() OVER (PARTITION BY q.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+          |sc AS (SELECT prb.qid, a.vec_id AS nid,
+          |         list_dot_product(qe.v, a.v)
+          |           / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+          |       FROM prb JOIN asn a ON prb.cid = a.cid
+          |                JOIN e qe ON qe.vec_id = prb.qid
+          |       WHERE prb.qid <> a.vec_id),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(

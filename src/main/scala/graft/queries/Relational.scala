@@ -456,7 +456,7 @@ object Relational {
           .orderBy("event_type"),
       Some("""
         SELECT event_type,
-          SUM(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS k_sum,
+          CAST(SUM(CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS k_sum,
           COUNT(*) AS cnt
         FROM events GROUP BY event_type ORDER BY event_type""")),
 

@@ -34,6 +34,27 @@ object Ivf {
       .map { case (v, i) => i -> v.toArray }.toSeq)
   }
 
+  /** Deterministic hash-ordered centroid sample: the `nlist` corpus
+    * vectors with the smallest `(id * 2654435761) % 1000003` hash key.
+    * A legitimate IVF seeding (sampled centroids, as in FAISS's
+    * `train_type=no_train` usage) whose whole pipeline is replayable in
+    * any SQL engine — used by the d07 gate oracle, where MLlib KMeans's
+    * reduce order would not be bit-reproducible across engines.
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Model = {
+    val rows = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("hk", (col("id") * lit(2654435761L)) % lit(1000003L))
+      .orderBy("hk", "id")
+      .limit(nlist) // TakeOrderedAndProject: per-partition top-n, no shuffle
+      .collect()
+    Model(rows.zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Double](r.fieldIndex("v")).toArray
+    }.toSeq)
+  }
+
   /** Broadcastable centroid frame: (cid, centroid array<double>). */
   private def centroidDf(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
@@ -41,23 +62,34 @@ object Ivf {
       .toDF("cid", "centroid")
   }
 
-  /** Assign each row to its nearest centroid: broadcast the (small)
-    * centroid table, score every (row, centroid) pair map-side, keep the
-    * argmin with max_by — no shuffle of the corpus, one partial-agg pass.
+  /** Assign each row to its nearest centroid, entirely map-side: the
+    * centroid table ships as an array-of-struct LITERAL (nlist is small by
+    * construction) and the argmin is `array_min` over
+    * struct(rel_dist, cid) — struct ordering gives the deterministic
+    * tie-break on cid. Zero exchanges: at 100 TB this is the difference
+    * between a free pass over the corpus and a full-corpus shuffle (the
+    * previous broadcast-join + groupBy/min_by formulation hash-exchanged
+    * every (id, vector) row once).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
-    val cents = centroidDf(df.sparkSession, model)
-    val dist2 = {
-      // squared L2: |v|² - 2·v·c + |c|² ; rank only needs v·c and |c|²
-      Ann.dot(col("centroid"), col("centroid")) -
-        lit(2.0) * Ann.dot(col("vec"), col("centroid"))
-    }
+    val cents = model.centroids.sortBy(_._1)
+    val centLit = array(cents.map { case (cid, v) =>
+      struct(
+        // |c|² as a left-fold literal — same summation order as the
+        // engine's dot, so oracle replays agree bitwise
+        lit(v.foldLeft(0.0)((acc, x) => acc + x * x)).as("cnorm"),
+        lit(cid).as("cid"),
+        array(v.toSeq.map(lit): _*).as("cvec"))
+    }: _*)
+    // rank only needs |c|² - 2·v·c (the |v|² term is constant per row)
+    val best = array_min(transform(centLit, c =>
+      struct(
+        (c.getField("cnorm") -
+          lit(2.0) * Ann.dot(col("vec"), c.getField("cvec"))).as("rel_dist"),
+        c.getField("cid").as("cid"))))
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(broadcast(cents))
-      .select(col("id"), col("vec"), col("cid"), dist2.as("rel_dist"))
-      .groupBy("id", "vec")
-      .agg(expr("min_by(cid, rel_dist)").as("cid"))
+      .withColumn("cid", best.getField("cid"))
       .select(col("id"), col("cid"), col("vec"))
   }
 
@@ -78,8 +110,9 @@ object Ivf {
       .withColumn("prb", row_number().over(probeW))
       .filter(col("prb") <= nprobe)
       .select("qid", "qvec", "cid")
-    // search only the probed cells
-    val scored = probes.join(assignedCorpus, Seq("cid"))
+    // search only the probed cells; the probe side is small by contract
+    // (queries × nprobe) — broadcast it so the corpus never shuffles
+    val scored = assignedCorpus.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
         Ann.cosine(col("qvec"), col("vec")).as("cosine_sim"))

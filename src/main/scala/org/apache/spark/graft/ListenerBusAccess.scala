@@ -7,5 +7,11 @@ import org.apache.spark.SparkContext
   * file outside the `graft` package and exposes exactly one call.
   */
 object ListenerBusAccess {
-  def waitUntilEmpty(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  /** Best-effort drain: on a busy bus `waitUntilEmpty` throws
+    * TimeoutException after its internal default (~10s); a stale metrics
+    * snapshot is preferable to aborting the whole bench run.
+    */
+  def waitUntilEmpty(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

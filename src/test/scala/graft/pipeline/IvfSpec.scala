@@ -33,6 +33,36 @@ class IvfSpec extends SparkSpec {
     iset.foreach { case (qid, nid) => nid % 3 shouldBe qid % 3 }
   }
 
+  it should "assign map-side with zero shuffle exchanges" in {
+    val model = Ivf.sampleCentroids(corpus, "vec_id", "embedding", nlist = 3)
+    val assigned = Ivf.assign(corpus, "vec_id", "embedding", model)
+    assigned.count() shouldBe 90
+    // the argmin is array_min over a centroid literal — a pure map pass;
+    // at 100 TB this is the difference between a free scan and a
+    // full-corpus hash exchange
+    graft.core.Bucketing.hasShuffle(assigned) shouldBe false
+  }
+
+  it should "serve probes from cell-bucketed storage without moving the corpus" in {
+    val model = Ivf.train(corpus, "embedding", nlist = 3, seed = 42L)
+    val assigned = Ivf.assign(corpus, "vec_id", "embedding", model)
+    graft.core.Bucketing.writeBucketed(assigned, "graft_test_ivf_cells", "cid", 3)
+    try {
+      val cells = spark.table("graft_test_ivf_cells")
+      // per-cell maintenance aggregation reuses the bucket partitioning
+      assertNoShuffle(cells.groupBy("cid").agg(count(lit(1)).as("n")))
+      // probe join: broadcast probe side, bucket-local corpus — exchange-free
+      val probes = Seq((0L, 0), (1L, 1)).toDF("qid", "cid")
+      assertNoShuffle(
+        cells.join(broadcast(probes), Seq("cid")).select("qid", "id"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_ivf_cells")
+    }
+  }
+
+  private def assertNoShuffle(df: org.apache.spark.sql.DataFrame): Unit =
+    graft.core.Bucketing.hasShuffle(df) shouldBe false
+
   it should "assign every corpus row to exactly one cell" in {
     val model = Ivf.train(corpus, "embedding", nlist = 3, seed = 42L)
     val assigned = Ivf.assign(corpus, "vec_id", "embedding", model)
