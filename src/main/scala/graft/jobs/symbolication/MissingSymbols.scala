@@ -1,0 +1,99 @@
+package graft.jobs.symbolication
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Modules-with-missing-symbols report
+  * (mozetl/symbolication/modules_with_missing_symbols.py:52-100,120-167).
+  *
+  * The reference reads BigQuery `socorro_crash_v2`, explodes each crash's
+  * module list, dedups (uuid, module), counts crash reports per
+  * (filename, version, debug_id, debug_file), keeps modules above a crash
+  * threshold, then classifies each module for the weekly report (Firefox
+  * module with/without debug id, OS module, other) and drops Firefox
+  * modules older than the symbol server's 2-year retention.
+  *
+  * This port keeps every aggregation distributed (the reference's
+  * rdd.map/reduceByKey chain at :70-84 becomes explode → dropDuplicates →
+  * groupBy.count, all map-side-combinable); only the final small report
+  * is collected. The BigQuery source is a parquet fixture per SURVEY S6;
+  * the SES email sink (K7) is out of scope — the report DataFrame is the
+  * product.
+  *
+  * Expected crash schema: uuid, product, modules:
+  * array<struct<filename, version, debug_id, debug_file,
+  * missing_symbols: boolean>>.
+  */
+object MissingSymbols {
+
+  /** Crash-report counts per distinct module build — the reference's
+    * filter + dedup + reduceByKey (:63-84). A crash counts once per
+    * module even if the module appears twice in its list.
+    */
+  def moduleCounts(crashes: DataFrame, knownModules: Set[String]): DataFrame = {
+    val known = knownModules.map(_.toLowerCase).toSeq
+    crashes
+      .filter(col("product") === "Firefox")
+      .select(col("uuid"), explode(col("modules")).as("module"))
+      .dropDuplicates("uuid", "module")
+      .select(col("uuid"), col("module.*"))
+      .filter(col("missing_symbols") &&
+        !lower(col("filename")).isin(known: _*) &&
+        !col("filename").contains("(deleted)"))
+      .groupBy("filename", "version", "debug_id", "debug_file")
+      .agg(count(lit(1)).as("n_crashes"))
+  }
+
+  /** Modules above the report threshold, most-crashing first
+    * (`count > 70` at :92-99).
+    */
+  def topMissing(counts: DataFrame, minCrashes: Long = 70): DataFrame =
+    counts.filter(col("n_crashes") > minCrashes)
+      .orderBy(desc("n_crashes"), asc("filename"), asc("version"))
+
+  /** True for Firefox modules whose major version fell out of the symbol
+    * server's 2-year retention (is_old_firefox_module, :120-145).
+    */
+  def isOldFirefoxModule(firefoxModules: Set[String],
+      oldMajorVersions: Seq[String]): Column = {
+    val isFirefox =
+      lower(col("filename")).isin(firefoxModules.map(_.toLowerCase).toSeq: _*)
+    val isOld = oldMajorVersions
+      .map(v => col("version").startsWith(v + "."))
+      .foldLeft(lit(false))(_ || _)
+    isFirefox && col("version").isNotNull && col("version") =!= "" && isOld
+  }
+
+  /** Report color classification (:185-199): Firefox module with debug id
+    * → "firefox" (red), without → "firefox-no-debug-id" (orange), OS
+    * module → "os" (blue), anything else → "other".
+    */
+  def classify(firefoxModules: Set[String],
+      windowsModules: Set[String]): Column = {
+    val lname = lower(col("filename"))
+    when(lname.isin(firefoxModules.map(_.toLowerCase).toSeq: _*),
+      when(col("debug_id").isNotNull && col("debug_id") =!= "", "firefox")
+        .otherwise("firefox-no-debug-id"))
+      .when(lname.isin(windowsModules.map(_.toLowerCase).toSeq: _*), "os")
+      .otherwise("other")
+  }
+
+  /** End-to-end report frame: counts → threshold → old-version drop →
+    * classification. `symbolsNowAvailable` stands in for the symbol-server
+    * HEAD probe (:148-161) — injected so tests stay hermetic.
+    */
+  def report(crashes: DataFrame, knownModules: Set[String],
+      firefoxModules: Set[String], windowsModules: Set[String],
+      oldMajorVersions: Seq[String], minCrashes: Long = 70,
+      symbolsNowAvailable: (String, String) => Boolean = (_, _) => false)
+      : DataFrame = {
+    val availableUdf = udf(symbolsNowAvailable)
+    topMissing(moduleCounts(crashes, knownModules), minCrashes)
+      .filter(!isOldFirefoxModule(firefoxModules, oldMajorVersions))
+      .withColumn("category", classify(firefoxModules, windowsModules))
+      .withColumn("symbols_now_available",
+        availableUdf(col("debug_file"), col("debug_id")))
+      .select("filename", "version", "debug_id", "n_crashes", "category",
+        "symbols_now_available")
+  }
+}
