@@ -17,7 +17,15 @@ object Analytics {
 
   /** A9 map_x_to_count (dashboard.py:266-270): frequency map of a column. */
   def frequencyMap(df: DataFrame, keyCol: String): Map[String, Long] =
-    df.groupBy(col(keyCol).cast("string").as("k")).count()
+    frequencyMap(df, col(keyCol))
+
+  /** Frequency map of an arbitrary expression (the dashboard's many
+    * `pings.map(lambda p: (classify(p),)).countByKey()` passes — the
+    * classifier becomes a codegen'd column, the histogram one grouped
+    * aggregation).
+    */
+  def frequencyMap(df: DataFrame, key: Column): Map[String, Long] =
+    df.groupBy(key.cast("string").as("k")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Per-key share of total (the dashboard's percentage panels). */

@@ -76,8 +76,14 @@ object SignatureCorrelations {
     val d = (col("total_reference") - col("total_group") -
       col("count_reference") + col("count_group")).cast("double")
     val n = col("total_reference").cast("double")
-    val chi2 = n * pow(a * d - b * c, 2) /
-      ((a + b) * (c + d) * (a + c) * (b + d))
+    // degenerate contingency tables (item present in every crash, or a
+    // top signature spanning the whole corpus) zero the denominator:
+    // under ANSI that division throws, without ANSI it yields null and
+    // silently drops the maximally-correlated item — treat it as
+    // maximally significant instead
+    val denom = (a + b) * (c + d) * (a + c) * (b + d)
+    val chi2 = when(denom =!= 0.0, n * pow(a * d - b * c, 2) / denom)
+      .otherwise(lit(Double.PositiveInfinity))
     joined
       .withColumn("p_group", a / col("total_group"))
       .withColumn("p_reference",

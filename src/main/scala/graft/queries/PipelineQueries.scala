@@ -194,6 +194,12 @@ object PipelineQueries {
     // integer arithmetic, so bucket assignment, candidate join, cosine and
     // rank all reproduce bitwise in DuckDB (ranks only in the output —
     // no raw floats cross the gate).
+    // DEPENDENCY: "bitwise" assumes DuckDB's list_dot_product accumulates
+    // left-to-right exactly like Ann.dot's fold. If DuckDB ever moved to
+    // pairwise/SIMD summation, near-tie scores could flip ranks; the
+    // AnnOracleGapSpec canary asserts the fixture's adjacent-sim gaps are
+    // orders of magnitude above round-off so such a change fails loudly
+    // in the suite, not as a mystery gate diff.
     GateQuery(
       "d06_ann_lsh",
       (s, dir) => {
@@ -233,6 +239,8 @@ object PipelineQueries {
     // seeding) instead of trained KMeans, making every stage — centroid
     // pick, map-side argmin assignment, nprobe probing, cosine rank —
     // bit-replayable in DuckDB. IvfSpec covers the KMeans-trained path.
+    // Same list_dot_product summation-order dependency as d06 (see the
+    // d06 comment + AnnOracleGapSpec canary).
     GateQuery(
       "d07_ann_ivf",
       (s, dir) => {

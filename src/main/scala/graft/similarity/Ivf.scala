@@ -23,6 +23,11 @@ object Ivf {
 
   case class Model(centroids: Seq[(Int, Array[Double])])
 
+  /** Literal row shape for the assign-side centroid table: |c|², cell id,
+    * centroid vector.
+    */
+  case class Cent(cnorm: Double, cid: Int, cvec: Seq[Double])
+
   /** Train cell centroids with seeded k-means over the corpus vectors. */
   def train(corpus: DataFrame, vecCol: String, nlist: Int,
       seed: Long = 42L): Model = {
@@ -63,25 +68,23 @@ object Ivf {
   }
 
   /** Assign each row to its nearest centroid, entirely map-side: the
-    * centroid table ships as an array-of-struct LITERAL (nlist is small by
-    * construction) and the argmin is `array_min` over
-    * struct(rel_dist, cid) — struct ordering gives the deterministic
-    * tie-break on cid. Zero exchanges: at 100 TB this is the difference
-    * between a free pass over the corpus and a full-corpus shuffle (the
-    * previous broadcast-join + groupBy/min_by formulation hash-exchanged
-    * every (id, vector) row once).
+    * centroid table ships as ONE array-of-struct literal node (`typedLit`
+    * of the whole matrix — a per-element `lit()` tree would cost Catalyst
+    * O(nlist × dim) expression nodes and blow up planning at realistic
+    * IVF sizes, the same failure mode `Ann.lshBucket` documents) and the
+    * argmin is `array_min` over struct(rel_dist, cid) — struct ordering
+    * gives the deterministic tie-break on cid. Zero exchanges: at 100 TB
+    * this is the difference between a free pass over the corpus and a
+    * full-corpus shuffle (the previous broadcast-join + groupBy/min_by
+    * formulation hash-exchanged every (id, vector) row once).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
       model: Model): DataFrame = {
-    val cents = model.centroids.sortBy(_._1)
-    val centLit = array(cents.map { case (cid, v) =>
-      struct(
-        // |c|² as a left-fold literal — same summation order as the
-        // engine's dot, so oracle replays agree bitwise
-        lit(v.foldLeft(0.0)((acc, x) => acc + x * x)).as("cnorm"),
-        lit(cid).as("cid"),
-        array(v.toSeq.map(lit): _*).as("cvec"))
-    }: _*)
+    val centLit = typedLit(model.centroids.sortBy(_._1).map { case (cid, v) =>
+      // |c|² as a left-fold on the driver — same summation order as the
+      // engine's dot, so oracle replays agree bitwise
+      Cent(v.foldLeft(0.0)((acc, x) => acc + x * x), cid, v.toSeq)
+    })
     // rank only needs |c|² - 2·v·c (the |v|² term is constant per row)
     val best = array_min(transform(centLit, c =>
       struct(
@@ -92,6 +95,14 @@ object Ivf {
       .withColumn("cid", best.getField("cid"))
       .select(col("id"), col("cid"), col("vec"))
   }
+
+  /** Probe-side rows (query × nprobe, each carrying the full query
+    * vector) at or below this count are broadcast so the corpus never
+    * moves; above it the join is left to Spark's planner (shuffle join) —
+    * an unconditional broadcast of a large query set would exceed the
+    * broadcast limit / OOM the driver.
+    */
+  val MaxBroadcastProbes: Long = 100000L
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query, exact
     * cosine rank within the probed cells.
@@ -110,9 +121,15 @@ object Ivf {
       .withColumn("prb", row_number().over(probeW))
       .filter(col("prb") <= nprobe)
       .select("qid", "qvec", "cid")
-    // search only the probed cells; the probe side is small by contract
-    // (queries × nprobe) — broadcast it so the corpus never shuffles
-    val scored = assignedCorpus.join(broadcast(probes), Seq("cid"))
+    // search only the probed cells; when the probe side is small
+    // (queries × nprobe ≤ MaxBroadcastProbes) broadcast it so the corpus
+    // never shuffles — counted on the id column only, so the cheap
+    // pre-count never materializes query vectors on the driver
+    val nProbeRows = q.select("qid").limit((MaxBroadcastProbes + 1).toInt)
+      .count() * nprobe
+    val probeSide =
+      if (nProbeRows <= MaxBroadcastProbes) broadcast(probes) else probes
+    val scored = assignedCorpus.join(probeSide, Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
         Ann.cosine(col("qvec"), col("vec")).as("cosine_sim"))
