@@ -10,9 +10,16 @@ import graft.jobs._
   *
   *   sbt "runMain graft.cli.Main <command> key=value ..."
   *
-  * Commands: clients_daily, experiments_daily, search_aggregates,
+  * Commands (cli.py parity + this engine's extra job ports):
+  * clients_daily, experiments_daily, search_aggregates,
   * search_clients_daily, addon_aggregates, sync_bookmark_validation,
-  * landfill_sampler, taar_lite, taar_lite_guidranking, taar_locale.
+  * landfill_sampler, taar_lite, taar_lite_guidranking, taar_locale,
+  * taar_similarity, taar_dynamo, taar_amodump, taar_amowhitelist,
+  * taar_update_whitelist, taar_ensemble, system_check,
+  * modules_with_missing_symbols, top_signatures_correlations,
+  * shield_privacy_prefs, basic_transform, graphics_dashboard,
+  * hardware_report, bhr_collection. `search_dashboard` aliases
+  * search_aggregates (cli.py:49).
   */
 object Main {
 
@@ -28,14 +35,45 @@ object Main {
     require(args.nonEmpty, "usage: graft.cli.Main <command> key=value ...")
     val command = args(0)
     val o = opts(args)
-    def required(k: String): String =
-      o.getOrElse(k, sys.error(s"$command requires --$k=<value>"))
-
     val spark = graft.core.Graft.localSession(
       o.getOrElse("cores", "4").toInt, appName = s"graft-$command")
     graft.core.GraftExtensions.register(spark)
-    try run(spark, command, o, required)
+    try dispatch(spark, command, o)
     finally spark.stop()
+  }
+
+  /** Command dispatch against a caller-supplied session (testable). */
+  def dispatch(spark: SparkSession, command: String,
+      o: Map[String, String]): Unit = {
+    def required(k: String): String =
+      o.getOrElse(k, sys.error(s"$command requires --$k=<value>"))
+    run(spark, command, o, required)
+  }
+
+  /** Tiny JSON renderer for the driver-side report artifacts (K5): the
+    * dashboards/report dicts are nested maps of simple values.
+    */
+  private[cli] def toJson(v: Any): String = v match {
+    case null => "null"
+    case s: String =>
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c => c.toString
+      } + "\""
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, mv) => toJson(k.toString) + ":" + toJson(mv) }
+        .sorted.mkString("{", ",", "}")
+    case s: Iterable[_] => s.map(toJson).mkString("[", ",", "]")
+    case (a, b) => toJson(Seq(a, b))
+    case other => other.toString
+  }
+
+  private def writeJson(path: String, v: Any): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, toJson(v))
   }
 
   private def run(spark: SparkSession, command: String,
@@ -127,6 +165,206 @@ object Main {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(required("output")), json)
         println(s"[graft] taar_locale wrote ${required("output")}")
+
+      case "search_dashboard" => // cli.py:49 back-compat alias
+        run(spark, "search_aggregates", o, required)
+
+      case "taar_similarity" =>
+        input.createOrReplaceTempView("clients_daily")
+        val wl = required("whitelist").split(",").toSeq
+        val (clusterIds, donors) = taar.Similarity.getDonors(spark,
+          o.getOrElse("num-clusters", "4").toInt,
+          o.getOrElse("num-donors", "100").toInt,
+          wl, required("date-from"),
+          Some(o.getOrElse("seed", "42").toLong))
+        println(s"[graft] taar_similarity clusters: ${clusterIds.mkString(",")}")
+        write(donors, required("output"))
+
+      case "taar_dynamo" =>
+        val rows = taar.Dynamo.extractTransform(input,
+          o.getOrElse("sample-rate", "0.0").toDouble)
+        // the DynamoDB boundary is out of scope (K6): persist the payload
+        // frame and drive the batching sink with an accept-all stub so
+        // the load-stats surface still runs
+        write(rows, required("output"))
+        val stats = taar.Dynamo.load(rows,
+          new taar.Dynamo.KeyValueSink {
+            def putBatch(b: Seq[(String, String, String)]): Seq[String] =
+              Seq.empty
+          })
+        println(s"[graft] taar_dynamo pushed=${stats.pushed} seen=${stats.seen}")
+
+      case "taar_amodump" =>
+        taar.AmoDump.writeDatabase(
+          taar.AmoDump.parse(spark, required("input")), required("output"))
+        println(s"[graft] taar_amodump wrote ${required("output")}")
+
+      case "taar_amowhitelist" =>
+        val addons = taar.AmoDump.toClassifierInput(
+          taar.AmoDump.parse(spark, required("input")))
+        val now = java.time.LocalDate.parse(
+          o.getOrElse("date", java.time.LocalDate.now.toString))
+        taar.AmoWhitelist.transform(addons, now).foreach { case (name, list) =>
+          writeJson(s"${required("output")}/$name.json", list.map(_.guid))
+        }
+        println(s"[graft] taar_amowhitelist wrote ${required("output")}")
+
+      case "taar_update_whitelist" =>
+        val guids = spark.read.json(required("input"))
+          .select("guid").collect()
+          .map(r => taar.UpdateWhitelist.EditorialRow(
+            Option(r.getAs[String]("guid"))))
+        val parsed = taar.UpdateWhitelist.parseRows(guids.toSeq,
+          o.get("allow-short").exists(_.toBoolean))
+        writeJson(required("output"), parsed)
+        println(s"[graft] taar_update_whitelist wrote ${parsed.length} guids")
+
+      case "taar_ensemble" =>
+        input.createOrReplaceTempView("clients_daily")
+        val folds = taar.Ensemble.crossValidationSplit(
+          taar.Ensemble.extract(spark, required("date-from"),
+            o.getOrElse("min-installed-addons", "4").toInt),
+          o.getOrElse("k-folds", "3").toInt,
+          Some(o.getOrElse("seed", "42").toLong))
+        // the three pretrained recommenders are injected resources in the
+        // reference (tests stub them the same way, test_taar_ensemble
+        // .py:60-93); the CLI ships a deterministic self-score stub
+        object Rec extends taar.Ensemble.Recommender {
+          def recommend(info: Map[String, Any], limit: Int): Seq[(String, Double)] =
+            info("installed_addons").asInstanceOf[Seq[String]]
+              .take(limit).map(_ -> 0.5)
+        }
+        val stacked = taar.Ensemble.buildStackedDatasets(spark, folds,
+          Seq(Rec, Rec, Rec),
+          r => Map("installed_addons" -> r.getSeq[String](
+            r.fieldIndex("installed_addons"))))
+        val coefs = taar.Ensemble.computeRegression(spark, stacked,
+          o.getOrElse("reg-param", "0.1").toDouble,
+          o.getOrElse("elastic-net", "0.0").toDouble)
+        writeJson(required("output"), coefs)
+        println(s"[graft] taar_ensemble wrote ${required("output")}")
+
+      case "system_check" =>
+        SystemCheck.run(spark, required("input"), required("output"),
+          o.getOrElse("describe-cols", "").split(",").filter(_.nonEmpty).toSeq)
+
+      case "modules_with_missing_symbols" =>
+        def set(k: String) =
+          o.getOrElse(k, "").split(",").filter(_.nonEmpty).toSet
+        val reportDf = symbolication.MissingSymbols.report(input,
+          knownModules = set("known-modules"),
+          firefoxModules = set("firefox-modules"),
+          windowsModules = set("windows-modules"),
+          oldMajorVersions =
+            o.getOrElse("old-major-versions", "").split(",")
+              .filter(_.nonEmpty).toSeq,
+          minCrashes = o.getOrElse("min-crashes", "70").toLong)
+        write(reportDf, required("output"), 1)
+        val rows = symbolication.MissingSymbols.finalizeReport(reportDf)
+        println(s"[graft] modules_with_missing_symbols: ${rows.length} modules")
+
+      case "top_signatures_correlations" =>
+        val attrs = required("attributes").split(",").toSeq
+        val (devs, addonRelated) = symbolication.SignatureCorrelations.run(
+          input, attrs, o.getOrElse("top-n", "200").toInt)
+        symbolication.SignatureCorrelations.writeReports(devs,
+          s"${required("output")}/correlations")
+        write(addonRelated, s"${required("output")}/addon_related", 1)
+
+      case "shield_privacy_prefs" =>
+        val out = shield.PrivacyPrefs.write(
+          shield.PrivacyPrefs.transform(input),
+          required("output"), required("date"))
+        println(s"[graft] shield_privacy_prefs wrote $out")
+
+      case "basic_transform" =>
+        // --columns=name:slash/path,... --filter=<sql predicate>
+        val cols = required("columns").split(",").toSeq.map { spec =>
+          val Array(name, path) = spec.split(":", 2)
+          basic.Transform.ColumnConfig(name, path)
+        }
+        val cfg = basic.Transform.FrameConfig(cols,
+          org.apache.spark.sql.functions.expr(o.getOrElse("filter", "true")))
+        write(basic.Transform.convertPings(input, cfg,
+          o.getOrElse("raw-col", "raw")), required("output"))
+
+      case "graphics_dashboard" =>
+        val pings = graphics.Dashboard.normalize(input).cache()
+        val windows = pings.where("OSName = 'Windows'")
+        val tdr = graphics.Dashboard.tdrStatistics(windows)
+        val sys0 = graphics.Dashboard.systemStatistics(pings, windows)
+        val sanity = graphics.Dashboard.sanityTestStatistics(windows)
+        val startup = graphics.Dashboard.startupTestStatistics(pings)
+        val monitors = graphics.Dashboard.monitorStatistics(windows)
+        writeJson(s"${required("output")}/general.json",
+          graphics.Dashboard.generalStatistics(pings))
+        writeJson(s"${required("output")}/by-version.json",
+          graphics.Dashboard.statisticsByFxVersion(pings))
+        writeJson(s"${required("output")}/device-statistics.json",
+          graphics.Dashboard.deviceStatistics(pings))
+        writeJson(s"${required("output")}/tdr-statistics.json", Map(
+          "tdrPings" -> tdr.tdrPings, "results" -> tdr.results,
+          "reasonToVendor" -> tdr.reasonToVendor.map { case (k, v) =>
+            k.toString -> v },
+          "vendorToReason" -> tdr.vendorToReason))
+        writeJson(s"${required("output")}/system-statistics.json", Map(
+          "logical_cores" -> sys0.logicalCores,
+          "x86" -> Map("total" -> sys0.x86Total,
+            "features" -> sys0.x86Features),
+          "memory" -> sys0.memory, "wow" -> sys0.wow))
+        writeJson(s"${required("output")}/sanity-test-statistics.json", Map(
+          "sanityTestPings" -> sanity.sanityTestPings,
+          "totalPings" -> sanity.totalPings, "results" -> sanity.results,
+          "byVendor" -> sanity.byVendor.map { case (k, v) => k.toString -> v },
+          "windows" -> sanity.windows))
+        writeJson(s"${required("output")}/startup-test-statistics.json", Map(
+          "startupTestPings" -> startup.startupTestPings,
+          "results" -> startup.results, "windows" -> startup.windows))
+        writeJson(s"${required("output")}/monitor-statistics.json", Map(
+          "counts" -> monitors.counts,
+          "refreshRates" -> monitors.refreshRates,
+          "resolutions" -> monitors.resolutions))
+        writeJson(s"${required("output")}/mac-statistics.json",
+          graphics.Dashboard.macStatistics(pings))
+        writeJson(s"${required("output")}/linux-statistics.json",
+          graphics.Dashboard.linuxStatistics(pings))
+        pings.unpersist()
+        println(s"[graft] graphics_dashboard wrote ${required("output")}")
+
+      case "hardware_report" =>
+        val deviceMap = o.get("device-map") match {
+          case Some(path) => spark.read.json(path)
+            .select("vendor_id", "device_id", "family", "chipset")
+          case None => hardware.Dimensions.deviceMapDf(spark, Seq.empty)
+        }
+        val (n, report) = hardware.HardwareReport.assembleReport(
+          input, deviceMap,
+          o.getOrElse("count-threshold", "1").toLong)
+        writeJson(required("output"), report ++ Map(
+          "sampleCount" -> Map("total" -> n.toDouble)))
+        println(s"[graft] hardware_report: $n clients → ${required("output")}")
+
+      case "bhr_collection" =>
+        import org.apache.spark.sql.Encoders
+        val hangs = input.as(Encoders.product[bhr.BhrCollection.Hang])
+        val agg = bhr.BhrCollection.aggregateHangs(hangs)
+        val processor = new bhr.ProfileProcessor(
+          bhr.ProfileProcessor.Config(
+            uuid = o.getOrElse("uuid", "graft-bhr"),
+            stackAcceptanceThreshold =
+              o.getOrElse("stack-acceptance-threshold", "0.0").toDouble))
+        processor.ingest(bhr.BhrCollection.toSampleRows(agg))
+        val profile = processor.processIntoProfile()
+        writeJson(required("output"), Map(
+          "uuid" -> profile.uuid,
+          "usageHoursByDate" -> profile.usageHoursByDate,
+          "threads" -> profile.threads.map(t => Map(
+            "name" -> t.name, "processType" -> t.processType,
+            "samples" -> t.sampleTable.length.toLong,
+            "stacks" -> t.stackTable.length.toLong,
+            "funcs" -> t.funcTable.length.toLong,
+            "dates" -> t.dates.map(_.date)))))
+        println(s"[graft] bhr_collection wrote ${required("output")}")
 
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")

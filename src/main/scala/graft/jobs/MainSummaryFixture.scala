@@ -101,16 +101,93 @@ object MainSummaryFixture {
     "is_default_browser", "is_wow64", "sync_configured", "telemetry_enabled",
     "scalar_parent_telemetry_os_shutting_down")
 
+  /** active_theme shares the addon struct (main_summary.v4.schema.json).
+    */
+  val activeThemeType: StructType = addonType
+
+  /** events element (main_summary.v4.schema.json `events`). */
+  val eventType: StructType = StructType(Seq(
+    StructField("timestamp", LongType),
+    StructField("category", StringType),
+    StructField("method", StringType),
+    StructField("object", StringType),
+    StructField("string_value", StringType),
+    StructField("map_values", MapType(StringType, StringType))))
+
+  val attributionType: StructType = StructType(Seq(
+    StructField("source", StringType),
+    StructField("medium", StringType),
+    StructField("campaign", StringType),
+    StructField("content", StringType)))
+
+  val userPrefsType: StructType = StructType(Seq(
+    StructField("dom_ipc_process_count", LongType),
+    StructField("extensions_allow_non_mpc_extensions", BooleanType)))
+
+  val loopActivityType: StructType = StructType(
+    Seq("open_panel", "open_conversation", "room_open", "room_share",
+      "room_delete").map(StructField(_, LongType)))
+
+  val pluginsNotificationType: StructType = StructType(
+    Seq("allow_now", "allow_always", "block").map(StructField(_, LongType)))
+
+  /** popup_notification_stats map value struct (22 counters). */
+  val popupNotificationType: StructType = StructType(
+    (Seq("offered", "action_1", "action_2", "action_3", "action_last",
+      "dismissal_click_elsewhere", "dismissal_leave_page",
+      "dismissal_close_button", "dismissal_not_now", "open_submenu",
+      "learn_more") ++
+      Seq("offered", "action_1", "action_2", "action_3", "action_last",
+        "dismissal_click_elsewhere", "dismissal_leave_page",
+        "dismissal_close_button", "dismissal_not_now", "open_submenu",
+        "learn_more").map("reopen_" + _)).map(StructField(_, LongType)))
+
+  /** The five per-source navigation scalars plus the other
+    * map<string,int> histogram columns.
+    */
+  val intMapFields: Seq[String] = Seq(
+    "ssl_handshake_result",
+    "scalar_parent_browser_engagement_navigation_about_home",
+    "scalar_parent_browser_engagement_navigation_about_newtab",
+    "scalar_parent_browser_engagement_navigation_contextmenu",
+    "scalar_parent_browser_engagement_navigation_searchbar",
+    "scalar_parent_browser_engagement_navigation_urlbar",
+    "scalar_parent_storage_sync_api_usage_items_stored",
+    "scalar_parent_storage_sync_api_usage_storage_consumed",
+    "scalar_parent_browser_search_ad_clicks",
+    "scalar_parent_browser_search_with_ads")
+
+  /** Remaining simple main_summary v4 columns (the non-aggregated tail:
+    * timestamps, per-subsession histogram totals, etc.) — closes the
+    * fixture to the full 135-column surface.
+    */
+  private val extraLongFields = Seq(
+    "timestamp", "push_api_notification_received", "main",
+    "max_concurrent_tab_count", "tab_open_event_count",
+    "max_concurrent_window_count", "window_open_event_count",
+    "total_uri_count", "unfiltered_uri_count", "unique_domains_count",
+    "scalar_parent_browser_usage_graphite", "profile_subsession_counter")
+
+  private val extraStringFields = Seq("reason", "client_submission_date")
+
   val schema: StructType = StructType(
     stringFields.map(StructField(_, StringType)) ++
+      extraStringFields.map(StructField(_, StringType)) ++
       longSumFields.map(StructField(_, LongType)) ++
-      boolFields.map(StructField(_, BooleanType)) ++ Seq(
+      extraLongFields.map(StructField(_, LongType)) ++
+      boolFields.map(StructField(_, BooleanType)) ++
+      intMapFields.map(StructField(_, MapType(StringType, LongType))) ++ Seq(
       StructField("search_counts", ArrayType(searchCountType)),
       StructField("active_addons", ArrayType(addonType)),
-      StructField("scalar_parent_browser_search_ad_clicks",
-        MapType(StringType, LongType)),
-      StructField("scalar_parent_browser_search_with_ads",
-        MapType(StringType, LongType))))
+      StructField("events", ArrayType(eventType)),
+      StructField("active_theme", activeThemeType),
+      StructField("attribution", attributionType),
+      StructField("user_prefs", userPrefsType),
+      StructField("loop_activity_counter", loopActivityType),
+      StructField("plugins_notification_user_action", pluginsNotificationType),
+      StructField("popup_notification_stats",
+        MapType(StringType, popupNotificationType)),
+      StructField("experiments", MapType(StringType, StringType))))
 
   /** Base document (tests/test_search_aggregates.py defaults). */
   val base: Map[String, Any] = Map(
@@ -138,5 +215,12 @@ object MainSummaryFixture {
     "search_counts" -> Seq(searchCount()),
     "active_addons" -> Seq(
       addon("followonsearch@mozilla.com", version = "0.9.5"),
-      addon("some@addon")))
+      addon("some@addon")),
+    "ssl_handshake_result" -> Map("0" -> 10L, "1" -> 1L),
+    "experiments" -> Map("exp-1" -> "control"),
+    "active_theme" -> addon("theme@mozilla.org", version = "1.2"),
+    "attribution" -> Row("google", "organic", null, null),
+    "events" -> Seq(
+      Row(1000L, "navigation", "search", "urlbar", null,
+        Map("engine" -> "google"))))
 }

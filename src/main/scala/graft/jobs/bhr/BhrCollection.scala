@@ -68,4 +68,30 @@ object BhrCollection {
   def framesByModule(frames: DataFrame): DataFrame =
     frames.select("module", "offset").distinct()
       .groupBy("module").agg(collect_list("offset").as("offsets"))
+
+  /** Bridge from the distributed aggregation to the driver-side
+    * ProfileProcessor (the reference collects its reduceByKey output the
+    * same way, bhr_collection.py:1090-1099). Stack entries are the
+    * extractor's "lib\\breakpadId:frame" strings; the first ':' splits
+    * lib from frame (lib parts never contain ':', frames may — e.g.
+    * "js::Run").
+    */
+  def toSampleRows(aggregated: DataFrame)
+      : Seq[ProfileProcessor.SampleRow] =
+    aggregated.collect().toSeq.map { r =>
+      val stack = r.getSeq[String](r.fieldIndex("stack")).map { s =>
+        val i = s.indexOf(':')
+        if (i < 0) (s, null: String)
+        else (s.substring(i + 1), s.substring(0, i))
+      }
+      ProfileProcessor.SampleRow(
+        stack = stack,
+        runnableName = r.getAs[String]("runnableName"),
+        threadName = r.getAs[String]("thread"),
+        buildDate = r.getAs[String]("buildDate"),
+        annotations = Seq.empty,
+        platform = r.getAs[String]("platform"),
+        hangMs = r.getAs[Double]("total_duration"),
+        hangCount = r.getAs[Double]("hang_count"))
+    }
 }

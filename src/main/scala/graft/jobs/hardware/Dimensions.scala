@@ -43,11 +43,25 @@ object Dimensions {
     entries.toDF("vendor_id", "device_id", "family", "chipset")
   }
 
+  /** invert_device_map (summarize_json.py:126-143): the raw gpu-db
+    * layout (Vendor → Family → Chipset → [device ids], ids without the
+    * 0x prefix) flattened to deviceMapDf rows with 0x-prefixed ids.
+    */
+  def invertDeviceMap(raw: Map[String, Map[String, Map[String, Seq[String]]]])
+      : Seq[(String, String, String, String)] =
+    (for {
+      (vendor, families) <- raw.toSeq
+      (family, chipsets) <- families
+      (chipset, ids) <- chipsets
+      id <- ids
+    } yield (s"0x$vendor", s"0x$id", family, chipset)).sorted
+
   /** summarize_json.py:290-313 prepare_data as one projection + a
     * broadcast left join for the device family/chipset lookup.
     */
   def prepareData(pings: DataFrame, deviceMap: DataFrame): DataFrame = {
-    val cpuSpeed = round(col("cpu_speed") / 1000.0, 1)
+    // python round() is half-to-even — bround matches, round does not
+    val cpuSpeed = bround(col("cpu_speed") / 1000.0, 1)
     pings
       .join(broadcast(deviceMap),
         pings("gfx0_vendor_id") === deviceMap("vendor_id") &&
@@ -65,21 +79,27 @@ object Dimensions {
           lit("Unknown")).as("gfx0_model"),
         concat(col("screen_width").cast("string"), lit("x"),
           col("screen_height").cast("string")).as("resolution"),
-        round(col("memory_mb") / 1024.0).cast("int").as("memory_gb"),
+        bround(col("memory_mb") / 1024.0).cast("int").as("memory_gb"),
         concat(col("os_name"), lit("-"), col("os_version")).as("os"),
         osArch(col("browser_arch"), col("os_name"), col("is_wow64"))
           .as("os_arch"),
         col("has_flash"))
   }
 
-  /** Pack the prepared row into the dimension map consumed by
-    * HardwareReport.aggregateDimensions.
+  /** The full aggregation dimension list (aggregate_data's
+    * keys_to_aggregate, summarize_json.py:319-333).
     */
-  def toDimensionsMap(prepared: DataFrame): DataFrame = {
-    val dims = Seq("browser_arch", "cpu_cores_speed", "cpu_vendor",
-      "gfx0_vendor_name", "gfx0_model", "resolution", "os", "os_arch")
+  val KeysToAggregate: Seq[String] = Seq(
+    "browser_arch", "cpu_cores", "cpu_cores_speed", "cpu_vendor",
+    "cpu_speed", "gfx0_vendor_name", "gfx0_model", "resolution",
+    "memory_gb", "os", "os_arch", "has_flash")
+
+  /** Pack the prepared row into the dimension map consumed by
+    * HardwareReport.aggregateDimensions (values stringified to share the
+    * map's common type).
+    */
+  def toDimensionsMap(prepared: DataFrame): DataFrame =
     prepared.select(map(
-      dims.flatMap(d => Seq(lit(d), col(d).cast("string"))): _*)
+      KeysToAggregate.flatMap(d => Seq(lit(d), col(d).cast("string"))): _*)
       .as("dimensions"))
-  }
 }

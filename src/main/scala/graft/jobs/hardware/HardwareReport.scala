@@ -80,4 +80,28 @@ object HardwareReport {
     */
   def finalizeData(collapsed: DataFrame, sampleCount: Long): DataFrame =
     collapsed.withColumn("share", col("count").cast("double") / sampleCount)
+
+  /** End-to-end report assembly (main's collect_aggregated_data →
+    * finalize_data → json, summarize_json.py:620-658): prepare (naming /
+    * unit conversions via Dimensions) → dimension counts → rare-bucket
+    * collapse → shares, returned as the report dict plus the sample
+    * count.
+    */
+  def assembleReport(clients: DataFrame, deviceMap: DataFrame,
+      countThreshold: Long = 1): (Long, Map[String, Map[String, Double]]) = {
+    val prepared = Dimensions.prepareData(clients, deviceMap)
+    val sampleCount = prepared.count()
+    val shares = finalizeData(
+      collapseBuckets(
+        aggregateDimensions(Dimensions.toDimensionsMap(prepared)),
+        countThreshold),
+      sampleCount)
+    val report = shares.collect()
+      .groupBy(_.getAs[String]("dimension"))
+      .map { case (dim, rows) =>
+        dim -> rows.map(r =>
+          r.getAs[String]("value") -> r.getAs[Double]("share")).toMap
+      }
+    (sampleCount, report)
+  }
 }

@@ -79,21 +79,43 @@ object MissingSymbols {
   }
 
   /** End-to-end report frame: counts → threshold → old-version drop →
-    * classification. `symbolsNowAvailable` stands in for the symbol-server
-    * HEAD probe (:148-161) — injected so tests stay hermetic.
+    * classification. Pure column expressions — the symbol-server probe is
+    * deliberately NOT part of the plan (see `finalizeReport`).
     */
   def report(crashes: DataFrame, knownModules: Set[String],
       firefoxModules: Set[String], windowsModules: Set[String],
-      oldMajorVersions: Seq[String], minCrashes: Long = 70,
-      symbolsNowAvailable: (String, String) => Boolean = (_, _) => false)
-      : DataFrame = {
-    val availableUdf = udf(symbolsNowAvailable)
+      oldMajorVersions: Seq[String], minCrashes: Long = 70): DataFrame =
     topMissing(moduleCounts(crashes, knownModules), minCrashes)
       .filter(!isOldFirefoxModule(firefoxModules, oldMajorVersions))
       .withColumn("category", classify(firefoxModules, windowsModules))
-      .withColumn("symbols_now_available",
-        availableUdf(col("debug_file"), col("debug_id")))
-      .select("filename", "version", "debug_id", "n_crashes", "category",
-        "symbols_now_available")
-  }
+      .select("filename", "version", "debug_id", "debug_file", "n_crashes",
+        "category")
+
+  /** One finished report row; `symbolsNowAvailable` is the result of the
+    * symbol-server probe.
+    */
+  case class ReportRow(filename: String, version: String, debugId: String,
+      nCrashes: Long, category: String, symbolsNowAvailable: Boolean)
+
+  /** Collect the (≤ ~100-row) report and evaluate the symbol-server
+    * availability probe on the DRIVER — exactly where the reference runs
+    * its HEAD requests (modules_with_missing_symbols.py:148-161). Keeping
+    * the probe out of the distributed plan avoids a per-row network call
+    * inside executors (and removes the engine's last UDF call site);
+    * `symbolsNowAvailable(debugFile, debugId)` is injected so tests stay
+    * hermetic.
+    */
+  def finalizeReport(reportDf: DataFrame,
+      symbolsNowAvailable: (String, String) => Boolean = (_, _) => false)
+      : Seq[ReportRow] =
+    reportDf.collect().toSeq.map { r =>
+      ReportRow(
+        filename = r.getAs[String]("filename"),
+        version = r.getAs[String]("version"),
+        debugId = r.getAs[String]("debug_id"),
+        nCrashes = r.getAs[Long]("n_crashes"),
+        category = r.getAs[String]("category"),
+        symbolsNowAvailable = symbolsNowAvailable(
+          r.getAs[String]("debug_file"), r.getAs[String]("debug_id")))
+    }
 }

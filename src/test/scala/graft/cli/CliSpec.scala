@@ -1,0 +1,194 @@
+package graft.cli
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Smoke paths for the round-5 CLI commands (cli.py parity): each case
+  * drives Main.dispatch against parquet/JSON fixtures and asserts the
+  * written artifact.
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft-cli-$prefix").toString
+
+  private def dispatch(cmd: String, kv: (String, String)*): Unit =
+    Main.dispatch(spark, cmd, kv.toMap)
+
+  it should "render JSON for nested maps and sequences" in {
+    Main.toJson(Map("b" -> Seq(1L, 2L), "a" -> "x\"y")) shouldBe
+      """{"a":"x\"y","b":[1,2]}"""
+    Main.toJson(Map("n" -> null)) shouldBe """{"n":null}"""
+  }
+
+  it should "dispatch modules_with_missing_symbols" in {
+    val in = tmp("missing-in"); val out = tmp("missing-out")
+    Seq(
+      ("c1", "Firefox", Seq(("bad.dll", "1.0", "D1", "bad.pdb", true))),
+      ("c2", "Firefox", Seq(("bad.dll", "1.0", "D1", "bad.pdb", true))))
+      .toDF("uuid", "product", "raw")
+      .select(col("uuid"), col("product"), expr(
+        "transform(raw, m -> named_struct('filename', m._1, 'version', " +
+          "m._2, 'debug_id', m._3, 'debug_file', m._4, " +
+          "'missing_symbols', m._5)) AS modules"))
+      .write.mode("overwrite").parquet(in)
+    dispatch("modules_with_missing_symbols",
+      "input" -> in, "output" -> out, "min-crashes" -> "0",
+      "windows-modules" -> "bad.dll")
+    val report = spark.read.parquet(out)
+    report.count() shouldBe 1
+    report.collect().head.getAs[String]("category") shouldBe "os"
+  }
+
+  it should "dispatch top_signatures_correlations" in {
+    val in = tmp("corr-in"); val out = tmp("corr-out")
+    ((1 to 30).map(_ => ("sigA", "foo")) ++ (1 to 30).map(_ => ("sigB", "bar")))
+      .toDF("signature", "Addon").write.mode("overwrite").parquet(in)
+    dispatch("top_signatures_correlations",
+      "input" -> in, "output" -> out, "attributes" -> "Addon",
+      "top-n" -> "2")
+    spark.read.json(s"$out/correlations").count() should be >= 2L
+    spark.read.parquet(s"$out/addon_related").count() shouldBe 2
+  }
+
+  it should "dispatch shield_privacy_prefs and basic_transform" in {
+    val in = tmp("shield-in"); val out = tmp("shield-out")
+    Seq(
+      """{"clientId":"c1","payload":{"study":"@shield-study-privacy","event":"e1"}}""",
+      """{"clientId":"c2","payload":{"study_name":"@shield-study-privacy","study_state":"s"}}""",
+      """{"clientId":"c3","payload":{"study":"other"}}""")
+      .toDF("raw").write.mode("overwrite").parquet(in)
+    dispatch("shield_privacy_prefs",
+      "input" -> in, "output" -> out, "date" -> "20170101")
+    spark.read.parquet(s"$out/submission_date=20170101").count() shouldBe 2
+
+    val out2 = tmp("basic-out")
+    dispatch("basic_transform",
+      "input" -> in, "output" -> out2,
+      "columns" -> "client_id:clientId,event:payload/event",
+      "filter" -> "client_id IS NOT NULL")
+    spark.read.parquet(out2).count() shouldBe 3
+  }
+
+  it should "dispatch graphics_dashboard over raw pings" in {
+    import graft.jobs.DashboardSpec._
+    val in = tmp("gfx-in"); val out = tmp("gfx-out")
+    Seq(
+      Ping(memoryMB = 4000L, sanity = Seq(1L, 0L, 0L, 0L, 0L),
+        startup = Seq(1L, 0L, 0L, 0L),
+        deviceReset = Seq(0L, 2L, 0L, 0L, 0L, 0L, 0L, 0L),
+        monitors = Seq(Monitor(1920, 1080, 60, 1))),
+      Ping(memoryMB = 16000L))
+      .toDS().toDF()
+      .withColumn("osName", lit("Windows_NT"))
+      .withColumn("osVersion", lit("10.0"))
+      .withColumn("servicePackMajor", lit(0))
+      .withColumn("buildVersion", lit("55.0.3"))
+      .withColumn("adapters", expr(
+        "array(named_struct('vendorID', vendorID, 'deviceID', 'dev', " +
+          "'driverVersion', '1.1', 'driverVendor', CAST(NULL AS STRING)))"))
+      .write.mode("overwrite").parquet(in)
+    dispatch("graphics_dashboard", "input" -> in, "output" -> out)
+    val tdr = Files.readString(java.nio.file.Paths.get(
+      s"$out/tdr-statistics.json"))
+    tdr should include(""""tdrPings":1""")
+    val sys0 = Files.readString(java.nio.file.Paths.get(
+      s"$out/system-statistics.json"))
+    // 16000MB → x = 16 → the reference's x <= 16 branch
+    sys0 should include(""""8_to_16":1""")
+    Files.exists(java.nio.file.Paths.get(s"$out/general.json")) shouldBe true
+  }
+
+  it should "dispatch hardware_report with a device map" in {
+    val in = tmp("hw-in"); val out = tmp("hw-out")
+    val dm = tmp("hw-dm")
+    Seq(("x86-64", 4L, 2400L, "GenuineIntel", "0x10de", "0x1401",
+      1920L, 1080L, 8192L, "Windows_NT", "10.0", false, false))
+      .toDF("browser_arch", "cpu_cores", "cpu_speed", "cpu_vendor",
+        "gfx0_vendor_id", "gfx0_device_id", "screen_width", "screen_height",
+        "memory_mb", "os_name", "os_version", "is_wow64", "has_flash")
+      .write.mode("overwrite").parquet(in)
+    Seq(("0x10de", "0x1401", "Maxwell", "GM206"))
+      .toDF("vendor_id", "device_id", "family", "chipset")
+      .write.mode("overwrite").json(dm)
+    dispatch("hardware_report",
+      "input" -> in, "output" -> s"$out/report.json", "device-map" -> dm)
+    val json = Files.readString(java.nio.file.Paths.get(s"$out/report.json"))
+    json should include(""""Maxwell-GM206":1.0""")
+    json should include(""""NVIDIA":1.0""")
+  }
+
+  it should "dispatch bhr_collection into a profile summary" in {
+    val in = tmp("bhr-in"); val out = tmp("bhr-out")
+    Seq(
+      graft.jobs.bhr.BhrCollection.Hang(Seq("xul.pdb\\A:f1", "xul.pdb\\A:f2"),
+        50.0, "Gecko", "r1", "parent", "20170101", "win"),
+      graft.jobs.bhr.BhrCollection.Hang(Seq("xul.pdb\\A:f1"),
+        30.0, "Gecko_Child", "r2", "content", "20170101", "win"))
+      .toDS().toDF().write.mode("overwrite").parquet(in)
+    dispatch("bhr_collection", "input" -> in, "output" -> s"$out/profile.json")
+    val json = Files.readString(java.nio.file.Paths.get(s"$out/profile.json"))
+    json should include(""""name":"Gecko"""")
+    json should include(""""processType":"tab"""")
+  }
+
+  it should "dispatch the taar side-input commands" in {
+    val dumpIn = tmp("amo-in"); val dbOut = tmp("amo-db")
+    val wlOut = tmp("amo-wl")
+    val dump = """{"guid":"a@x","current_version":{"files":[{"is_webextension":true}]},""" +
+      """"ratings":{"average":4.5},"is_featured":true,""" +
+      """"first_create_date":"2015-01-01T00:00:00"}"""
+    Files.writeString(java.nio.file.Paths.get(s"$dumpIn/dump.json"),
+      dump, java.nio.file.StandardOpenOption.CREATE)
+    dispatch("taar_amodump",
+      "input" -> s"$dumpIn/dump.json", "output" -> dbOut)
+    spark.read.json(dbOut).count() shouldBe 1
+    dispatch("taar_amowhitelist",
+      "input" -> s"$dumpIn/dump.json", "output" -> wlOut,
+      "date" -> "2017-06-01")
+    Files.readString(java.nio.file.Paths.get(s"$wlOut/whitelist.json")) should
+      include("a@x")
+
+    val edIn = tmp("ed-in"); val edOut = tmp("ed-out")
+    val rows = (1 to 120).map(i => s"""{"guid":"g$i@x"}""").mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(s"$edIn/ed.json"), rows)
+    dispatch("taar_update_whitelist",
+      "input" -> s"$edIn/ed.json", "output" -> s"$edOut/guids.json")
+    Files.readString(java.nio.file.Paths.get(s"$edOut/guids.json")) should
+      include("g100@x")
+  }
+
+  it should "dispatch taar_dynamo with the stub sink" in {
+    val in = tmp("dyn-in"); val out = tmp("dyn-out")
+    Seq(("c1", "2017-01-02", "it", "win", 5L))
+      .toDF("client_id", "subsession_start_date", "locale", "os",
+        "subsession_length")
+      .withColumn("city", lit("rome"))
+      .withColumn("places_bookmarks_count", lit(1L))
+      .withColumn("scalar_parent_browser_engagement_tab_open_event_count", lit(1L))
+      .withColumn("scalar_parent_browser_engagement_total_uri_count", lit(1L))
+      .withColumn("scalar_parent_browser_engagement_unique_domains_count", lit(1L))
+      .withColumn("active_addons", array(lit("a@x")))
+      .withColumn("disabled_addons_ids", array(lit("d@x")))
+      .write.mode("overwrite").parquet(in)
+    dispatch("taar_dynamo", "input" -> in, "output" -> out)
+    val rows = spark.read.parquet(out)
+    rows.count() shouldBe 1
+    rows.columns.toSet shouldBe Set("client_id", "start_date", "payload")
+  }
+
+  it should "dispatch system_check" in {
+    val in = tmp("sys-in"); val out = tmp("sys-out")
+    Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(in)
+    dispatch("system_check",
+      "input" -> in, "output" -> out, "describe-cols" -> "v")
+    spark.read.parquet(out).count() should be >= 1L
+  }
+
+  it should "reject unknown commands" in {
+    a[RuntimeException] should be thrownBy dispatch("nope")
+  }
+}

@@ -46,6 +46,37 @@ class DimensionsSpec extends SparkSpec {
       "value", "count") shouldBe Set(Seq("NVIDIA", 1L), Seq("Other", 1L))
   }
 
+  it should "invert the gpu-db layout into device-map rows" in {
+    val raw = Map(
+      "10de" -> Map(
+        "Maxwell" -> Map("GM206" -> Seq("1401", "1402")),
+        "Pascal" -> Map("GP104" -> Seq("1b80"))),
+      "8086" -> Map("Gen9" -> Map("Skylake" -> Seq("1912"))))
+    Dimensions.invertDeviceMap(raw) shouldBe Seq(
+      ("0x10de", "0x1401", "Maxwell", "GM206"),
+      ("0x10de", "0x1402", "Maxwell", "GM206"),
+      ("0x10de", "0x1b80", "Pascal", "GP104"),
+      ("0x8086", "0x1912", "Gen9", "Skylake"))
+  }
+
+  it should "assemble the end-to-end report with shares per dimension" in {
+    val (n, report) = HardwareReport.assembleReport(
+      pings.union(pings), deviceMap, countThreshold = 1)
+    n shouldBe 4
+    report("gfx0_vendor_name") shouldBe Map("NVIDIA" -> 0.5, "Other" -> 0.5)
+    report("os") shouldBe Map("Windows_NT-10.0" -> 0.5, "Darwin-17.0" -> 0.5)
+    report("os_arch") shouldBe Map("x86-64" -> 1.0)
+    report("memory_gb") shouldBe Map("8" -> 0.5, "16" -> 0.5)
+    report("cpu_cores") shouldBe Map("4" -> 0.5, "8" -> 0.5)
+    report("has_flash") shouldBe Map("true" -> 0.5, "false" -> 0.5)
+    report.keySet shouldBe Dimensions.KeysToAggregate.toSet
+    // collapse: with a threshold above every count, all values fold to
+    // Other with share 1.0 per dimension
+    val (_, collapsed) = HardwareReport.assembleReport(
+      pings, deviceMap, countThreshold = 5)
+    collapsed("os") shouldBe Map("Other" -> 1.0)
+  }
+
   it should "flatten slash paths into nested column selects" in {
     val nested = Seq((("win", "10"), 5L))
       .toDF("os", "count")

@@ -51,10 +51,13 @@ class SymbolicationSpec extends SparkSpec {
       windowsModules = Set("badmod.dll"),
       oldMajorVersions = Seq("98", "99"), // xul 99.0.1 is expired
       minCrashes = 0)
-    val rows = report.collect()
-      .map(r => (r.getString(0), r.getString(4))).toMap
-    rows.keySet should not contain "xul.dll" // old firefox module dropped
-    rows("badmod.dll") shouldBe "os"
+    val rows = MissingSymbols.finalizeReport(report,
+      symbolsNowAvailable = (f, _) => f == "badmod.pdb")
+    val byName = rows.map(r => r.filename -> r).toMap
+    byName.keySet should not contain "xul.dll" // old firefox module dropped
+    byName("badmod.dll").category shouldBe "os"
+    // the probe runs on the driver against the collected report
+    byName("badmod.dll").symbolsNowAvailable shouldBe true
   }
 
   // Correlated corpus: sigA crashes carry addon "foo" far above baseline.
