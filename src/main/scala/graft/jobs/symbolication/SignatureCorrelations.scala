@@ -33,16 +33,19 @@ object SignatureCorrelations {
       .limit(n)
 
   /** (signature, attr, value) items — one row per crash × attribute.
-    * Attributes are stringified so heterogeneous columns share the
-    * unpivot's common type; null attribute values drop (a crash without
-    * the attribute contributes no item, matching the reference's
-    * set-of-items model).
+    * Attributes are stringified so heterogeneous columns share a common
+    * type; null attribute values drop (a crash without the attribute
+    * contributes no item, matching the reference's set-of-items model).
+    * Packed into one map column and exploded — the earlier
+    * stringify-every-column-then-unpivot form carried an extra |attrs|-
+    * wide projection through the fan-out; the map explode fans out the
+    * same bytes with a single narrow projection (at 100× scale the fact
+    * table is multiplied by |attrs| either way, but only once here).
     */
   def items(crashes: DataFrame, attrs: Seq[String]): DataFrame =
-    crashes.select(col("signature") +:
-        attrs.map(a => col(a).cast("string").as(a)): _*)
-      .unpivot(Array(col("signature")), attrs.map(col).toArray,
-        "attr", "value")
+    crashes.select(col("signature"),
+        explode(map(attrs.flatMap(a =>
+          Seq(lit(a), col(a).cast("string"))): _*)).as(Seq("attr", "value")))
       .filter(col("value").isNotNull)
 
   /** Deviating items for the top-N signatures.

@@ -91,6 +91,43 @@ object PipelineQueries {
           SELECT doc_id + 10000 AS doc_id, text FROM documents)
         GROUP BY fp ORDER BY keep_id""")),
 
+    // Embedding-cosine near-duplicate pairs via hyperplane-LSH bucketing
+    // (Ann.cosineNearDuplicates) — the embedding-space analogue of the
+    // MinHash path, gated with the same full bucket-replay DuckDB oracle
+    // as d06 (and the same list_dot_product summation-order dependency;
+    // AnnOracleGapSpec asserts the 0.35 threshold sits ~7e-5 away from
+    // the nearest pair cosine on this fixture). Output is id pairs only —
+    // no raw floats cross the gate.
+    GateQuery(
+      "d09_embed_neardup",
+      (s, dir) =>
+        Ann.cosineNearDuplicates(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.35,
+          planes = 4, tables = 4)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b"),
+      Some {
+        // mirror Ann.planeComponent / Ann.lshBucket exactly (as d06)
+        def plane(p: Int): String =
+          s"list_transform(range(0, 64), d -> ((1103515245 * ((tbl*64 + $p)*1024 + d + 1) + 12345) % 1000003) / 1000003.0 - 0.5)"
+        val bucket = (0 until 4).map(p =>
+          s"(CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |tbs AS (SELECT unnest([0,1,2,3]) AS tbl),
+           |bk AS (SELECT vec_id, v, tbl, $bucket AS bucket FROM e, tbs),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+           |              AND a.vec_id < b.vec_id),
+           |sc AS (SELECT id_a, id_b,
+           |         list_dot_product(x.v, y.v)
+           |           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+           |       FROM cand JOIN e x ON x.vec_id = cand.id_a
+           |                 JOIN e y ON y.vec_id = cand.id_b)
+           |SELECT id_a, id_b FROM sc WHERE sim >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // MinHash + banded LSH near-dup detection, LSH candidates verified by
     // exact shingle Jaccard — finds the corpus's planted near-dup pairs.
     GateQuery(

@@ -50,6 +50,19 @@ class AnnOracleGapSpec extends SparkSpec {
     minAdjacentGap(ranked) should be > MinGap
   }
 
+  it should "leave a summation-order-proof threshold gap in the d09 fixture" in {
+    assume(available, s"$sfDir not present")
+    val e = spark.read.parquet(sfDir + "/embeddings.parquet")
+    // all bucketed pairs (threshold 0 keeps every candidate's cosine);
+    // the gate's inclusion boundary is cosine >= 0.35
+    val pairs = Ann.cosineNearDuplicates(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.0, planes = 4, tables = 4)
+    val gap = pairs
+      .select(abs(col("cosine_sim") - 0.35).as("gap"))
+      .agg(min("gap")).collect().head.getDouble(0)
+    gap should be > MinGap
+  }
+
   it should "leave a summation-order-proof sim gap in the d07 IVF fixture" in {
     assume(available, s"$sfDir not present")
     val e = spark.read.parquet(sfDir + "/embeddings.parquet")
