@@ -119,6 +119,69 @@ object JobsDemo {
       (p: Ping) => processHangs(p, Config(threadFilter = "Gecko")))
     val bhrAgg = bhr.BhrCollection.aggregateHangs(hangs)
     show("bhr_hang_aggregate", bhrAgg.count(), bhrAgg.columns.length)
+    // driver-side profile assembly over the collected aggregation
+    val processor = new bhr.ProfileProcessor(
+      bhr.ProfileProcessor.Config(uuid = "jobs-demo"))
+    processor.ingest(bhr.BhrCollection.toSampleRows(bhrAgg))
+    val profile = processor.processIntoProfile()
+    println(s"[jobs-demo] bhr_profile_processor        " +
+      s"threads=${profile.threads.size} " +
+      s"samples=${profile.threads.map(_.sampleTable.length).sum}")
+
+    // --- round-5 panel families / trends / report assembly ---------------
+    val rawGfx = Seq(
+      (("Windows_NT": String), "10.0", 0: Integer, "55.0.3"),
+      ("Darwin", "17", null: Integer, "54.0"))
+      .toDF("osName", "osVersion", "servicePackMajor", "buildVersion")
+      .withColumn("adapters", org.apache.spark.sql.functions.expr(
+        "array(named_struct('vendorID', '0x10de', 'deviceID', 'dev', " +
+          "'driverVersion', '1.1', 'driverVendor', CAST(NULL AS STRING)))"))
+      .withColumn("memoryMB", org.apache.spark.sql.functions.lit(8000L))
+      .withColumn("arch", org.apache.spark.sql.functions.lit("x86-64"))
+      .withColumn("isWow64", org.apache.spark.sql.functions.lit(false))
+      .withColumn("cpu", org.apache.spark.sql.functions.expr(
+        "named_struct('count', 4, 'extensions', array('hasSSE2'))"))
+      .withColumn("deviceReset", org.apache.spark.sql.functions.expr(
+        "array(0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)"))
+      .withColumn("sanity", org.apache.spark.sql.functions.expr(
+        "array(1L, 0L, 0L, 0L, 0L)"))
+      .withColumn("startup", org.apache.spark.sql.functions.expr(
+        "array(1L, 0L, 0L, 0L)"))
+      .withColumn("monitors", org.apache.spark.sql.functions.expr(
+        "array(named_struct('screenWidth', 1920, 'screenHeight', 1080, " +
+          "'refreshRate', 60, 'scale', 1))"))
+      .withColumn("features", org.apache.spark.sql.functions.expr(
+        "named_struct('compositor', 'd3d11', " +
+          "'d3d11', named_struct('status', 'available', 'version', '11.1', " +
+          "'warp', false, 'blacklisted', CAST(NULL AS BOOLEAN), " +
+          "'textureSharing', true), " +
+          "'d2d', named_struct('status', 'available', 'version', '1.1'), " +
+          "'gpuProcess', named_struct('status', 'available'), " +
+          "'advancedLayers', named_struct('status', CAST(NULL AS STRING)))"))
+      .withColumn("omtcEnabled", org.apache.spark.sql.functions.lit(true))
+    val normalized = graphics.Dashboard.normalize(rawGfx).cache()
+    val winPings = normalized.where("OSName = 'Windows'")
+    val tdr = graphics.Dashboard.tdrStatistics(winPings)
+    val sys5 = graphics.Dashboard.systemStatistics(normalized, winPings)
+    val sanity = graphics.Dashboard.sanityTestStatistics(winPings)
+    println(s"[jobs-demo] graphics_panels              " +
+      s"tdrPings=${tdr.tdrPings} memBuckets=${sys5.memory.size} " +
+      s"sanity=${sanity.sanityTestPings} " +
+      s"monitors=${graphics.Dashboard.monitorStatistics(winPings).counts.size}")
+    val trendSeries = graphics.Trends.updateAll(
+      series = Map.empty,
+      today = java.time.LocalDate.parse("2017-01-18"),
+      firstValidDate = java.time.LocalDate.parse("2017-01-04"),
+      pingsForWeek = (_, _) => normalized)
+    println(s"[jobs-demo] graphics_trends              " +
+      s"trends=${trendSeries.size} " +
+      s"points=${trendSeries.values.map(_.points.size).sum}")
+    val (hwCount, hwReport) = hardware.HardwareReport.assembleReport(
+      pings, hardware.Dimensions.deviceMapDf(spark,
+        Seq(("0x10de", "0x1401", "Maxwell", "GM206"))))
+    println(s"[jobs-demo] hardware_report_assembled    " +
+      s"clients=$hwCount dimensions=${hwReport.size}")
+    normalized.unpersist()
 
     // --- multimodal plumbing --------------------------------------------
     val media = spark.createDataFrame(
