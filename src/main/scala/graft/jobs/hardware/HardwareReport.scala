@@ -81,6 +81,48 @@ object HardwareReport {
   def finalizeData(collapsed: DataFrame, sampleCount: Long): DataFrame =
     collapsed.withColumn("share", col("count").cast("double") / sampleCount)
 
+  /** One flagged week-over-week change (check_output.py:31-53). */
+  case class Change(key: String, change: Double, oldValue: Double,
+      newValue: Double)
+
+  /** _check_most_recent_change (hardware_report/check_output.py:31-53):
+    * compare the two most recent weekly snapshots (date → metric →
+    * share); flag metrics whose relative change exceeds `minChange`,
+    * ignoring metrics whose old share was below `minValue`; absent
+    * metrics count as `missingVal` so appearing/disappearing keys are
+    * flagged too.
+    */
+  def checkMostRecentChange(values: Map[Int, Map[String, Double]],
+      minChange: Double = 0.05, minValue: Double = 0.01,
+      missingVal: Double = 0.01): Map[String, Change] = {
+    require(missingVal > 0, "missing_val must be positive")
+    val recent = values.keys.max
+    val second = (values.keySet - recent).max
+    val (base, compare) = (values(second), values(recent))
+    (base.keySet ++ compare.keySet).flatMap { k =>
+      val o = base.getOrElse(k, missingVal)
+      val n = compare.getOrElse(k, missingVal)
+      val c = n / o - 1
+      if (math.abs(c) > minChange && o >= minValue)
+        Some(k -> Change(k, c, o, n))
+      else None
+    }.toMap
+  }
+
+  /** Weekly series consolidation (hardware_dashboard.py:50-64): append
+    * new weekly entries to the existing series, new data winning on date
+    * collisions (reruns overwrite), ordered by date.
+    */
+  def consolidateWeekly(existing: Seq[(String, Map[String, Double])],
+      fresh: Seq[(String, Map[String, Double])])
+      : Seq[(String, Map[String, Double])] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    (fresh ++ existing).foreach { case (date, data) =>
+      if (!seen.contains(date)) seen(date) = data
+    }
+    seen.toSeq.sortBy(_._1)
+  }
+
   /** End-to-end report assembly (main's collect_aggregated_data →
     * finalize_data → json, summarize_json.py:620-658): prepare (naming /
     * unit conversions via Dimensions) → dimension counts → rare-bucket

@@ -101,16 +101,20 @@ object PipelineQueries {
     GateQuery(
       "d09_embed_neardup",
       (s, dir) =>
+        // 6 planes (64 buckets/table): the precision lever — 4 planes on
+        // this corpus degenerates to ~1/4 of all pairs as candidates and
+        // the pair scoring dominates the bench. Both engines replay the
+        // same buckets, so the gate stays bitwise at any plane count.
         Ann.cosineNearDuplicates(t(s, dir, "embeddings"),
           "vec_id", "embedding", dim = 64, threshold = 0.35,
-          planes = 4, tables = 4)
+          planes = 6, tables = 4)
           .select("id_a", "id_b")
           .orderBy("id_a", "id_b"),
       Some {
         // mirror Ann.planeComponent / Ann.lshBucket exactly (as d06)
         def plane(p: Int): String =
           s"list_transform(range(0, 64), d -> ((1103515245 * ((tbl*64 + $p)*1024 + d + 1) + 12345) % 1000003) / 1000003.0 - 0.5)"
-        val bucket = (0 until 4).map(p =>
+        val bucket = (0 until 6).map(p =>
           s"(CASE WHEN list_dot_product(v, ${plane(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
           .mkString(" + ")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

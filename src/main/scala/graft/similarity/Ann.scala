@@ -77,15 +77,20 @@ object Ann {
       (acc, v) => acc + v)
   }
 
-  /** (id, vec, table, bucket) keys across `tables` independent hash
+  /** (id, vec, nrm, table, bucket) keys across `tables` independent hash
     * tables — OR-amplification: a pair is a candidate if it collides in
-    * ANY table, the standard recall lever for hyperplane LSH.
+    * ANY table, the standard recall lever for hyperplane LSH. The L2 norm
+    * is computed ONCE per input row before the table fan-out, so pair
+    * scoring downstream is a single dot product instead of three
+    * (dot/(nrm_a·nrm_b) builds the exact expression `cosine` builds —
+    * bitwise-identical scores, 3× less HOF work on the scored pairs).
     */
   private def bucketKeys(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, tables: Int): DataFrame =
     // single pass + posexplode of per-table buckets (a tables-way union
     // would rescan the corpus per table)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2norm(col(vecCol)).as("nrm"),
       posexplode(array((0 until tables).map(tb =>
         lshBucket(col(vecCol), dim, planes, tb)): _*)).as(Seq("tbl", "bucket")))
 
@@ -98,14 +103,15 @@ object Ann {
       tables: Int = 4): DataFrame = {
     val c = bucketKeys(corpus, idCol, vecCol, dim, planes, tables)
       .select(col("tbl"), col("bucket"), col("id").as("nid"),
-        col("vec").as("nvec"))
+        col("vec").as("nvec"), col("nrm").as("nnrm"))
     val q = bucketKeys(queries, idCol, vecCol, dim, planes, tables)
       .select(col("tbl"), col("bucket"), col("id").as("qid"),
-        col("vec").as("qvec"))
+        col("vec").as("qvec"), col("nrm").as("qnrm"))
     val scored = q.join(c, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        cosine(col("qvec"), col("nvec")).as("cosine_sim"))
+        (dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
+          .as("cosine_sim"))
       .groupBy("qid", "nid").agg(max("cosine_sim").as("cosine_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
@@ -122,12 +128,13 @@ object Ann {
       tables: Int = 4): DataFrame = {
     val keyed = bucketKeys(df, idCol, vecCol, dim, planes, tables)
     val a = keyed.select(col("tbl"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = keyed.select(col("tbl"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("cosine_sim"))
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine_sim"))
       .distinct()
       .filter(col("cosine_sim") >= threshold)
   }

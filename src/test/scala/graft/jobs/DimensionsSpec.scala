@@ -77,6 +77,37 @@ class DimensionsSpec extends SparkSpec {
     collapsed("os") shouldBe Map("Other" -> 1.0)
   }
 
+  it should "flag week-over-week share anomalies like check_output" in {
+    val weeks = Map(
+      20170101 -> Map("gfx_nv" -> 0.50, "gfx_amd" -> 0.30, "tiny" -> 0.005),
+      20170108 -> Map("gfx_nv" -> 0.20, "gfx_amd" -> 0.31, "fresh" -> 0.40),
+      // an even older week must be ignored (only the two most recent count)
+      20161225 -> Map("gfx_nv" -> 0.99))
+    val changes = HardwareReport.checkMostRecentChange(weeks,
+      minChange = 0.3, minValue = 0.01, missingVal = 0.01)
+    // nv dropped 60% → flagged with old/new values
+    changes("gfx_nv").change shouldBe -0.6 +- 1e-9
+    changes("gfx_nv").oldValue shouldBe 0.5
+    // amd moved 3% → not flagged; tiny's old share < min_value → ignored
+    changes.contains("gfx_amd") shouldBe false
+    changes.contains("tiny") shouldBe false
+    // a brand-new metric compares against missing_val and is flagged
+    changes("fresh").change shouldBe 39.0 +- 1e-9
+  }
+
+  it should "consolidate weekly series with new data winning on reruns" in {
+    val existing = Seq(
+      "2017-01-01" -> Map("a" -> 1.0),
+      "2017-01-08" -> Map("a" -> 2.0))
+    val fresh = Seq(
+      "2017-01-08" -> Map("a" -> 9.0), // rerun overwrites
+      "2017-01-15" -> Map("a" -> 3.0))
+    HardwareReport.consolidateWeekly(existing, fresh) shouldBe Seq(
+      "2017-01-01" -> Map("a" -> 1.0),
+      "2017-01-08" -> Map("a" -> 9.0),
+      "2017-01-15" -> Map("a" -> 3.0))
+  }
+
   it should "flatten slash paths into nested column selects" in {
     val nested = Seq((("win", "10"), 5L))
       .toDF("os", "count")

@@ -54,9 +54,9 @@ class AnnOracleGapSpec extends SparkSpec {
     assume(available, s"$sfDir not present")
     val e = spark.read.parquet(sfDir + "/embeddings.parquet")
     // all bucketed pairs (threshold 0 keeps every candidate's cosine);
-    // the gate's inclusion boundary is cosine >= 0.35
+    // the gate's inclusion boundary is cosine >= 0.35 at 6 planes
     val pairs = Ann.cosineNearDuplicates(e, "vec_id", "embedding",
-      dim = 64, threshold = 0.0, planes = 4, tables = 4)
+      dim = 64, threshold = 0.0, planes = 6, tables = 4)
     val gap = pairs
       .select(abs(col("cosine_sim") - 0.35).as("gap"))
       .agg(min("gap")).collect().head.getDouble(0)
