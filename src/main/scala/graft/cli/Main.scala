@@ -328,6 +328,35 @@ object Main {
           graphics.Dashboard.macStatistics(pings))
         writeJson(s"${required("output")}/linux-statistics.json",
           graphics.Dashboard.linuxStatistics(pings))
+        val wf = graphics.Dashboard.windowsFeatures(windows)
+        def slice(s: graphics.Dashboard.FeatureSlice) = Map(
+          "count" -> s.count, "compositors" -> s.compositors,
+          "content_backends" -> s.contentBackends, "d3d11" -> s.d3d11,
+          "d2d" -> s.d2d, "warp" -> s.warp,
+          "media_decoders" -> s.mediaDecoders,
+          "gpu_process" -> s.gpuProcess,
+          "advanced_layers" -> s.advancedLayers)
+        writeJson(s"${required("output")}/windows-features.json", Map(
+          "all" -> slice(wf.all),
+          "textureSharing" -> wf.textureSharing,
+          "byVersion" -> wf.byVersion.map { case (v, s) => v -> slice(s) },
+          "d3d11_blacklist" -> Map(
+            "devices" -> wf.blacklistedDevices,
+            "drivers" -> wf.blacklistedDrivers,
+            "os" -> wf.blacklistedOs),
+          "d3d11_blocked" -> Map("vendors" -> wf.blockedVendors)))
+        def outcomes(o: graphics.Dashboard.WebGlOutcomes) = Map(
+          "successes" -> Map("count" -> o.successCount,
+            "os" -> o.successByOs, "compositors" -> o.successByCompositor),
+          "failures" -> Map("count" -> o.failureCount,
+            "os" -> o.failureByOs, "vendors" -> o.failureByVendor,
+            "devices" -> o.failureByDevice, "drivers" -> o.failureByDriver))
+        writeJson(s"${required("output")}/webgl-statistics.json", Map(
+          "webgl1" -> outcomes(
+            graphics.Dashboard.webglOutcomes(pings, "webglSuccess")),
+          "webgl2" -> outcomes(
+            graphics.Dashboard.webglOutcomes(pings, "webgl2Success")),
+          "general" -> graphics.Dashboard.webglFailureIds(pings)))
         pings.unpersist()
         println(s"[graft] graphics_dashboard wrote ${required("output")}")
 

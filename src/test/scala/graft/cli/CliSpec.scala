@@ -99,6 +99,10 @@ class CliSpec extends SparkSpec {
     // 16000MB → x = 16 → the reference's x <= 16 branch
     sys0 should include(""""8_to_16":1""")
     Files.exists(java.nio.file.Paths.get(s"$out/general.json")) shouldBe true
+    Files.readString(java.nio.file.Paths.get(
+      s"$out/windows-features.json")) should include(""""all":""")
+    Files.readString(java.nio.file.Paths.get(
+      s"$out/webgl-statistics.json")) should include(""""webgl1":""")
   }
 
   it should "dispatch hardware_report with a device map" in {
