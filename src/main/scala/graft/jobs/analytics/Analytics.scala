@@ -28,6 +28,14 @@ object Analytics {
     df.groupBy(key.cast("string").as("k")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** mozetl/main.py:28-30 transform_pings: OS share over DISTINCT
+    * (client, os) rows — the duplicate-ping dedup happens before the
+    * histogram (mirrored by tests/test_main.py's duplicate_rdd case).
+    */
+  def osShare(pings: DataFrame, clientCol: String = "client_id",
+      osCol: String = "os"): Map[String, Long] =
+    frequencyMap(pings.select(clientCol, osCol).distinct(), osCol)
+
   /** Per-key share of total (the dashboard's percentage panels). */
   def shareMap(df: DataFrame, keyCol: String): Map[String, Double] = {
     val counts = frequencyMap(df, keyCol)

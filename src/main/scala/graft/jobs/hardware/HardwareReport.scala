@@ -81,6 +81,71 @@ object HardwareReport {
   def finalizeData(collapsed: DataFrame, sampleCount: Long): DataFrame =
     collapsed.withColumn("share", col("count").cast("double") / sampleCount)
 
+  /** finalize_data's human-friendly key prefixes
+    * (summarize_json.py:447-460).
+    */
+  val KeysTranslation: Map[String, String] = Map(
+    "browser_arch" -> "browserArch_",
+    "cpu_cores" -> "cpuCores_",
+    "cpu_cores_speed" -> "cpuCoresSpeed_",
+    "cpu_vendor" -> "cpuVendor_",
+    "cpu_speed" -> "cpuSpeed_",
+    "gfx0_vendor_name" -> "gpuVendor_",
+    "gfx0_model" -> "gpuModel_",
+    "resolution" -> "resolution_",
+    "memory_gb" -> "ram_",
+    "os" -> "osName_",
+    "os_arch" -> "osArch_",
+    "has_flash" -> "hasFlash_")
+
+  /** The flat weekly report entry finalize_data emits
+    * (summarize_json.py:420-470): "<camelProp>_<value>" → share, plus
+    * the week date and discard ratios.
+    */
+  case class FinalizedReport(date: String, broken: Double,
+      inactive: Double, shares: Map[String, Double])
+
+  /** Rename the per-dimension shares into the report's flat
+    * human-friendly keys (summarize_json.py:462-468).
+    */
+  def finalizeReport(report: Map[String, Map[String, Double]], date: String,
+      brokenRatio: Double, inactiveRatio: Double): FinalizedReport =
+    FinalizedReport(date, brokenRatio, inactiveRatio,
+      for {
+        (dim, values) <- report
+        (value, share) <- values
+      } yield KeysTranslation(dim) + value -> share)
+
+  /** validate_finalized_data (summarize_json.py:472-525): every property
+    * family's shares must sum to ~1.0, and no flat key may belong to an
+    * unknown property.
+    */
+  def validateFinalizedData(f: FinalizedReport,
+      tolerance: Double = 0.05): Boolean = {
+    val props = KeysTranslation.values.map(_.stripSuffix("_")).toSet
+    val acc = scala.collection.mutable.Map(props.toSeq.map(_ -> 0.0): _*)
+    val allKnown = f.shares.forall { case (key, value) =>
+      val prop = key.split("_")(0)
+      acc.get(prop) match {
+        case Some(v) => acc(prop) = v + value; true
+        case None => false
+      }
+    }
+    allKnown && acc.values.forall(v => math.abs(1.0 - v) <= tolerance)
+  }
+
+  /** get_longitudinal_version (summarize_json.py:585-588): the catalog
+    * table name for the week containing `date` — snap back to the
+    * week's Sunday, name by its Saturday.
+    */
+  def longitudinalVersion(date: java.time.LocalDate): String = {
+    val sunday =
+      if (date.getDayOfWeek == java.time.DayOfWeek.SUNDAY) date
+      else date.minusDays(date.getDayOfWeek.getValue.toLong)
+    "longitudinal_v" + sunday.plusDays(6)
+      .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+  }
+
   /** One flagged week-over-week change (check_output.py:31-53). */
   case class Change(key: String, change: Double, oldValue: Double,
       newValue: Double)

@@ -77,6 +77,55 @@ class DimensionsSpec extends SparkSpec {
     collapsed("os") shouldBe Map("Other" -> 1.0)
   }
 
+  it should "finalize and validate the weekly report entry" in {
+    val report = Map(
+      "browser_arch" -> Map("x86" -> 0.4, "x86-64" -> 0.6),
+      "gfx0_vendor_name" -> Map("NVIDIA" -> 1.0))
+    val f = HardwareReport.finalizeReport(report, "2018-09-09",
+      brokenRatio = 0.01, inactiveRatio = 0.02)
+    f.shares("browserArch_x86") shouldBe 0.4
+    f.shares("gpuVendor_NVIDIA") shouldBe 1.0
+    // validation fails: 10 of 12 property families have no shares at all
+    HardwareReport.validateFinalizedData(f) shouldBe false
+    // a complete report (every family summing to ~1.0) validates
+    val complete = HardwareReport.finalizeReport(
+      Dimensions.KeysToAggregate.map(k => k -> Map("v" -> 1.0)).toMap,
+      "2018-09-09", 0.0, 0.0)
+    HardwareReport.validateFinalizedData(complete) shouldBe true
+    // an unknown property prefix fails loudly
+    HardwareReport.validateFinalizedData(
+      complete.copy(shares = complete.shares + ("bogus_x" -> 0.1))) shouldBe
+      false
+    // a family drifting past the tolerance fails
+    HardwareReport.validateFinalizedData(
+      complete.copy(shares =
+        complete.shares + ("browserArch_v" -> 0.8))) shouldBe false
+  }
+
+  it should "name the longitudinal week like get_longitudinal_version" in {
+    import java.time.LocalDate
+    // Thursday and its Sunday both resolve to the week ending 09-15;
+    // Saturday belongs to the PREVIOUS week (tests/hardware_report/
+    // test_summarize_json.py:352-364)
+    HardwareReport.longitudinalVersion(LocalDate.parse("2018-09-13")) shouldBe
+      "longitudinal_v20180915"
+    HardwareReport.longitudinalVersion(LocalDate.parse("2018-09-09")) shouldBe
+      "longitudinal_v20180915"
+    HardwareReport.longitudinalVersion(LocalDate.parse("2018-09-08")) shouldBe
+      "longitudinal_v20180908"
+  }
+
+  it should "summarize distinct-client OS share like mozetl.main" in {
+    import graft.jobs.analytics.Analytics
+    val pings = Seq(("a", "windows"), ("b", "darwin"), ("c", "linux"),
+      ("d", "windows"),
+      // duplicates collapse before the histogram (test_main.py)
+      ("a", "windows"), ("b", "darwin"))
+      .toDF("client_id", "os")
+    Analytics.osShare(pings) shouldBe
+      Map("windows" -> 2L, "darwin" -> 1L, "linux" -> 1L)
+  }
+
   it should "flag week-over-week share anomalies like check_output" in {
     val weeks = Map(
       20170101 -> Map("gfx_nv" -> 0.50, "gfx_amd" -> 0.30, "tiny" -> 0.005),
