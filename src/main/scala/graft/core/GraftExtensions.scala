@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.PolyHash
+import graft.functions.expressions.{DotProduct, PolyHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native SQL
   * functions so `spark.sql("SELECT graft_polyhash(x) ...")` works on any
@@ -31,6 +31,14 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 1, "graft_polyhash takes one argument")
           PolyHash(args.head)
+        }),
+      ("graft_dot",
+        info("graft_dot",
+          "graft_dot(a, b) - left-to-right dot product of two " +
+            "array<float|double> columns (deterministic summation order)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_dot takes two arguments")
+          DotProduct(args(0), args(1))
         }))
 
   /** Register the same functions on an already-running session (local

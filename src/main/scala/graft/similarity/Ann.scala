@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Elementwise-double dot product of two array columns (left-to-right
-    * fold: deterministic summation order).
+  /** Elementwise-double dot product of two float/double array columns —
+    * the native codegen'd `DotProduct` expression (left-to-right
+    * accumulation: deterministic summation order, bitwise identical to
+    * the previous aggregate/zip_with fold, without the intermediate
+    * array + boxed-element HOF interpretation on every scored pair).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.core.Graft.column(graft.functions.expressions.DotProduct(
+      graft.core.Graft.expression(a), graft.core.Graft.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -70,9 +73,7 @@ object Ann {
     }: _*)
     val weights = array((0 until planes).map(p => lit(1L << p)): _*)
     val bits = transform(planeMatrix, plane =>
-      when(aggregate(zip_with(vec, plane,
-        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
-        lit(1L)).otherwise(lit(0L)))
+      when(dot(vec, plane) >= 0, lit(1L)).otherwise(lit(0L)))
     aggregate(zip_with(bits, weights, (b, w) => b * w), lit(0L),
       (acc, v) => acc + v)
   }
