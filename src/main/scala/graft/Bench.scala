@@ -88,23 +88,32 @@ object Bench {
         val best = (1 until runs).foldLeft(first)((b, _) => math.min(b, timedRun(q)))
         (q.name, best, (r1 - r0) + (w1 - w0))
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver captures stdout via a BOUNDED TAIL and parses the last
+    // JSON line it finds; rounds 3-5 each recorded "parsed": null because
+    // the full-precision line (~4 KB with 17-digit doubles plus the
+    // shuffle_mb map) overflowed that window and lost its opening brace.
+    // Print a COMPACT line (3-decimal times, no shuffle_mb — that detail
+    // lives in the file artifact below) so the line stays ~1.3 KB.
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, b) =>
-      "\"" + k + "\":" + (b / 1024 / 1024.0) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + f3(b / 1024 / 1024.0) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the driver captures stdout via a bounded
-    // tail, which truncated the (long) single-line JSON in round 3.
+    // Persist the full JSON (incl. shuffle_mb) to a file first, then print
+    // the compact line LAST so it sits at the very end of the tail window.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     // best-effort: a malformed SPARK_GRAFT_BENCH_OUT throws
     // InvalidPathException (a RuntimeException) from Paths.get — swallow
     // anything non-fatal rather than crash after results are computed
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () }
+    println(compact)
     spark.stop()
   }
 }
