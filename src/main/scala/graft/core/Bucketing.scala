@@ -52,4 +52,25 @@ object Bucketing {
     }
     anyShuffle(df.queryExecution.executedPlan)
   }
+
+  /** Number of DISTINCT shuffle exchanges in the executed plan (a reused
+    * exchange counts once — reuse is free). Same AQE finalization rules as
+    * `hasShuffle`; counting plan NODES, not `toString` matches, matters
+    * because an adaptive plan prints both its final and initial sections.
+    */
+  def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+    df.queryExecution.toRdd.foreach(_ => ())
+    def count(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case s: QueryStageExec        => count(s.plan)
+      case _: ShuffleExchangeLike   => 1
+      case _: ReusedExchangeExec    => 0
+      case other                    => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** As-of (nearest-event temporal) join — a whole-operator semantic Spark
+  * lacks natively, composed from existing operators (preference (a) of the
+  * custom-operator ladder): for each left row, attach the payload of the
+  * single right row with the greatest `rightTime <= leftTime` (backward) or
+  * smallest `rightTime >= leftTime` (forward) within the same key group.
+  *
+  * SINGLE-SHUFFLE formulation built for the 100 TB case: tag and union the
+  * two sides, then one window pass partitioned by key carries the latest
+  * right payload forward (`last(_, ignoreNulls)` over a running frame).
+  * Compared to the naive formulations this avoids
+  *   - the O(|L|×|R|) theta-join (BroadcastNestedLoopJoin) Spark would plan
+  *     for `l.key = r.key AND r.t <= l.t` + per-row max, and
+  *   - a range fan-out join whose skew follows the busiest key.
+  * Both sides shuffle exactly once, on the key columns; payload travels as
+  * one struct per right row. The plan contains NO join node at all
+  * (AsofJoinSpec asserts a single exchange and join-free plan).
+  *
+  * Ordering inside a key is (time, side, rightOrder): right rows sort
+  * before left rows at equal times, which yields the inclusive `<=` / `>=`
+  * bound; `rightOrder` (a unique right column) makes the winner among
+  * equal-time right rows deterministic.
+  *
+  * Payload column names must not collide with left column names — rename
+  * on the right frame before calling (as pandas `merge_asof` requires too).
+  */
+object AsofJoin {
+
+  /** Backward as-of join (the pandas `merge_asof` default): latest right
+    * row at or before the left row's time.
+    *
+    * @param payload    right columns to attach to each matched left row
+    * @param rightOrder unique right column breaking ties among equal-time
+    *                   right rows (largest wins); None if times are unique
+    * @param tolerance  optional predicate on (leftTime, matchedRightTime);
+    *                   when false the match is discarded (payload nulls)
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightOrder: Option[String] = None,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, payload, rightOrder,
+      tolerance, forward = false)
+
+  /** Forward as-of join: earliest right row at or after the left row's
+    * time (ties broken toward the smallest `rightOrder`).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightOrder: Option[String] = None,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, payload, rightOrder,
+      tolerance, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightOrder: Option[String],
+      tolerance: Option[(Column, Column) => Column],
+      forward: Boolean): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val leftNonKey = left.columns.filterNot(keys.contains).toSeq
+    // the matched payload travels as ONE struct per right row; rightTime
+    // rides along so the tolerance predicate can see it
+    val payloadFields = (payload :+ rightTime).distinct
+    val rpType = StructType(payloadFields.map(f => right.schema(f)))
+    val ridType: DataType =
+      rightOrder.map(right.schema(_).dataType).getOrElse(LongType)
+
+    def nullAs(dt: DataType, name: String): Column = lit(null).cast(dt).as(name)
+
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        rightOrder.map(col).getOrElse(lit(null).cast(ridType)).as("__rid"),
+        struct(payloadFields.map(col): _*).as("__rp")) ++
+      leftNonKey.map(c => nullAs(left.schema(c).dataType, c)): _*)
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        nullAs(ridType, "__rid"),
+        nullAs(rpType, "__rp")) ++
+      leftNonKey.map(col): _*)
+
+    // Backward scans time ascending so `last` sees the greatest rt <= lt;
+    // forward scans descending so it sees the smallest rt >= lt. Right
+    // rows order before left rows at equal __t either way (inclusive
+    // bound); __rid orients so the LAST equal-time right row is the
+    // deterministic winner.
+    val ord =
+      if (forward) Seq(col("__t").desc, col("__side").asc, col("__rid").desc)
+      else Seq(col("__t").asc, col("__side").asc, col("__rid").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rSide.unionByName(lSide)
+      .withColumn("__m", last("__rp", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val valid = tolerance match {
+      case Some(pred) =>
+        col("__m").isNotNull && pred(col("__t"), col("__m").getField(rightTime))
+      case None => col("__m").isNotNull
+    }
+    matched.select(
+      left.columns.map(col).toSeq ++
+        payload.map(p => when(valid, col("__m").getField(p)).as(p)): _*)
+  }
+}

@@ -98,4 +98,37 @@ object EventStreams {
       lateness: String): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicates(Seq(idCol, "ts"))
+
+  /** Stream-stream interval join: each left event joined to every right
+    * event for the same user within the trailing `horizonSec` window
+    * (`rts ∈ [lts - horizon, lts]`) — the streaming analogue of
+    * `operators.AsofJoin.backward` with a tolerance. Streaming relaxes
+    * "the latest match" to "all matches in the horizon" because picking
+    * the single latest would need per-key ordered state with unbounded
+    * reordering; the batch as-of join is the exact operator, this is its
+    * incremental twin (the attribution query in both forms).
+    *
+    * Both sides carry watermarks, and the join condition bounds right
+    * event time on both ends — exactly what Structured Streaming needs to
+    * age state out instead of buffering both streams forever. Left-outer
+    * rows (no match in horizon) emit once the watermark passes the left
+    * event's horizon.
+    *
+    * Expects the standard events schema on both inputs; right columns come
+    * back as (match_id, match_ts, match_type).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizonSec: Long,
+      lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+    val r = right.select(col("user_id").as("match_user"),
+        col("event_id").as("match_id"), col("ts").as("match_ts"),
+        col("event_type").as("match_type"))
+      .withWatermark("match_ts", lateness)
+    l.join(r,
+      expr(s"""user_id = match_user
+               AND match_ts BETWEEN ts - INTERVAL $horizonSec SECONDS
+                               AND ts"""),
+      "leftOuter")
+      .drop("match_user")
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // trades (left) and quotes (right) per symbol — the canonical as-of shape
+  private def trades = Seq(
+    ("A", 3L, 100.0), ("A", 8L, 101.0), ("A", 15L, 102.0),
+    ("B", 1L, 50.0), ("B", 10L, 51.0)
+  ).toDF("sym", "t", "price")
+
+  private def quotes = Seq(
+    ("A", 2L, 1L, 99.5), ("A", 8L, 2L, 100.5), ("A", 8L, 3L, 100.6),
+    ("A", 12L, 4L, 101.5),
+    ("B", 5L, 5L, 49.5)
+  ).toDF("sym", "qt", "qid", "bid")
+
+  it should "attach the latest quote at or before each trade" in {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("qid", "bid"),
+      rightOrder = Some("qid"))
+    rowsOf(out, "sym", "t", "qid", "bid") shouldBe Set(
+      Seq("A", 3L, 1L, 99.5),
+      // equal-time quotes (qt=8): the largest qid wins, deterministically
+      Seq("A", 8L, 3L, 100.6),
+      Seq("A", 15L, 4L, 101.5),
+      Seq("B", 1L, null, null), // no quote at or before t=1
+      Seq("B", 10L, 5L, 49.5))
+  }
+
+  it should "attach the earliest quote at or after each trade (forward)" in {
+    val out = AsofJoin.forward(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("qid"),
+      rightOrder = Some("qid"))
+    rowsOf(out, "sym", "t", "qid") shouldBe Set(
+      Seq("A", 3L, 2L), // qt=8 ties broken toward the smallest qid
+      Seq("A", 8L, 2L),
+      Seq("A", 15L, null),
+      Seq("B", 1L, 5L),
+      Seq("B", 10L, null))
+  }
+
+  it should "null out matches beyond the tolerance" in {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("qid"),
+      rightOrder = Some("qid"),
+      tolerance = Some((lt, rt) => lt - rt <= 2L))
+    rowsOf(out, "sym", "t", "qid") shouldBe Set(
+      Seq("A", 3L, 1L),   // gap 1 <= 2
+      Seq("A", 8L, 3L),   // gap 0
+      Seq("A", 15L, null), // latest quote is 3 back — beyond tolerance
+      Seq("B", 1L, null),
+      Seq("B", 10L, null)) // gap 5
+  }
+
+  it should "match the per-row subquery semantics on a random fixture" in {
+    val rng = new scala.util.Random(11)
+    val l = (0 until 300).map(i =>
+      (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = (0 until 300).map(i =>
+      (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "rt", "rid")
+    val out = AsofJoin.backward(l, r, Seq("k"),
+      leftTime = "t", rightTime = "rt", payload = Seq("rid"),
+      rightOrder = Some("rid"))
+    // oracle: per-left-row max over the naive theta-join (times can tie —
+    // the (rt, rid) struct ordering mirrors rightOrder's tie-break)
+    val best = l.join(r, l("k") === r("k") && $"rt" <= $"t")
+      .groupBy("lid")
+      .agg(max_by($"rid", struct($"rt", $"rid")).as("rid"))
+    val expected = l.join(best, Seq("lid"), "left")
+    rowsOf(out, "k", "t", "lid", "rid") shouldBe
+      rowsOf(expected, "k", "t", "lid", "rid")
+  }
+
+  it should "plan one exchange and no join node" in {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("qid", "bid"),
+      rightOrder = Some("qid"))
+    // the union+window formulation joins NOTHING: no BroadcastNestedLoop,
+    // no SortMerge, no per-key fan-out — one hash exchange on the key
+    graft.core.Bucketing.shuffleCount(out) shouldBe 1
+    out.queryExecution.executedPlan.toString.contains("Join") shouldBe false
+  }
+}

@@ -62,6 +62,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "join purchases to clicks within the horizon, outer past the watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long, String)]
+    val clicks = MemoryStream[(Long, Timestamp, Long, String)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long, String)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val query = EventStreams
+      .intervalJoin(frame(purchases), frame(clicks),
+        horizonSec = 600, lateness = "1 minute")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData((100L, ts(1), 1L, "click"), (101L, ts(8), 1L, "click"),
+        (102L, ts(5), 2L, "click"))
+      purchases.addData((200L, ts(9), 1L, "purchase"),
+        (201L, ts(30), 2L, "purchase"))
+      query.processAllAvailable()
+      // inner matches stream out immediately: both of user 1's clicks fall
+      // in purchase 200's 10-minute horizon; user 2's click is 25 min
+      // before purchase 201 — outside it
+      rowsOf(spark.table("attributed").filter($"match_id".isNotNull),
+        "event_id", "match_id") shouldBe
+        Set(Seq(200L, 100L), Seq(200L, 101L))
+      // the unmatched purchase emits its outer row only once the watermark
+      // passes its horizon — advance event time far beyond it
+      clicks.addData((103L, ts(55), 3L, "click"))
+      purchases.addData((202L, ts(55), 3L, "purchase"))
+      query.processAllAvailable()
+      rowsOf(spark.table("attributed").filter($"match_id".isNull),
+        "event_id", "match_id") shouldBe Set(Seq(201L, null))
+    } finally query.stop()
+  }
+
   it should "drop duplicate ids within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
