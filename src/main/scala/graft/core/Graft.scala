@@ -23,6 +23,11 @@ object Graft {
     */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
+      // engine extensions: native SQL functions + optimizer rules (the
+      // RangeJoinRewrite rule is inert until its width conf is set) —
+      // loading them here means every session, test or cluster, runs the
+      // same injection path as --conf spark.sql.extensions=...
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -11,10 +11,14 @@ import graft.functions.expressions.{DotProduct, PolyHash}
   * `--conf spark.sql.extensions=graft.core.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer rules: inert unless their conf is set (RangeJoinRewrite
+    // fires only with spark.graft.rangeJoin.bucketWidth)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Catalyst optimizer rule: rewrite point-in-interval theta-joins into the
+  * bucketed equi-join shape of `operators.RangeJoin` — rung (c) of the
+  * custom-operator ladder (`Rule[LogicalPlan]` via SparkSessionExtensions),
+  * used here because no DataFrame-level composition can fix a join the
+  * USER already wrote as `p.x >= r.lo AND p.x < r.hi`.
+  *
+  * Without the rule Spark plans that join as a BroadcastNestedLoopJoin —
+  * O(|points| × |ranges|) comparisons and a hard broadcast-limit wall once
+  * the ranges side grows. The rewrite buckets both sides on
+  * `floor(value / width)` (ranges fan out to every bucket they overlap via
+  * `explode(sequence(...))`), joins on the bucket key, and keeps the exact
+  * predicate as a post-join re-check, so results are identical for ANY
+  * width (RangeJoinRewriteSpec asserts equivalence and the plan change).
+  *
+  * Scope guards:
+  *  - fires only on INNER joins whose condition contains a
+  *    `point >= lo AND point < hi` conjunct pair (any flip of the
+  *    comparisons) with `point` computed from one side and `lo`/`hi` from
+  *    the other, all numeric;
+  *  - bails if any conjunct is already an equi-join predicate (Spark hash-
+  *    joins those fine — and this is also what makes the rule idempotent:
+  *    its own output contains a bucket equality, so it never re-fires);
+  *  - only active when `spark.graft.rangeJoin.bucketWidth` is set — width
+  *    is data-dependent (≈ median range length), so it is an explicit
+  *    opt-in, not a guess.
+  */
+case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  import RangeJoinRewrite.WidthConf
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    spark.conf.getOption(WidthConf).map(_.toDouble).filter(_ > 0) match {
+      case None => plan
+      case Some(w) =>
+        plan.transformUp {
+          case j @ Join(left, right, Inner, Some(cond), _) =>
+            rewrite(j, left, right, cond, w).getOrElse(j)
+        }
+    }
+
+  /** `point >= lo` in either written order. */
+  private def lowerBound(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case GreaterThanOrEqual(p, lo) => Some((p, lo))
+      case LessThanOrEqual(lo, p)    => Some((p, lo))
+      case _                         => None
+    }
+
+  /** `point < hi` in either written order. */
+  private def upperBound(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThan(p, hi)    => Some((p, hi))
+      case GreaterThan(hi, p) => Some((p, hi))
+      case _                  => None
+    }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, w: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (!conjuncts.forall(_.deterministic)) return None
+    def spansSides(a: Expression, b: Expression): Boolean = {
+      val (ar, br) = (a.references, b.references)
+      ar.nonEmpty && br.nonEmpty &&
+        ((ar.subsetOf(left.outputSet) && br.subsetOf(right.outputSet)) ||
+          (ar.subsetOf(right.outputSet) && br.subsetOf(left.outputSet)))
+    }
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b)       => spansSides(a, b)
+      case EqualNullSafe(a, b) => spansSides(a, b)
+      case _                   => false
+    }
+    if (hasEqui) return None
+
+    def fromOneSide(e: Expression): Boolean =
+      e.references.nonEmpty &&
+        (e.references.subsetOf(left.outputSet) ||
+          e.references.subsetOf(right.outputSet))
+    def numeric(e: Expression): Boolean =
+      e.dataType.isInstanceOf[NumericType]
+
+    val candidate = (for {
+      lb <- conjuncts.iterator.flatMap(lowerBound(_))
+      (p, lo) = lb
+      if fromOneSide(p) && fromOneSide(lo) && spansSides(p, lo)
+      if numeric(p) && numeric(lo)
+      ub <- conjuncts.iterator.flatMap(upperBound(_))
+      (p2, hi) = ub
+      if p.semanticEquals(p2) && numeric(hi)
+      if fromOneSide(hi) && spansSides(p, hi)
+    } yield (p, lo, hi)).nextOption()
+
+    candidate.map { case (point, lo, hi) =>
+      val pointOnLeft = point.references.subsetOf(left.outputSet)
+      val (pPlan, rPlan) = if (pointOnLeft) (left, right) else (right, left)
+      val wLit = Literal(w, DoubleType)
+      def bucketOf(e: Expression): Expression =
+        Floor(Divide(Cast(e, DoubleType), wLit)) // Floor(double) : LongType
+      val pAlias = Alias(bucketOf(point), "__graft_bucket_p")()
+      val pProj = Project(pPlan.output :+ pAlias, pPlan)
+      // a range [lo, hi) overlaps buckets floor(lo/w)..floor(hi/w); the
+      // exact re-check removes the one spurious candidate when hi sits on
+      // a bucket edge. Null lo/hi → null sequence → Generate emits no row,
+      // matching the theta-join's null-comparison semantics.
+      // Sequence is TimeZoneAwareExpression: without an explicit
+      // timeZoneId it reports unresolved and plan validation rejects the
+      // rewrite (integral sequences never use it, but resolution demands it)
+      val gen = Explode(Sequence(bucketOf(lo), bucketOf(hi), None,
+        Some(conf.sessionLocalTimeZone)))
+      val bAttr = AttributeReference("__graft_bucket_r", LongType,
+        nullable = gen.elementSchema.head.nullable)()
+      val rGen = Generate(gen, Nil, outer = false, None, Seq(bAttr), rPlan)
+      val (nl, nr) = if (pointOnLeft) (pProj, rGen) else (rGen, pProj)
+      val joined = Join(nl, nr, Inner,
+        Some(And(EqualTo(pAlias.toAttribute, bAttr), cond)), j.hint)
+      Project(j.output, joined)
+    }
+  }
+}
+
+object RangeJoinRewrite {
+
+  /** Bucket width (domain units). Unset → the rule is inert. */
+  val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  /** Install on an already-running session (builder-time
+    * `spark.sql.extensions` only applies to new sessions).
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[RangeJoinRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite(spark)
+}
