@@ -56,25 +56,41 @@ class AsofJoinSpec extends SparkSpec {
       Seq("B", 10L, null)) // gap 5
   }
 
-  it should "match the per-row subquery semantics on a random fixture" in {
-    val rng = new scala.util.Random(11)
-    val l = (0 until 300).map(i =>
-      (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
-      .toDF("k", "t", "lid")
-    val r = (0 until 300).map(i =>
-      (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
-      .toDF("k", "rt", "rid")
-    val out = AsofJoin.backward(l, r, Seq("k"),
-      leftTime = "t", rightTime = "rt", payload = Seq("rid"),
+  it should "match the per-row subquery semantics on random fixtures" in {
+    for (seed <- Seq(11, 23, 47)) {
+      val rng = new scala.util.Random(seed)
+      val l = (0 until 300).map(i =>
+        (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      val r = (0 until 300).map(i =>
+        (s"k${rng.nextInt(5)}", rng.nextInt(1000).toLong, i.toLong))
+        .toDF("k", "rt", "rid")
+      val out = AsofJoin.backward(l, r, Seq("k"),
+        leftTime = "t", rightTime = "rt", payload = Seq("rid"),
+        rightOrder = Some("rid"))
+      // oracle: per-left-row max over the naive theta-join (times can tie —
+      // the (rt, rid) struct ordering mirrors rightOrder's tie-break)
+      val best = l.join(r, l("k") === r("k") && $"rt" <= $"t")
+        .groupBy("lid")
+        .agg(max_by($"rid", struct($"rt", $"rid")).as("rid"))
+      val expected = l.join(best, Seq("lid"), "left")
+      withClue(s"seed $seed: ") {
+        rowsOf(out, "k", "t", "lid", "rid") shouldBe
+          rowsOf(expected, "k", "t", "lid", "rid")
+      }
+    }
+  }
+
+  it should "join on composite keys" in {
+    val l = Seq(("A", "x", 5L, 1L), ("A", "y", 5L, 2L), ("B", "x", 5L, 3L))
+      .toDF("sym", "venue", "t", "lid")
+    val r = Seq(("A", "x", 4L, 10L), ("A", "y", 3L, 11L), ("B", "y", 1L, 12L))
+      .toDF("sym", "venue", "qt", "rid")
+    val out = AsofJoin.backward(l, r, Seq("sym", "venue"),
+      leftTime = "t", rightTime = "qt", payload = Seq("rid"),
       rightOrder = Some("rid"))
-    // oracle: per-left-row max over the naive theta-join (times can tie —
-    // the (rt, rid) struct ordering mirrors rightOrder's tie-break)
-    val best = l.join(r, l("k") === r("k") && $"rt" <= $"t")
-      .groupBy("lid")
-      .agg(max_by($"rid", struct($"rt", $"rid")).as("rid"))
-    val expected = l.join(best, Seq("lid"), "left")
-    rowsOf(out, "k", "t", "lid", "rid") shouldBe
-      rowsOf(expected, "k", "t", "lid", "rid")
+    rowsOf(out, "lid", "rid") shouldBe Set(
+      Seq(1L, 10L), Seq(2L, 11L), Seq(3L, null)) // (B,x) has no quotes
   }
 
   it should "plan one exchange and no join node" in {
