@@ -75,4 +75,77 @@ class BookmarkValidationSpec extends SparkSpec {
     ev.select("sync_day").distinct().collect()
       .map(_.getString(0)).toSet shouldBe Set("20170101")
   }
+
+  private def register(rows: Seq[Row]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), syncSchema)
+      .createOrReplaceTempView("sync_summary")
+
+  // tests/test_sync_bookmark.py:195-282 — the bookmarks-buffered engine
+  // counts toward problems alongside plain bookmarks; non-bookmark
+  // engines and failed pings never do
+  it should "sum validation problems across bookmark engine variants" in {
+    register(Seq(
+      syncRow("f1", "d", 1483228800000L,
+        Seq(engine(name = "not bookmarks", problems = null)),
+        failureReason = Row("some failure")),
+      syncRow("u1", "d", 1483228800000L,
+        Seq(engine(name = "not bookmarks", problems = null))),
+      syncRow("u2", "d", 1483228800000L, Seq(engine(problems = null))),
+      syncRow("u3", "d", 1483228800000L,
+        Seq(engine(problems = Seq(Row("1", 1L))))),
+      syncRow("u4", "d", 1483228800000L, Seq(
+        engine(name = "not bookmarks", problems = null),
+        engine(problems = Seq(Row("2", 10L))),
+        engine(problems = Seq(Row("3", 100L), Row("4", 1000L))))),
+      syncRow("u5", "d", 1483228800000L, Seq(
+        engine(name = "bookmarks-buffered",
+          problems = Seq(Row("new problem", 50L), Row("another problem", 4L))))),
+      syncRow("u6", "d", 1483228800000L,
+        Seq(engine(name = "bookmarks-buffered", problems = null)))))
+    val (problems, _) = BookmarkValidation.transform(spark)
+    problems.count() shouldBe 6
+    def psum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum(
+        "engine_validation_problem_count")).head.getLong(0)
+    psum(problems) shouldBe 1165L
+    psum(problems.where(
+      org.apache.spark.sql.functions.col("engine_name") === "bookmarks")) shouldBe 1111L
+    psum(problems.where(org.apache.spark.sql.functions
+      .col("engine_name") === "bookmarks-buffered")) shouldBe 54L
+  }
+
+  // tests/test_sync_bookmark.py:302-316 — duplicate (uid, device, when)
+  // validations collapse in the distinct count
+  it should "count distinct validations across duplicate pings" in {
+    register(Seq(
+      syncRow("0", "0", 1483228800000L, Seq(engine())),
+      syncRow("0", "1", 1483228800000L, Seq(engine())),
+      syncRow("1", "0", 1483228800000L, Seq(engine())),
+      syncRow("1", "1", 1483228800000L, Seq(engine())),
+      syncRow("1", "1", 1483228800000L, Seq(engine())),
+      syncRow("1", "1", 1483228800000L, Seq(engine()))))
+    val (_, aggs) = BookmarkValidation.transform(spark)
+    aggs.count() shouldBe 1
+    aggs.head.getAs[Long]("total_bookmark_validations") shouldBe 4L
+  }
+
+  // tests/test_sync_bookmark.py:319-341 — users count by SUBMISSION day,
+  // not sync day: a user whose `when` falls on the previous day still
+  // counts toward the partition day being processed
+  it should "count distinct users per submission day regardless of sync day" in {
+    val day1 = 1483228800000L            // 2017-01-01
+    val day2 = day1 - 86400000L          // 2016-12-31
+    register(Seq(
+      syncRow("0", "d", day1, Seq(engine())),
+      syncRow("1", "d", day1, Seq(engine())),
+      syncRow("1", "d", day2, Seq(engine())),
+      syncRow("1", "d", day2, Seq(engine())),
+      syncRow("2", "d", day2, Seq(engine()))))
+    val (_, aggs) = BookmarkValidation.transform(spark)
+    val a = aggs.collect()
+    a.length shouldBe 1
+    a.head.getAs[String]("submission_day") shouldBe "20170101"
+    a.head.getAs[Long]("total_validated_users") shouldBe 3L
+  }
 }

@@ -55,6 +55,32 @@ class SamplerSpec extends SparkSpec {
       Set("doc-1", "doc-2", "doc-3")
   }
 
+  // tests/test_landfill_sampler.py:114-123 — when every version marker is
+  // present, precedence is ver > version > deviceinfo > v (matching the
+  // moz_ingest telemetry.lua decoder the reference mirrors)
+  it should "prefer ver over version over deviceinfo over v" in {
+    val in = df(
+      msg("/submit/telemetry/d1/main/F/54/r/b",
+        """{"ver": 8, "version": 9, "v": 10, "deviceinfo": "foo"}"""),
+      msg("/submit/telemetry/d2/main/F/54/r/b",
+        """{"version": 9, "v": 10, "deviceinfo": "foo"}"""),
+      msg("/submit/telemetry/d3/main/F/54/r/b",
+        """{"v": 10, "deviceinfo": "foo"}"""))
+    rowsOf(Sampler.transform(in), "doc_id", "doc_version") shouldBe Set(
+      Seq("d1", "8"), Seq("d2", "9"), Seq("d3", "3"))
+  }
+
+  // tests/test_landfill_sampler.py:134-138 — identifiable meta fields
+  // never reach the output; here that exclusion is STRUCTURAL (the meta
+  // whitelist defines the carried schema, so Hostname/remote_addr/
+  // X-Forwarded-For cannot exist downstream)
+  it should "exclude identifiable meta fields by construction" in {
+    val pii = Set("Hostname", "remote_addr", "X-Forwarded-For")
+    (pii & Sampler.MetaWhitelist.toSet) shouldBe empty
+    val out = Sampler.transform(df(msg("/submit/ns/t/1/d", "{}")))
+    (pii & out.select("meta.*").columns.toSet) shouldBe empty
+  }
+
   it should "drop rows with malformed URIs" in {
     val in = df(msg("/submit", "{}"), msg("/submit/ns", "{}"),
       msg("/submit/ns/t/1/d", "{}"))
