@@ -89,6 +89,45 @@ object TemporalQueries {
         JOIN orders o ON o.o_totalprice >= r.lo AND o.o_totalprice < r.hi
         GROUP BY r.range_id ORDER BY r.range_id""")),
 
+    // Forward as-of with tolerance: each signup attached to the user's
+    // next view, but only when it lands within 24 hours (685 of 2017
+    // match at sf0.01 — beyond-tolerance and no-next-view rows both
+    // exercise the null path). DuckDB replays with a forward ASOF LEFT
+    // JOIN (s.ts <= v.view_ts) plus a CASE for the tolerance.
+    GateQuery(
+      "q35_asof_forward",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val signups = e.filter(col("event_type") === "signup")
+          .select("user_id", "event_id", "ts")
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        AsofJoin.forward(signups, views, Seq("user_id"),
+            leftTime = "ts", rightTime = "view_ts",
+            payload = Seq("view_id", "view_ts"),
+            rightOrder = Some("view_id"),
+            tolerance = Some((lt, rt) =>
+              unix_micros(rt) - unix_micros(lt) <= 86400000000L))
+          .select(col("user_id"), col("event_id"), col("view_id"),
+            (unix_micros(col("view_ts")) - unix_micros(col("ts")))
+              .as("micros_to_view"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""
+        WITH s AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'signup'),
+        v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+              FROM events WHERE event_type = 'view')
+        SELECT s.user_id, s.event_id,
+          CASE WHEN epoch_us(v.view_ts) - epoch_us(s.ts) <= 86400000000
+               THEN v.view_id END AS view_id,
+          CASE WHEN epoch_us(v.view_ts) - epoch_us(s.ts) <= 86400000000
+               THEN epoch_us(v.view_ts) - epoch_us(s.ts) END AS micros_to_view
+        FROM s ASOF LEFT JOIN v
+          ON s.user_id = v.user_id AND s.ts <= v.view_ts
+        ORDER BY s.user_id, s.event_id""")),
+
     // A7 pair co-occurrence: distinct (user, event_type) self-joined into
     // ordered pairs, counted per pair — the coinstallation-matrix shape.
     // ReuseExchange deduplicates the identical distinct subplan, so the
