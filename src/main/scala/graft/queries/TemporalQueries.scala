@@ -131,7 +131,10 @@ object TemporalQueries {
     // A7 pair co-occurrence: distinct (user, event_type) self-joined into
     // ordered pairs, counted per pair — the coinstallation-matrix shape.
     // ReuseExchange deduplicates the identical distinct subplan, so the
-    // self-join scans and shuffles the input once.
+    // self-join scans and shuffles the input once. Scale note: pairs grow
+    // quadratically in per-key cardinality; at 100 TB cap the per-key fan
+    // -out first (whitelist / top-k per key), exactly as the TAAR guidguid
+    // job's whitelist semi-join does (LiteGuidGuid.scala).
     GateQuery(
       "q34_pair_cooccur",
       (s, dir) => {
