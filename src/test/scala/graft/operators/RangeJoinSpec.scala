@@ -57,4 +57,26 @@ class RangeJoinSpec extends SparkSpec {
     out.groupBy("lid", "rid").count().filter($"count" > 1).count() shouldBe 0
     rowsOf(out, "lid", "rid") shouldBe rowsOf(naive, "lid", "rid")
   }
+
+  it should "match the naive overlap join on random intervals at any width" in {
+    for (seed <- Seq(3, 17)) {
+      val rng = new scala.util.Random(seed)
+      def intervals(n: Int, pfx: String) = (0 until n).map { i =>
+        val lo = rng.nextDouble() * 900
+        (i.toLong, lo, lo + 1 + rng.nextDouble() * 120)
+      }.toDF(s"${pfx}id", s"${pfx}lo", s"${pfx}hi")
+      val l = intervals(60, "l")
+      val r = intervals(60, "r")
+      val naive = rowsOf(
+        l.join(r, $"llo" < $"rhi" && $"rlo" < $"lhi"), "lid", "rid")
+      for (w <- Seq(7.0, 64.0, 500.0)) {
+        val out = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi", w)
+        withClue(s"seed $seed width $w: ") {
+          out.groupBy("lid", "rid").count()
+            .filter($"count" > 1).count() shouldBe 0
+          rowsOf(out, "lid", "rid") shouldBe naive
+        }
+      }
+    }
+  }
 }
