@@ -132,6 +132,41 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Scalar-quantized (int8) ANN — the vector-storage compression path.
+    // Unlike d05/d06/d09 this gate has NO summation-order dependency at
+    // all: quantized components are integral, dot products are exact sums
+    // below 2^53, and the only floats are one sqrt + one division over
+    // exact integers (correctly-rounded IEEE, identical in any engine).
+    GateQuery(
+      "d10_ann_quantized",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.similarity.Quantize.topK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                  (acc, x) -> greatest(acc, x)) AS amax
+              FROM e),
+        qz AS (SELECT vec_id,
+                 CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
+                 END AS qv
+               FROM m),
+        n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                list_dot_product(q.qv, c.qv) / (q.nrm * c.nrm) AS sim
+              FROM q JOIN n c ON q.vec_id <> c.vec_id),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+              FROM s)
+        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // MinHash + banded LSH near-dup detection, LSH candidates verified by
     // exact shingle Jaccard — finds the corpus's planted near-dup pairs.
     GateQuery(

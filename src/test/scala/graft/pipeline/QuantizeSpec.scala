@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.similarity.{Ann, Quantize}
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val rng = new scala.util.Random(13)
+    (0 until 120).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(d => if (d == c * 4) 8.0f else 0.0f)
+      (i.toLong, base.map(v => v + rng.nextFloat()))
+    }.toDF("vec_id", "embedding")
+  }
+
+  it should "produce integral components in [-127, 127] with unit peak" in {
+    val q = Quantize.scalarQuantize(corpus, "vec_id", "embedding")
+    q.select(explode($"qvec").as("x"))
+      .filter($"x" =!= floor($"x") || abs($"x") > 127).count() shouldBe 0
+    // the peak component always quantizes to exactly ±127
+    q.select(aggregate($"qvec", lit(0.0),
+        (a, x) => greatest(a, abs(x))).as("peak"))
+      .filter($"peak" =!= 127.0).count() shouldBe 0
+  }
+
+  it should "quantize a zero vector to all zeros without dividing by zero" in {
+    val z = Seq((0L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val row = Quantize.scalarQuantize(z, "vec_id", "embedding").collect().head
+    row.getAs[Double]("amax") shouldBe 0.0
+    row.getSeq[Double](row.fieldIndex("qvec")).toSet shouldBe Set(0.0)
+  }
+
+  it should "preserve exact-cosine neighbor recall at int8 precision" in {
+    val queries = corpus.filter($"vec_id" < 8)
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 10)
+    val quant = Quantize.topK(corpus, queries, "vec_id", "embedding", k = 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (e, q) = (pairs(exact), pairs(quant))
+    // int8 quantization perturbs near-tie ranks only: recall@10 >= 0.9
+    val recall = (e & q).size.toDouble / e.size
+    recall should be >= 0.9
+  }
+}
