@@ -78,15 +78,20 @@ object LiteGuidGuid {
       .selectExpr("addon_ids as installed_addons")
 
   /** taar_lite_guidguid.py:123-182: key_all pair expansion + pair counts +
-    * per-key collapse. `array_remove` mirrors the reference's exclusion of
-    * the key add-on from its co-install list.
+    * per-key collapse. key_all excludes the key add-on BY POSITION
+    * (`b is not i` — object identity), not by value: a client reporting
+    * the same guid twice pairs each occurrence with the other, yielding a
+    * self-co-installation count (tests/test_taar_lite_guidguid.py expects
+    * guid-1×2 → (guid-1, guid-1, n=2)). posexplode + an indexed filter
+    * reproduces that exactly; an `array_remove` would drop ALL equal
+    * occurrences and silently lose those pairs.
     */
   def transform(longitudinalAddons: DataFrame): DataFrame =
     longitudinalAddons
-      .select(explode(col("installed_addons")).as("key_addon"),
-        col("installed_addons"))
+      .select(col("installed_addons"),
+        posexplode(col("installed_addons")).as(Seq("pos", "key_addon")))
       .select(col("key_addon"),
-        explode(array_remove(col("installed_addons"), col("key_addon")))
+        explode(expr("filter(installed_addons, (b, j) -> j != pos)"))
           .as("coinstalled_addon"))
       .groupBy("key_addon", "coinstalled_addon").count()
       .groupBy("key_addon")

@@ -55,6 +55,31 @@ class TaarSpec extends SparkSpec {
     model("c@x") shouldBe Map("a@x" -> 1L, "b@x" -> 1L)
   }
 
+  // tests/test_taar_lite_guidguid.py MOCK_TELEMETRY_SAMPLE →
+  // EXPECTED_GUID_GUID_DATA, verbatim — including the duplicate-guid
+  // client ["guid-1", "guid-1"], whose key_all (position-identity
+  // exclusion) yields a SELF-co-installation of n=2
+  it should "reproduce the reference coinstallation counts with duplicate guids" in {
+    import spark.implicits._
+    val sample = Seq(
+      Seq("test-guid-1", "test-guid-2", "test-guid-3"),
+      Seq("test-guid-1", "test-guid-3"),
+      Seq("test-guid-1", "test-guid-4"),
+      Seq("test-guid-2", "test-guid-5", "test-guid-6"),
+      Seq("test-guid-1", "test-guid-1")
+    ).toDF("installed_addons")
+    val model = LiteGuidGuid.toModel(LiteGuidGuid.transform(sample))
+    model shouldBe Map(
+      "test-guid-1" -> Map("test-guid-2" -> 1L, "test-guid-1" -> 2L,
+        "test-guid-3" -> 2L, "test-guid-4" -> 1L),
+      "test-guid-2" -> Map("test-guid-6" -> 1L, "test-guid-5" -> 1L,
+        "test-guid-3" -> 1L, "test-guid-1" -> 1L),
+      "test-guid-3" -> Map("test-guid-2" -> 1L, "test-guid-1" -> 2L),
+      "test-guid-4" -> Map("test-guid-1" -> 1L),
+      "test-guid-5" -> Map("test-guid-6" -> 1L, "test-guid-2" -> 1L),
+      "test-guid-6" -> Map("test-guid-2" -> 1L, "test-guid-5" -> 1L))
+  }
+
   it should "use the broadcast whitelist path for large lists with identical results" in {
     clientsDaily(
       cdRow("c1", Seq(addon("a@x"), addon("b@x"), addon("c@x"))),
