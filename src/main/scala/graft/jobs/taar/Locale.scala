@@ -109,7 +109,11 @@ object Locale {
     */
   def computeNoisyCounts(localeAddonCounts: Seq[(String, String, Long)],
       addonLimits: Map[String, Int], whitelist: Seq[String],
-      eps: Double = Epsilon, seed: Long = 42L): Seq[(String, String, Double)] = {
+      eps: Double = Epsilon, seed: Long = 42L,
+      // injectable like the reference's monkeypatchable `rlaplace`
+      // (tests/test_taar_locale.py mock_rlaplace returns the scale itself)
+      noise: (scala.util.Random, Double) => Double = laplace)
+      : Seq[(String, String, Double)] = {
     val rng = new scala.util.Random(seed)
     val observed = localeAddonCounts
       .map { case (l, a, c) => (l, a) -> c.toDouble }.toMap
@@ -118,7 +122,7 @@ object Locale {
       scale = addonLimits(locale).toDouble / eps
       addon <- whitelist
     } yield (locale, addon,
-      observed.getOrElse((locale, addon), 0.0) + laplace(rng, scale))
+      observed.getOrElse((locale, addon), 0.0) + noise(rng, scale))
   }
 
   /** taar_locale.py:292-317: per-locale min-shift normalization + top-N. */

@@ -92,6 +92,46 @@ class TaarSpec extends SparkSpec {
     big shouldBe small
   }
 
+  // tests/test_taar_locale.py:92-119,342-377 — SAMPLE_CLIENT_DATA for
+  // en-US clients 1-5 with the reference's good/bad1/bad2 addon templates
+  // (bad1 = is_system, bad2 = user_disabled + signed_state 0), and both
+  // expected record sets (range-limited and open-ended) copied verbatim
+  it should "reproduce the reference client-addon extraction across day ranges" in {
+    def good(id: String) =
+      Row(id, false, s"name-$id", false, false, "1.0", 1L, "extension",
+        false, false, 16000L, 16001L, 2L, false, false, true)
+    def bad1(id: String) = // is_system
+      Row(id, false, s"name-$id", false, false, "1.0", 1L, "extension",
+        false, false, 16000L, 16001L, 2L, true, false, true)
+    def bad2(id: String) = // user_disabled, unsigned
+      Row(id, false, s"name-$id", true, false, "1.0", 1L, "extension",
+        false, false, 16000L, 16001L, 0L, false, false, true)
+    clientsDaily(
+      cdRow("client-1", Seq(good("guid-1"), good("guid-5"), bad1("guid-bad1")), day = "20190115"),
+      cdRow("client-1", Seq(good("guid-1"), good("guid-4"), bad1("guid-bad1")), day = "20190113"),
+      cdRow("client-1", Seq(good("guid-1"), good("guid-3"), bad1("guid-bad1")), day = "20190112"),
+      cdRow("client-1", Seq(good("guid-1"), bad1("guid-bad1")), day = "20190110"),
+      cdRow("client-2", Seq(good("guid-2"), bad2("guid-bad2")), day = "20190114"),
+      cdRow("client-2", Seq(good("guid-1"), bad2("guid-bad2")), day = "20190112"),
+      cdRow("client-3", Seq(good("guid-1")), day = "20190109"),
+      cdRow("client-4", Seq(good("guid-1"), good("guid-2")), day = "20190112"),
+      cdRow("client-5", Seq(), day = "20190114"),
+      cdRow("client-5", Seq(), day = "20190113"))
+    // range limited on both ends: client-1 keeps 20190113, client-3 is
+    // out of range, client-5 has no add-ons
+    rowsOf(Locale.getClientAddons(spark, "20190112", Some("20190114")),
+      "locale", "client_id", "addon") shouldBe Set(
+      Seq("en-US", "client-1", "guid-1"), Seq("en-US", "client-1", "guid-4"),
+      Seq("en-US", "client-2", "guid-2"),
+      Seq("en-US", "client-4", "guid-1"), Seq("en-US", "client-4", "guid-2"))
+    // earliest bound only: client-1 keeps its 20190115 record instead
+    rowsOf(Locale.getClientAddons(spark, "20190112"),
+      "locale", "client_id", "addon") shouldBe Set(
+      Seq("en-US", "client-1", "guid-1"), Seq("en-US", "client-1", "guid-5"),
+      Seq("en-US", "client-2", "guid-2"),
+      Seq("en-US", "client-4", "guid-1"), Seq("en-US", "client-4", "guid-2"))
+  }
+
   it should "rank addon install counts via SQL (guidranking)" in {
     clientsDaily(
       cdRow("c1", Seq(addon("a@x"), addon("b@x"))),
@@ -116,6 +156,38 @@ class TaarSpec extends SparkSpec {
     dict("en-US").length shouldBe 2
     // weights are normalized relative proportions
     dict.values.foreach(_.foreach { case (_, w) => w should (be >= -1.0 and be <= 1.0) })
+  }
+
+  // tests/test_taar_locale.py:438-463 — with the reference's mock noise
+  // (add the Laplace scale itself), expected grid values verbatim:
+  // en-US scale 1/0.4 = 2.5, de scale 3/0.4 = 7.5, absent whitelist
+  // add-ons surface with raw count 0
+  it should "reproduce the reference noisy-count grid under mock noise" in {
+    val counts = Seq(("en-US", "guid-1", 5L), ("en-US", "guid-2", 2L),
+      ("en-US", "guid-3", 1L), ("de", "guid-1", 3L), ("de", "guid-2", 2L),
+      ("de", "guid-3", 4L))
+    val noisy = Locale.computeNoisyCounts(counts,
+      Map("en-US" -> 1, "de" -> 3),
+      Seq("guid-1", "guid-2", "guid-3", "guid-not-installed"),
+      noise = (_, scale) => scale)
+    noisy.toSet shouldBe Set(
+      ("en-US", "guid-1", 7.5), ("en-US", "guid-2", 4.5),
+      ("en-US", "guid-3", 3.5), ("en-US", "guid-not-installed", 2.5),
+      ("de", "guid-1", 10.5), ("de", "guid-2", 9.5),
+      ("de", "guid-3", 11.5), ("de", "guid-not-installed", 7.5))
+  }
+
+  // tests/test_taar_locale.py:510-520 — negative noised counts min-shift
+  // to zero and weights normalize to 1 per locale, verbatim values
+  it should "reproduce the reference top-addons normalization with a negative count" in {
+    val counts = Seq(("en-US", "guid-1", 5.0), ("en-US", "guid-2", 2.0),
+      ("en-US", "guid-3", 1.0), ("de", "guid-1", -1.0), ("de", "guid-2", 2.0),
+      ("de", "guid-3", 4.0))
+    val top = Locale.topAddonsByLocale(counts, 3)
+    top.foreach { case (_, addons) => addons.map(_._2).sum shouldBe 1.0 }
+    top shouldBe Map(
+      "en-US" -> Seq(("guid-1", 0.8), ("guid-2", 0.2), ("guid-3", 0.0)),
+      "de" -> Seq(("guid-3", 0.625), ("guid-2", 0.375), ("guid-1", 0.0)))
   }
 
   it should "add seeded Laplace noise over the full locale×whitelist grid" in {
