@@ -51,6 +51,8 @@ class SearchAggregatesSpec extends SparkSpec {
     val in = df(
       Map("document_id" -> "d1", "search_counts" -> Seq(
         searchCount("g", "urlbar", 1L),
+        searchCount("g", "sap:urlbar:SomeCodeHere", 1L),
+        searchCount("g", "follow-on:urlbar:SomeCodeHere", 1L),
         searchCount("g", "in-content:sap:foo", 1L),
         searchCount("g", "in-content:sap-follow-on:foo", 1L),
         searchCount("g", "in-content:organic:none", 1L),
@@ -58,8 +60,12 @@ class SearchAggregatesSpec extends SparkSpec {
         searchCount("g", "mystery", 1L))))
     val out = SearchAggregates.addDerivedColumns(
       SearchAggregates.explodeSearchCounts(in))
+    // the reference's full exploded_data_for_derived_cols pattern set
+    // (tests/test_search_aggregates.py:240-272)
     rowsOf(out, "source", "type") shouldBe Set(
       Seq("urlbar", "sap"),
+      Seq("sap:urlbar:SomeCodeHere", "tagged-sap"),
+      Seq("follow-on:urlbar:SomeCodeHere", "tagged-follow-on"),
       Seq("in-content:sap:foo", "tagged-sap"),
       Seq("in-content:sap-follow-on:foo", "tagged-follow-on"),
       Seq("in-content:organic:none", "organic"),
