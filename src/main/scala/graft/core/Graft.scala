@@ -20,14 +20,25 @@ object Graft {
 
   /** Configure a builder with the engine's standard settings. Safe for both
     * local[*] testing and cluster deployment (nothing here is local-only).
+    *
+    * `spark.sql.extensions` supports a comma-separated list; a value set
+    * via `--conf` / spark-defaults (visible as a system property) is
+    * PRESERVED with GraftExtensions appended. A value set on the builder
+    * itself before calling configure() cannot be read back (Builder has no
+    * getter) — pass it via `extraExtensions` instead.
     */
-  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+  def configure(b: SparkSession.Builder, shufflePartitions: Int,
+      extraExtensions: Seq[String] = Nil): SparkSession.Builder = {
+    val extensions =
+      (sys.props.get("spark.sql.extensions").toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty) ++
+        extraExtensions :+ "graft.core.GraftExtensions").distinct.mkString(",")
     b.config("spark.sql.session.timeZone", "UTC")
       // engine extensions: native SQL functions + optimizer rules (the
       // RangeJoinRewrite rule is inert until its width conf is set) —
       // loading them here means every session, test or cluster, runs the
       // same injection path as --conf spark.sql.extensions=...
-      .config("spark.sql.extensions", "graft.core.GraftExtensions")
+      .config("spark.sql.extensions", extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -38,6 +49,7 @@ object Graft {
       // readers normalize (GateQuery.table does timestamp_micros(ns div 1000)).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+  }
 
   /** Local session for tests / benches. */
   def localSession(cores: Int, appName: String = "graft"): SparkSession = {

@@ -58,12 +58,22 @@ object AsofJoin {
     asof(left, right, keys, leftTime, rightTime, payload, rightOrder,
       tolerance, forward = true)
 
+  /** Internal column names used by the union+window formulation. Caller
+    * frames must not use them (require below) — a silent collision would
+    * corrupt output rather than fail.
+    */
+  private val Reserved = Set("__t", "__side", "__rid", "__rp", "__m")
+
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       rightOrder: Option[String],
       tolerance: Option[(Column, Column) => Column],
       forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    val clash = (left.columns ++ right.columns).filter(Reserved).distinct
+    require(clash.isEmpty,
+      s"as-of join reserves column names ${Reserved.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")} before calling")
     val leftNonKey = left.columns.filterNot(keys.contains).toSeq
     // the matched payload travels as ONE struct per right row; rightTime
     // rides along so the tolerance predicate can see it
@@ -74,7 +84,14 @@ object AsofJoin {
 
     def nullAs(dt: DataType, name: String): Column = lit(null).cast(dt).as(name)
 
-    val rSide = right.select(
+    // Join semantics never match on NULL keys, but the window partitioning
+    // below groups NULL key values into one partition like GROUP BY would —
+    // so null-keyed right rows must be dropped up front or they would match
+    // null-keyed left rows (diverging from any real join, incl. the DuckDB
+    // ASOF oracle). Null-keyed LEFT rows stay and get a null payload.
+    val rightKeyed = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
+    val rSide = rightKeyed.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),

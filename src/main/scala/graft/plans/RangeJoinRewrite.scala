@@ -38,8 +38,22 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   import RangeJoinRewrite.WidthConf
 
+  /** Parsed defensively: the rule is injected into EVERY session via
+    * GraftExtensions, so a malformed width value must disable the rewrite
+    * (with a warning), not throw from inside the optimizer and fail every
+    * subsequent query in the session.
+    */
+  private def configuredWidth: Option[Double] =
+    spark.conf.getOption(WidthConf).flatMap { v =>
+      val parsed = scala.util.Try(v.toDouble).toOption.filter(_ > 0)
+      if (parsed.isEmpty)
+        logWarning(s"$WidthConf='$v' is not a positive number; " +
+          "range-join rewrite disabled")
+      parsed
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    spark.conf.getOption(WidthConf).map(_.toDouble).filter(_ > 0) match {
+    configuredWidth match {
       case None => plan
       case Some(w) =>
         plan.transformUp {

@@ -167,6 +167,66 @@ object PipelineQueries {
               FROM s)
         SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // The COMPOSED 100 TB ANN configuration: IVF cell pruning (hash-sampled
+    // centroids, as d07) → int8 scalar quantization of the probed cells →
+    // exact integer-dot rerank. d07 and d10 gate the pieces; this gates the
+    // composition `Quantize.ivfTopK` — the configuration actually run at
+    // scale (corpus partitioned by cell, vectors stored int8). The rerank
+    // inherits d10's no-summation-order-dependency property (integer dots
+    // are exact); only the probe stage shares d07's left-to-right float
+    // accumulation assumption (AnnOracleGapSpec canary).
+    GateQuery(
+      "d11_ann_ivf_quantized",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        graft.similarity.Quantize.ivfTopK(assigned,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT e.vec_id, e.v, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |qz AS (SELECT vec_id, cid,
+          |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+          |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
+          |         END AS qv
+          |       FROM (SELECT vec_id, cid, v,
+          |               list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+          |                 (acc, x) -> greatest(acc, x)) AS amax
+          |             FROM asn)),
+          |n AS (SELECT vec_id, cid, qv,
+          |        sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT q.vec_id AS qid, cent.cid,
+          |                 row_number() OVER (PARTITION BY q.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+          |sc AS (SELECT prb.qid, a.vec_id AS nid,
+          |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
+          |       FROM prb JOIN n a ON prb.cid = a.cid
+          |                JOIN n qq ON qq.vec_id = prb.qid
+          |       WHERE prb.qid <> a.vec_id),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // MinHash + banded LSH near-dup detection, LSH candidates verified by
     // exact shingle Jaccard — finds the corpus's planted near-dup pairs.
     GateQuery(

@@ -152,6 +152,46 @@ object TemporalQueries {
           COUNT(*) AS n_users
         FROM d a JOIN d b
           ON a.user_id = b.user_id AND a.event_type < b.event_type
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Interval-OVERLAP range join (both sides are intervals): nation price
+    // bands × per-order price windows [price, price+20000). The engine
+    // fans both sides over buckets and emits each qualifying pair exactly
+    // once from the bucket containing the overlap start (RangeJoin.
+    // intervalOverlap — no post-join distinct); DuckDB replays the raw
+    // two-sided inequality with its IEJoin, a genuinely independent
+    // algorithm.
+    GateQuery(
+      "q36_interval_overlap",
+      (s, dir) => {
+        val ranges = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("range_id"),
+          (col("n_nationkey") * lit(18000.0)).as("lo"),
+          (col("n_nationkey") * lit(18000.0) + lit(30000.0)).as("hi"))
+        val ords = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice"),
+          col("o_totalprice").as("p_lo"),
+          (col("o_totalprice") + lit(20000.0)).as("p_hi"))
+        RangeJoin.intervalOverlap(ranges, "lo", "hi",
+            ords, "p_lo", "p_hi", bucketWidth = 10000.0)
+          .groupBy("range_id")
+          .agg(count(lit(1)).as("n_overlaps"),
+            dsum(col("o_totalprice")).as("price_sum"))
+          .orderBy("range_id")
+      },
+      Some("""
+        SELECT r.range_id, COUNT(*) AS n_overlaps,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS price_sum
+        FROM (SELECT CAST(n_nationkey AS BIGINT) AS range_id,
+                     n_nationkey * 18000.0 AS lo,
+                     n_nationkey * 18000.0 + 30000.0 AS hi
+              FROM nation) r
+        JOIN (SELECT o_orderkey, o_totalprice,
+                     o_totalprice AS p_lo,
+                     o_totalprice + 20000.0 AS p_hi
+              FROM orders) o
+          ON r.lo < o.p_hi AND o.p_lo < r.hi
+        GROUP BY r.range_id ORDER BY r.range_id"""))
   )
 }

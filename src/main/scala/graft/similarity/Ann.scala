@@ -31,25 +31,40 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Exact top-k cosine neighbors for each query vector.
-    * Output: (query id, rank 1..k, neighbor id, cosine).
-    * The query side should be small; Spark broadcasts it under AQE /
-    * the session's broadcast threshold, making this a map-only pass over
-    * the corpus followed by a per-query top-k (no corpus shuffle).
+  /** Shared top-k kernel: per-query rank window over a scored
+    * (qid, nid, cosine_sim) frame — ONE implementation behind every
+    * similarity path (brute-force, LSH, IVF, quantized), so the ranking
+    * semantics (desc cosine, nid tie-break) can never diverge between them.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val scored = q.join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        cosine(col("qvec"), col("nvec")).as("cosine_sim"))
+  private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cosine_sim")
   }
+
+  /** Exact top-k cosine neighbors for each query vector, full form with
+    * per-frame column names. Output: (qid, rank 1..k, nid, cosine_sim).
+    * The query side should be small; Spark broadcasts it under AQE /
+    * the session's broadcast threshold, making this a map-only pass over
+    * the corpus followed by a per-query top-k (no corpus shuffle).
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nid"), col(corpusVec).as("nvec"))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qvec"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qvec"), col("nvec")).as("cosine_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Convenience form: same id/vec column names on both frames. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    bruteForceTopK(corpus, idCol, vecCol, queries, idCol, vecCol, k)
 
   /** Deterministic pseudo-random hyperplane component for (table t,
     * plane p, dim d): a fixed hash folded to [-0.5, 0.5). Engine-portable
@@ -114,11 +129,7 @@ object Ann {
         (dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")))
           .as("cosine_sim"))
       .groupBy("qid", "nid").agg(max("cosine_sim").as("cosine_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cosine_sim")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t) via

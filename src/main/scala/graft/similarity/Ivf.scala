@@ -104,39 +104,52 @@ object Ivf {
     */
   val MaxBroadcastProbes: Long = 100000L
 
+  /** Probe table (qid, qvec, cid): the `nprobe` cells nearest each query,
+    * ranked on |c|² − 2·q·c (the |q|² term is constant per query) with a
+    * deterministic cid tie-break. Conditionally broadcast (see
+    * `MaxBroadcastProbes`) so small probe sets never move the corpus.
+    * Extracted so the quantized search path (`Quantize.ivfTopK`) reuses
+    * the exact same cell-pruning stage as the float path.
+    */
+  def probes(queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = centroidDf(spark, model)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val relDist = Ann.dot(col("centroid"), col("centroid")) -
+      lit(2.0) * Ann.dot(col("qvec"), col("centroid"))
+    val probeW = Window.partitionBy("qid").orderBy("rel_dist", "cid")
+    q.join(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cid"), relDist.as("rel_dist"))
+      .withColumn("prb", row_number().over(probeW))
+      .filter(col("prb") <= nprobe)
+      .select("qid", "qvec", "cid")
+  }
+
+  /** True when the probe side (queries × nprobe) fits under
+    * `MaxBroadcastProbes` — counted on the id column only, so the cheap
+    * pre-count never materializes query vectors on the driver. Callers
+    * wrap their FINAL probe-side frame in `broadcast()` when this holds,
+    * so the corpus never shuffles.
+    */
+  private[similarity] def probeSideSmall(queries: DataFrame, idCol: String,
+      nprobe: Int): Boolean =
+    queries.select(col(idCol)).limit((MaxBroadcastProbes + 1).toInt)
+      .count() * nprobe <= MaxBroadcastProbes
+
   /** Approximate top-k: probe the `nprobe` nearest cells per query, exact
     * cosine rank within the probed cells.
     */
   def search(assignedCorpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
-    val spark = assignedCorpus.sparkSession
-    val cents = centroidDf(spark, model)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    // rank cells per query, keep nprobe
-    val relDist = Ann.dot(col("centroid"), col("centroid")) -
-      lit(2.0) * Ann.dot(col("qvec"), col("centroid"))
-    val probeW = Window.partitionBy("qid").orderBy("rel_dist", "cid")
-    val probes = q.join(broadcast(cents))
-      .select(col("qid"), col("qvec"), col("cid"), relDist.as("rel_dist"))
-      .withColumn("prb", row_number().over(probeW))
-      .filter(col("prb") <= nprobe)
-      .select("qid", "qvec", "cid")
-    // search only the probed cells; when the probe side is small
-    // (queries × nprobe ≤ MaxBroadcastProbes) broadcast it so the corpus
-    // never shuffles — counted on the id column only, so the cheap
-    // pre-count never materializes query vectors on the driver
-    val nProbeRows = q.select("qid").limit((MaxBroadcastProbes + 1).toInt)
-      .count() * nprobe
+    val prb = probes(queries, idCol, vecCol, model, nprobe)
     val probeSide =
-      if (nProbeRows <= MaxBroadcastProbes) broadcast(probes) else probes
+      if (probeSideSmall(queries, idCol, nprobe)) broadcast(prb) else prb
     val scored = assignedCorpus.join(probeSide, Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
         Ann.cosine(col("qvec"), col("vec")).as("cosine_sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cosine_sim")
+    Ann.rankTopK(scored, k)
   }
 
   /** Convenience end-to-end: train + assign + search. */

@@ -28,20 +28,34 @@ object Quantize {
   private def absMax(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
 
-  /** Quantize `vecCol` to integral components in [-127, 127].
-    * Output: (id, qvec array<double> of integral values, amax).
-    * qvec stays a double array so downstream kernels (Ann.dot) apply
-    * unchanged; values are exact integers, and a writer targeting storage
-    * would cast to array<tinyint> losslessly. amax = 0 (zero vector)
-    * quantizes to all-zero rather than dividing by zero.
+  /** Append `outCol` = int8-quantized `vecCol` (components integral in
+    * [-127, 127], stored as array<double> so downstream kernels — Ann.dot —
+    * apply unchanged; a writer targeting storage would cast to
+    * array<tinyint> losslessly). All other columns pass through, so this
+    * composes with the pruning paths (quantize AFTER cell/bucket
+    * assignment, keeping the cell id). amax = 0 (zero vector) quantizes to
+    * all-zero rather than dividing by zero.
     */
-  def scalarQuantize(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+  def withQuantized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__qz_v", col(vecCol).cast("array<double>"))
       // materialize amax as a column BEFORE the transform: HOF lambda
       // argument expressions re-evaluate per element, so an inline
       // aggregate() here would fold the whole vector again for every
       // component (the O(len²) trap PLANS.md documents for shingles)
+      .withColumn("__qz_amax", absMax(col("__qz_v")))
+      .withColumn(outCol,
+        when(col("__qz_amax") === 0.0, transform(col("__qz_v"), _ => lit(0.0)))
+          .otherwise(transform(col("__qz_v"),
+            x => floor(x * lit(127.0) / col("__qz_amax") + lit(0.5))
+              .cast("double"))))
+      .drop("__qz_v", "__qz_amax")
+
+  /** Quantize `vecCol` to integral components in [-127, 127].
+    * Output: (id, qvec array<double> of integral values, amax).
+    */
+  def scalarQuantize(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("amax", absMax(col("v")))
       .withColumn("qvec",
         when(col("amax") === 0.0, transform(col("v"), _ => lit(0.0)))
@@ -50,25 +64,59 @@ object Quantize {
               .cast("double"))))
       .select(col("id"), col("qvec"), col("amax"))
 
-  /** Exact top-k cosine neighbors in the QUANTIZED space — same plan
-    * shape as `Ann.bruteForceTopK` (broadcast query side, map-only corpus
-    * pass, per-query top-k window): compression changes the kernel's
-    * input width, not the dataflow. Composes with the IVF/LSH pruning
-    * paths the same way (quantize after cell/bucket assignment).
+  /** Exact top-k cosine neighbors in the QUANTIZED space, full form with
+    * per-frame column names — quantizes both sides, then delegates to
+    * `Ann.bruteForceTopK`'s kernel: compression changes the kernel's input
+    * width, not the dataflow, and sharing the kernel means the float and
+    * quantized brute-force paths cannot diverge.
     */
+  def topK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame =
+    Ann.bruteForceTopK(
+      scalarQuantize(corpus, corpusId, corpusVec), "id", "qvec",
+      scalarQuantize(queries, queryId, queryVec), "id", "qvec", k)
+
+  /** Convenience form: same id/vec column names on both frames. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val c = scalarQuantize(corpus, idCol, vecCol)
-      .select(col("id").as("nid"), col("qvec").as("nvec"))
-    val q = scalarQuantize(queries, idCol, vecCol)
-      .select(col("id").as("qid"), col("qvec").as("qvec"))
-    val scored = q.join(c, col("qid") =!= col("nid"))
+      vecCol: String, k: Int): DataFrame =
+    topK(corpus, idCol, vecCol, queries, idCol, vecCol, k)
+
+  /** The composed 100 TB ANN configuration: IVF cell pruning (float
+    * centroids — identical probe stage to `Ivf.search`) → int8 scalar
+    * quantization of the probed cells' vectors → EXACT integer-dot rerank.
+    * At scale the corpus is stored partitioned by `cid` with qvec as
+    * array<tinyint>: a query touches nprobe/nlist of the data at 1/4 the
+    * bytes, and the rerank arithmetic is exact integer sums (engine-
+    * portable by construction, like d10 — the gate d11 replays every stage
+    * bitwise in DuckDB).
+    *
+    * @param assignedCorpus output of `Ivf.assign`: (id, cid, vec)
+    */
+  def ivfTopK(assignedCorpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
+      nprobe: Int): DataFrame = {
+    // quantize the assigned corpus KEEPING the cell id (quantize after
+    // assignment, exactly as the scaladoc above prescribes)
+    val qc = withQuantized(assignedCorpus, "vec", "qvec")
+      .select(col("id").as("nid"), col("cid"), col("qvec").as("nvec"))
+    // cell pruning runs on the raw float vectors (same stage as Ivf.search);
+    // the quantized query vector joins in by qid afterwards
+    val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
+      .select("qid", "cid")
+    val qq = scalarQuantize(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("qvec"))
+    val joined = prb.join(qq, Seq("qid"))
+    // same conditional-broadcast contract as Ivf.search, applied to the
+    // FINAL probe-side frame so the (huge) corpus side never shuffles
+    val probeSide =
+      if (graft.similarity.Ivf.probeSideSmall(queries, idCol, nprobe))
+        broadcast(joined)
+      else joined
+    val scored = qc.join(probeSide, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Ann.cosine(col("qvec"), col("nvec")).as("cosine_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(desc("cosine_sim"), asc("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cosine_sim")
+    Ann.rankTopK(scored, k)
   }
 }
