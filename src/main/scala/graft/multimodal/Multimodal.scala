@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * JVM analogue of Arrow-batched pandas UDFs — same batch shape, schema
   * in/schema out).
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) is
-  * STUBBED: this container has no image/audio libraries, so `decodeStub`
-  * derives deterministic fake dimensions/features from the bytes. The
-  * Spark-side contract — schema, batching, partitioning, null handling —
-  * is real and tested; swap `decodeStub` for a real codec at deployment.
+  * Metadata decode is REAL at the container level: pure-Scala header
+  * parsers read width/height from PNG IHDR, JPEG SOF, and GIF logical
+  * screen descriptors (no external codec libraries). Pixel-level work
+  * (resampling, frame extraction) stays header-level — a deployment wires
+  * a pixel codec into the same batched shape. Bytes that are not a
+  * recognized image container (audio/video payloads) get deterministic
+  * byte-hash synthetic dims so the plumbing is format-total.
   */
 object Multimodal {
 
@@ -35,18 +37,85 @@ object Multimodal {
   val BatchSize = 64
 
   // ====================================================================
-  // STUB: deterministic fake decode. A real deployment replaces this with
-  // an actual codec (e.g. TwelveMonkeys/JavaCV); everything else stands.
+  // Header-level codecs: pure-Scala container parsing for the three
+  // ubiquitous image formats. No pixel decode (that's a deployment-time
+  // library concern); width/height come straight from the container
+  // header bytes, which is all the metadata pass needs.
   // ====================================================================
-  private[multimodal] def decodeStub(bytes: Array[Byte]): (Int, Int) = {
-    if (bytes == null || bytes.isEmpty) return (0, 0)
-    var h = 0L
-    var i = 0
-    while (i < math.min(bytes.length, 256)) {
-      h = (h * 31 + (bytes(i) & 0xff)) & 0x7fffffffL
-      i += 1
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
+      u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first
+    * (PNG spec §11.2.2) — width/height are the two big-endian u32s at
+    * offsets 16 and 20.
+    */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+      u8(b, 0) == 0x89 && u8(b, 1) == 'P' && u8(b, 2) == 'N' &&
+      u8(b, 3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a &&
+      u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16).toInt, be32(b, 20).toInt))
+    else None
+
+  /** JPEG: walk the marker segments from SOI (FFD8) to the first
+    * start-of-frame (SOF0..SOF15 minus DHT/JPG/DAC = C0..CF \ {C4,C8,CC});
+    * the frame header is [len][precision][height u16][width u16].
+    */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced — not a marker
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      if (m == 0xd9 || m == 0xda) return None // EOI / scan start: no SOF seen
+      if ((m & 0xf0) == 0xc0 && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
+        else None
+      }
+      if (m >= 0xd0 && m <= 0xd7) i += 2 // RSTn: no length field
+      else i += 2 + be16(b, i + 2) // skip segment (length includes itself)
     }
-    (16 + (h % 624).toInt, 16 + ((h / 624) % 464).toInt)
+    None
+  }
+
+  /** GIF87a/GIF89a: logical screen width/height, little-endian u16 at 6/8. */
+  def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((le16(b, 6), le16(b, 8)))
+    else None
+
+  /** Container sniff from magic bytes. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b == null || b.length < 4) "unknown"
+    else if (u8(b, 0) == 0x89 && b(1) == 'P') "png"
+    else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
+  /** Decode (width, height) from real container headers; bytes that are
+    * not a recognized image container fall back to a deterministic
+    * byte-hash fake so non-image media (audio/video) still flows through
+    * the same plumbing with stable synthetic dims.
+    */
+  def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0)
+    pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes)).getOrElse {
+      var h = 0L
+      var i = 0
+      while (i < math.min(bytes.length, 256)) {
+        h = (h * 31 + (bytes(i) & 0xff)) & 0x7fffffffL
+        i += 1
+      }
+      (16 + (h % 624).toInt, 16 + ((h / 624) % 464).toInt)
+    }
   }
 
   /** Decode pass: fills meta.width/height from the media bytes. Batched
@@ -66,7 +135,7 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { r =>
             val bytes = r.getAs[Array[Byte]]("media")
-            val (w, h) = decodeStub(bytes)
+            val (w, h) = decodeDims(bytes)
             Row(r.getLong(0), r.getString(1), w, h,
               if (bytes == null) 0L else bytes.length.toLong)
           }
@@ -102,8 +171,9 @@ object Multimodal {
       }(enc)
   }
 
-  /** Resize pass (STUB): records the target box; a real impl rescales
-    * pixels. Kept as a column transform to show where it plugs in.
+  /** Resize pass: computes the bounded target box from the REAL decoded
+    * dims (aspect-preserving scale ≤ 1). Pixel resampling itself is
+    * deployment-time work that plugs into the same batched shape.
     */
   def resize(df: DataFrame, maxW: Int, maxH: Int): DataFrame =
     decodeMeta(df)

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *    `point >= lo AND point < hi` conjunct pair (any flip of the
   *    comparisons) with `point` computed from one side and `lo`/`hi` from
   *    the other, all numeric;
-  *  - bails if any conjunct is already an equi-join predicate (Spark hash-
-  *    joins those fine — and this is also what makes the rule idempotent:
-  *    its own output contains a bucket equality, so it never re-fires);
+  *  - composite conditions (`l.key = r.key AND l.t BETWEEN lo AND hi`)
+  *    rewrite too: the bucket equality is ADDED next to the user's equi
+  *    conjuncts, so Spark hash-joins on (key, bucket) — for a skewed key
+  *    with wide ranges this splits the key's scan across buckets instead
+  *    of funnelling it through one hash partition and post-filtering.
+  *    Idempotency comes from the rule's own bucket-column marker
+  *    (`BucketPrefix`): its output contains a __graft_bucket_* equality,
+  *    so it never re-fires;
   *  - only active when `spark.graft.rangeJoin.bucketWidth` is set — width
   *    is data-dependent (≈ median range length), so it is an explicit
   *    opt-in, not a guess.
@@ -36,7 +41,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  import RangeJoinRewrite.WidthConf
+  import RangeJoinRewrite.{BucketPrefix, WidthConf}
 
   /** Parsed defensively: the rule is injected into EVERY session via
     * GraftExtensions, so a malformed width value must disable the rewrite
@@ -88,12 +93,21 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         ((ar.subsetOf(left.outputSet) && br.subsetOf(right.outputSet)) ||
           (ar.subsetOf(right.outputSet) && br.subsetOf(left.outputSet)))
     }
-    val hasEqui = conjuncts.exists {
-      case EqualTo(a, b)       => spansSides(a, b)
-      case EqualNullSafe(a, b) => spansSides(a, b)
-      case _                   => false
+    // Idempotency guard: the rule's own output contains an equality on a
+    // __graft_bucket_* attribute, so it never re-fires on a join it already
+    // rewrote. (Until round 7 this was a blanket bail on ANY equi-conjunct;
+    // now the common production shape `l.key = r.key AND l.t BETWEEN lo AND
+    // hi` also rewrites — Spark hash-joins on (key, bucket) together, which
+    // splits a skewed key's wide-range scan across buckets instead of
+    // funnelling it through one hash-join partition and filtering.)
+    val alreadyBucketed = conjuncts.exists {
+      case EqualTo(a: AttributeReference, _)
+          if a.name.startsWith(BucketPrefix) => true
+      case EqualTo(_, b: AttributeReference)
+          if b.name.startsWith(BucketPrefix) => true
+      case _ => false
     }
-    if (hasEqui) return None
+    if (alreadyBucketed) return None
 
     def fromOneSide(e: Expression): Boolean =
       e.references.nonEmpty &&
@@ -119,7 +133,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       val wLit = Literal(w, DoubleType)
       def bucketOf(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), wLit)) // Floor(double) : LongType
-      val pAlias = Alias(bucketOf(point), "__graft_bucket_p")()
+      val pAlias = Alias(bucketOf(point), s"${BucketPrefix}p")()
       val pProj = Project(pPlan.output :+ pAlias, pPlan)
       // a range [lo, hi) overlaps buckets floor(lo/w)..floor(hi/w); the
       // exact re-check removes the one spurious candidate when hi sits on
@@ -130,7 +144,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // rewrite (integral sequences never use it, but resolution demands it)
       val gen = Explode(Sequence(bucketOf(lo), bucketOf(hi), None,
         Some(conf.sessionLocalTimeZone)))
-      val bAttr = AttributeReference("__graft_bucket_r", LongType,
+      val bAttr = AttributeReference(s"${BucketPrefix}r", LongType,
         nullable = gen.elementSchema.head.nullable)()
       val rGen = Generate(gen, Nil, outer = false, None, Seq(bAttr), rPlan)
       val (nl, nr) = if (pointOnLeft) (pProj, rGen) else (rGen, pProj)
@@ -145,6 +159,12 @@ object RangeJoinRewrite {
 
   /** Bucket width (domain units). Unset → the rule is inert. */
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  /** Prefix of the rule's generated bucket columns — also the idempotency
+    * marker (a join whose condition already equates a column with this
+    * prefix was produced by this rule).
+    */
+  val BucketPrefix = "__graft_bucket_"
 
   /** Install on an already-running session (builder-time
     * `spark.sql.extensions` only applies to new sessions).

@@ -93,6 +93,29 @@ class AsofJoinSpec extends SparkSpec {
       Seq(1L, 10L), Seq(2L, 11L), Seq(3L, null)) // (B,x) has no quotes
   }
 
+  it should "never match on NULL keys" in {
+    // join semantics: NULL = NULL is not a match. Null-keyed right rows
+    // must not pair with null-keyed left rows (the window partitioning
+    // would otherwise group them like GROUP BY does); null-keyed left rows
+    // survive with a null payload, as in a left outer join.
+    val l = Seq((Some("A"), 5L, 1L), (None, 5L, 2L))
+      .toDF("sym", "t", "lid")
+    val r = Seq((Some("A"), 3L, 10L), (None, 4L, 11L))
+      .toDF("sym", "qt", "rid")
+    val out = AsofJoin.backward(l, r, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("rid"),
+      rightOrder = Some("rid"))
+    rowsOf(out, "lid", "rid") shouldBe Set(
+      Seq(1L, 10L), Seq(2L, null))
+  }
+
+  it should "fail fast when inputs use reserved internal column names" in {
+    val bad = trades.withColumn("__m", lit(1))
+    an[IllegalArgumentException] should be thrownBy
+      AsofJoin.backward(bad, quotes, Seq("sym"),
+        leftTime = "t", rightTime = "qt", payload = Seq("qid"))
+  }
+
   it should "plan one exchange and no join node" in {
     val out = AsofJoin.backward(trades, quotes, Seq("sym"),
       leftTime = "t", rightTime = "qt", payload = Seq("qid", "bid"),

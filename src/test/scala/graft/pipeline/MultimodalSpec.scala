@@ -17,6 +17,65 @@ class MultimodalSpec extends SparkSpec {
   private val png = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
   private val wav = Array.tabulate[Byte](5000)(i => ((i * 7) % 251).toByte)
 
+  // ---- real container-header fixtures (hand-assembled bytes) ----
+
+  private def be32(v: Long) = Array[Byte](
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+
+  /** Minimal valid PNG prefix: signature + IHDR chunk with the dims. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // bit depth..filter + fake CRC
+
+  /** JPEG: SOI, APP0 (JFIF), a comment segment, then SOF (baseline C0 or
+    * progressive C2) carrying the dims, then EOI.
+    */
+  private def jpegBytes(w: Int, h: Int, sof: Int = 0xc0): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      (Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        "JFIF".getBytes ++ Array.fill[Byte](10)(0)) ++
+      (Array[Byte](0xff.toByte, 0xfe.toByte) ++ be16(7) ++
+        "hello".getBytes) ++
+      (Array[Byte](0xff.toByte, sof.toByte) ++ be16(17) ++
+        Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3) ++ Array.fill[Byte](9)(1)) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+
+  /** GIF89a logical screen descriptor (little-endian dims). */
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++
+      Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte) ++
+      Array.fill[Byte](3)(0)
+
+  it should "parse real PNG/JPEG/GIF container headers" in {
+    val out = Multimodal.decodeMeta(assets(
+      (1L, pngBytes(640, 480), "image/png"),
+      (2L, jpegBytes(1920, 1080), "image/jpeg"),
+      (3L, jpegBytes(320, 200, sof = 0xc2), "image/jpeg"), // progressive
+      (4L, gifBytes(13, 37), "image/gif")))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    out(1L) shouldBe ((640, 480))
+    out(2L) shouldBe ((1920, 1080))
+    out(3L) shouldBe ((320, 200))
+    out(4L) shouldBe ((13, 37))
+  }
+
+  it should "sniff formats and survive malformed headers" in {
+    Multimodal.sniffFormat(pngBytes(1, 1)) shouldBe "png"
+    Multimodal.sniffFormat(jpegBytes(1, 1)) shouldBe "jpeg"
+    Multimodal.sniffFormat(gifBytes(1, 1)) shouldBe "gif"
+    Multimodal.sniffFormat(wav) shouldBe "unknown"
+    // truncated / desynced containers must fall back, never throw
+    Multimodal.jpegDims(jpegBytes(9, 9).take(8)) shouldBe None
+    Multimodal.pngDims(pngBytes(9, 9).take(20)) shouldBe None
+    // JPEG with no SOF before EOI
+    Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)) shouldBe None
+  }
+
   it should "decode metadata deterministically over binary columns" in {
     val out = Multimodal.decodeMeta(assets(
       (1L, png, "image/png"), (2L, wav, "audio/wav"), (3L, null, "image/png")))

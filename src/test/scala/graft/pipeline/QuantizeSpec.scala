@@ -45,4 +45,39 @@ class QuantizeSpec extends SparkSpec {
     val recall = (e & q).size.toDouble / e.size
     recall should be >= 0.9
   }
+
+  it should "reduce ivfTopK to quantized brute force when probing all cells" in {
+    // With nprobe = nlist the cell pruning admits every (qid, cell) pair,
+    // so the composed path must equal Quantize.topK exactly — rank for
+    // rank, not just as sets. This pins the composition glue (assignment
+    // keeps every row, quantize-after-assign, probe join, shared kernel)
+    // independent of the d11 oracle fixture.
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    val composed = Quantize.ivfTopK(assigned, queries, "vec_id", "embedding",
+      model, k = 10, nprobe = 4)
+    val brute = Quantize.topK(corpus, queries, "vec_id", "embedding", k = 10)
+    rowsOf(composed, "qid", "rank", "nid") shouldBe
+      rowsOf(brute, "qid", "rank", "nid")
+  }
+
+  it should "keep recall with real pruning (nprobe < nlist)" in {
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    val pruned = Quantize.ivfTopK(assigned, queries, "vec_id", "embedding",
+      model, k = 10, nprobe = 2)
+    val exact = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      k = 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (e, p) = (pairs(exact), pairs(pruned))
+    (e & p).size.toDouble / e.size should be >= 0.8
+  }
 }

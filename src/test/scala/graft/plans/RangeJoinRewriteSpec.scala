@@ -44,19 +44,55 @@ class RangeJoinRewriteSpec extends SparkSpec {
     bnlj(joined) shouldBe true
   }
 
-  it should "leave equi-joins and flipped comparisons semantically intact" in {
+  it should "rewrite flipped comparison orders identically" in {
     withWidth(Some(64.0)) {
-      // equi conjunct present → Spark hash-joins it; rule must not touch
-      val dim = Seq((0L, 0.0, 500.0)).toDF("k", "dlo", "dhi")
-      val pts = points.withColumn("k", $"pid" % 1)
-      val equi = pts.join(dim, Seq("k")).filter($"x" >= $"dlo" && $"x" < $"dhi")
-      equi.count() should be > 0L
-      // flipped writing order still rewrites and matches
       val flipped = points.join(ranges, $"lo" <= $"x" && $"hi" > $"x")
       bnlj(flipped) shouldBe false
       rowsOf(flipped, "pid", "rid") shouldBe
         rowsOf(graft.operators.RangeJoin.pointInInterval(
           points, "x", ranges, "lo", "hi", 64.0), "pid", "rid")
+    }
+  }
+
+  it should "add the bucket key inside a composite equi+range condition" in {
+    withWidth(Some(100.0)) {
+      // the common production shape: hash key + range — the rewrite must
+      // ADD the bucket equality next to the user's key equality (so the
+      // hash join runs on (key, bucket), splitting skewed keys), not bail
+      val keyedRanges = ranges.withColumn("rk", $"rid" % 2)
+      val keyedPoints = points.withColumn("pk", $"pid" % 2)
+      val joined = keyedPoints.join(keyedRanges,
+        $"pk" === $"rk" && $"x" >= $"lo" && $"x" < $"hi")
+      // the optimized plan carries the generated bucket column
+      joined.queryExecution.optimizedPlan.toString should
+        include(RangeJoinRewrite.BucketPrefix)
+      // and the physical join is an equi-join (hash/sort-merge), never a
+      // nested loop (executedPlan is AQE-wrapped; match on the string form
+      // like the other cases)
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val planStr = joined.queryExecution.executedPlan.toString
+      planStr should not include "BroadcastNestedLoopJoin"
+      (planStr.contains("HashJoin") ||
+        planStr.contains("SortMergeJoin")) shouldBe true
+      // oracle: the same composite join without the rule
+      val expected = keyedPoints.join(keyedRanges, Seq(), "cross")
+        .filter($"pk" === $"rk" && $"x" >= $"lo" && $"x" < $"hi")
+      rowsOf(joined, "pid", "rid") shouldBe rowsOf(expected, "pid", "rid")
+    }
+  }
+
+  it should "not re-fire on its own output (idempotent under composite)" in {
+    withWidth(Some(100.0)) {
+      val joined = points.join(ranges, $"x" >= $"lo" && $"x" < $"hi")
+      // exactly ONE fan-out Generate in the optimized plan: the rule fired
+      // once and its bucket marker stopped every later optimizer pass from
+      // re-bucketing the (now equi+range) condition
+      val generates = joined.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      generates.size shouldBe 1
+      joined.count() shouldBe graft.operators.RangeJoin.pointInInterval(
+        points, "x", ranges, "lo", "hi", 100.0).count()
     }
   }
 
