@@ -131,4 +131,24 @@ object EventStreams {
       "leftOuter")
       .drop("match_user")
   }
+
+  /** Reduce `intervalJoin` output to exact as-of semantics: one row per
+    * left event carrying only its LATEST in-horizon match (greatest
+    * match_ts, ties to the greatest match_id — the same deterministic
+    * winner `AsofJoin.backward` picks via rightOrder). Run as a batch
+    * post-pass over the joined stream's sink: the streaming stage fans out
+    * to all in-horizon matches (bounded state), this micro-aggregation
+    * collapses them — together the two stages are the incremental twin of
+    * the batch as-of join, and EventStreamsSpec replays a fixture through
+    * both paths to assert they agree row-for-row.
+    */
+  def latestMatchPerEvent(joined: DataFrame): DataFrame =
+    joined.groupBy("user_id", "event_id", "ts")
+      .agg(max_by(
+        struct(col("match_id"), col("match_ts"), col("match_type")),
+        struct(col("match_ts"), col("match_id"))).as("m"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("m.match_id").as("match_id"),
+        col("m.match_ts").as("match_ts"),
+        col("m.match_type").as("match_type"))
 }

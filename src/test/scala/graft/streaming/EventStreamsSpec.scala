@@ -95,6 +95,58 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "agree with the batch as-of join on a replayed fixture" in {
+    // batch/stream twin for the as-of operator (the pattern sessionize
+    // already uses): replay a random fixture through the streaming
+    // intervalJoin + latestMatchPerEvent reduction, and through the batch
+    // AsofJoin.backward with the same horizon as tolerance — identical
+    // rows, including the left-outer (no match in horizon) events.
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    val clickFx = (0 until 60).map(i =>
+      (100L + i, ts(rng.nextInt(40)), 1L + rng.nextInt(5), "click"))
+    val purchFx = (0 until 30).map(i =>
+      (200L + i, ts(rng.nextInt(40)), 1L + rng.nextInt(5), "purchase"))
+    val horizon = 600L // seconds
+
+    val purchases = MemoryStream[(Long, Timestamp, Long, String)]
+    val clicks = MemoryStream[(Long, Timestamp, Long, String)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long, String)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val query = EventStreams
+      .intervalJoin(frame(purchases), frame(clicks),
+        horizonSec = horizon, lateness = "1 minute")
+      .writeStream.format("memory").queryName("asof_twin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(clickFx: _*)
+      purchases.addData(purchFx: _*)
+      query.processAllAvailable()
+      // sentinels push the watermark past every fixture event's horizon so
+      // all left-outer rows flush; excluded from the comparison below
+      clicks.addData((999L, ts(59), 99L, "click"))
+      purchases.addData((998L, ts(59), 99L, "purchase"))
+      query.processAllAvailable()
+
+      val streamed = EventStreams.latestMatchPerEvent(
+        spark.table("asof_twin").filter($"event_id" < 900))
+
+      val batchLeft = purchFx.toDF("event_id", "ts", "user_id", "event_type")
+        .select("user_id", "event_id", "ts")
+      val batchRight = clickFx.toDF("match_id", "match_ts", "user_id", "etype")
+        .select("user_id", "match_id", "match_ts")
+      val batch = graft.operators.AsofJoin.backward(batchLeft, batchRight,
+        Seq("user_id"), leftTime = "ts", rightTime = "match_ts",
+        payload = Seq("match_id", "match_ts"),
+        rightOrder = Some("match_id"),
+        tolerance = Some((lt, rt) =>
+          unix_micros(lt) - unix_micros(rt) <= horizon * 1000000L))
+
+      rowsOf(streamed, "user_id", "event_id", "match_id", "match_ts") shouldBe
+        rowsOf(batch, "user_id", "event_id", "match_id", "match_ts")
+    } finally query.stop()
+  }
+
   it should "drop duplicate ids within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
