@@ -137,6 +137,16 @@ object Ivf {
     queries.select(col(idCol)).limit((MaxBroadcastProbes + 1).toInt)
       .count() * nprobe <= MaxBroadcastProbes
 
+  /** Shared scoring stage: probe-side join on cid, exact cosine, top-k. */
+  private def scoreProbedCells(corpus: DataFrame, probeSide: DataFrame,
+      k: Int): DataFrame = {
+    val scored = corpus.join(probeSide, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        Ann.cosine(col("qvec"), col("vec")).as("cosine_sim"))
+    Ann.rankTopK(scored, k)
+  }
+
   /** Approximate top-k: probe the `nprobe` nearest cells per query, exact
     * cosine rank within the probed cells.
     */
@@ -145,11 +155,35 @@ object Ivf {
     val prb = probes(queries, idCol, vecCol, model, nprobe)
     val probeSide =
       if (probeSideSmall(queries, idCol, nprobe)) broadcast(prb) else prb
-    val scored = assignedCorpus.join(probeSide, Seq("cid"))
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"),
-        Ann.cosine(col("qvec"), col("vec")).as("cosine_sim"))
-    Ann.rankTopK(scored, k)
+    scoreProbedCells(assignedCorpus, probeSide, k)
+  }
+
+  /** Persist an assigned corpus PARTITIONED BY cell id — the 100 TB
+    * storage layout the scaladoc above promises: one directory per cell,
+    * so a probe-restricted read opens nprobe/nlist of the files via
+    * Catalyst partition pruning (PruneFileSourcePartitions) and never
+    * lists, opens, or deserializes the rest.
+    */
+  def writePartitioned(assignedCorpus: DataFrame, path: String): Unit =
+    assignedCorpus.write.partitionBy("cid").mode("overwrite").parquet(path)
+
+  /** Search a `writePartitioned` corpus: the probed cell ids (≤ nlist
+    * values — bounded and tiny by construction, this is NOT a data-sized
+    * collect) come back to the driver and are pushed as a partition
+    * filter, so only the probed cells' files are read. Everything after
+    * the pruned scan is identical to `search`.
+    */
+  def searchPartitioned(path: String, queries: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val prb = probes(queries, idCol, vecCol, model, nprobe)
+    val probedCids = prb.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+    val probeSide =
+      if (probeSideSmall(queries, idCol, nprobe)) broadcast(prb) else prb
+    scoreProbedCells(corpus, probeSide, k)
   }
 
   /** Convenience end-to-end: train + assign + search. */

@@ -100,23 +100,68 @@ object Quantize {
     // assignment, exactly as the scaladoc above prescribes)
     val qc = withQuantized(assignedCorpus, "vec", "qvec")
       .select(col("id").as("nid"), col("cid"), col("qvec").as("nvec"))
-    // cell pruning runs on the raw float vectors (same stage as Ivf.search);
-    // the quantized query vector joins in by qid afterwards
+    scoreCells(qc, quantizedProbeSide(queries, idCol, vecCol, model, nprobe), k)
+  }
+
+  /** Probe side for the quantized paths: cell pruning runs on the raw
+    * float vectors (same stage as Ivf.search), then the QUANTIZED query
+    * vector joins in by qid. Conditionally broadcast (Ivf's contract) on
+    * the FINAL frame so the (huge) corpus side never shuffles.
+    */
+  private def quantizedProbeSide(queries: DataFrame, idCol: String,
+      vecCol: String, model: graft.similarity.Ivf.Model,
+      nprobe: Int): DataFrame = {
     val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
       .select("qid", "cid")
     val qq = scalarQuantize(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("qvec"))
     val joined = prb.join(qq, Seq("qid"))
-    // same conditional-broadcast contract as Ivf.search, applied to the
-    // FINAL probe-side frame so the (huge) corpus side never shuffles
-    val probeSide =
-      if (graft.similarity.Ivf.probeSideSmall(queries, idCol, nprobe))
-        broadcast(joined)
-      else joined
+    if (graft.similarity.Ivf.probeSideSmall(queries, idCol, nprobe))
+      broadcast(joined)
+    else joined
+  }
+
+  /** Exact integer-dot scoring within probed cells + shared top-k. */
+  private def scoreCells(qc: DataFrame, probeSide: DataFrame,
+      k: Int): DataFrame = {
     val scored = qc.join(probeSide, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Ann.cosine(col("qvec"), col("nvec")).as("cosine_sim"))
     Ann.rankTopK(scored, k)
+  }
+
+  /** Persist the quantized assigned corpus for the at-scale layout:
+    * PARTITIONED BY cell id, vectors stored as `array<tinyint>` — the
+    * actual 4× bytes-on-disk win the int8 scheme exists for (amax rides
+    * along for any consumer that needs dequantized magnitudes; cosine
+    * ranking never does).
+    */
+  def writeIvfQuantized(assignedCorpus: DataFrame, path: String): Unit =
+    graft.similarity.Ivf.writePartitioned(
+      withQuantized(assignedCorpus, "vec", "qvec")
+        .select(col("id"), col("cid"),
+          col("qvec").cast("array<tinyint>").as("qvec")),
+      path)
+
+  /** Search a `writeIvfQuantized` corpus: probed cell ids (≤ nlist, tiny)
+    * push down as a partition filter — only the probed cells' int8 files
+    * are read — and the tinyint vectors cast back losslessly to the exact
+    * integral doubles the rerank kernel expects. End to end this is the
+    * 100 TB read path: nprobe/nlist of the files at 1/4 the bytes, then
+    * exact integer arithmetic.
+    */
+  def searchIvfQuantized(path: String, queries: DataFrame, idCol: String,
+      vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probedCids = graft.similarity.Ivf
+      .probes(queries, idCol, vecCol, model, nprobe)
+      .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val qc = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("id").as("nid"), col("cid"),
+        col("qvec").cast("array<double>").as("nvec"))
+    scoreCells(qc, quantizedProbeSide(queries, idCol, vecCol, model, nprobe), k)
   }
 }

@@ -63,6 +63,30 @@ class IvfSpec extends SparkSpec {
   private def assertNoShuffle(df: org.apache.spark.sql.DataFrame): Unit =
     graft.core.Bucketing.hasShuffle(df) shouldBe false
 
+  it should "prune unprobed cells' files when searching partitioned storage" in {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    val model = Ivf.train(corpus, "embedding", nlist = 3, seed = 42L)
+    val assigned = Ivf.assign(corpus, "vec_id", "embedding", model)
+    Ivf.writePartitioned(assigned, dir)
+    // one directory per cell on disk — the 100 TB layout
+    new java.io.File(dir).list().count(_.startsWith("cid=")) shouldBe 3
+    // ONE query probing ONE cell: 2 of 3 cell directories must be pruned
+    val q = corpus.filter($"vec_id" === 0)
+    val stored = Ivf.searchPartitioned(dir, q, "vec_id", "embedding",
+      model, k = 5, nprobe = 1)
+    // identical results to the in-memory search path
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(Ivf.search(assigned, q, "vec_id", "embedding",
+        model, k = 5, nprobe = 1), "qid", "rank", "nid")
+    // and the scan carries the probed-cells partition filter: unprobed
+    // cells' files are pruned by Catalyst, not read-and-discarded
+    // conjunct order/parenthesization varies run to run; match the shape:
+    // a partition filter restricting cid to exactly one probed value
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ (= \\d+|IN \\(\\d+\\))".r
+      .findFirstIn(planStr) should not be empty
+  }
+
   it should "assign every corpus row to exactly one cell" in {
     val model = Ivf.train(corpus, "embedding", nlist = 3, seed = 42L)
     val assigned = Ivf.assign(corpus, "vec_id", "embedding", model)

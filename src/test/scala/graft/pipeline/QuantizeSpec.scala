@@ -64,6 +64,33 @@ class QuantizeSpec extends SparkSpec {
       rowsOf(brute, "qid", "rank", "nid")
   }
 
+  it should "serve int8 cell-partitioned storage identically to ivfTopK" in {
+    // the full at-scale read path: cid-partitioned parquet with
+    // array<tinyint> vectors → partition-pruned scan → lossless cast back
+    // → exact integer rerank. Must equal the in-memory composed path rank
+    // for rank (the tinyint round-trip is exact by construction).
+    val dir = java.nio.file.Files.createTempDirectory("ivf_int8").toString
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    Quantize.writeIvfQuantized(assigned, dir)
+    // vectors really are int8 on disk
+    spark.read.parquet(dir).schema("qvec").dataType.simpleString shouldBe
+      "array<tinyint>"
+    val stored = Quantize.searchIvfQuantized(dir, queries,
+      "vec_id", "embedding", model, k = 10, nprobe = 2)
+    val mem = Quantize.ivfTopK(assigned, queries,
+      "vec_id", "embedding", model, k = 10, nprobe = 2)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    // and the scan is partition-pruned on the probed cells
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
+      .findFirstIn(planStr) should not be empty
+  }
+
   it should "keep recall with real pruning (nprobe < nlist)" in {
     val queries = corpus.filter($"vec_id" < 8)
     val model = graft.similarity.Ivf.sampleCentroids(
