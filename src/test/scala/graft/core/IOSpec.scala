@@ -33,6 +33,24 @@ class IOSpec extends SparkSpec {
       .count() shouldBe 3
   }
 
+  it should "write one csv FILE at the exact target path (reference write_csv contract)" in {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io-csv").toString
+    val target = s"$tmp/report.csv"
+    IO.writeSingleCsv(data.orderBy("n"), target)
+    val f = new java.io.File(target)
+    f.isFile shouldBe true
+    // no tmpdir droppings left behind (the Hadoop local FS also writes a
+    // hidden .crc checksum sidecar — normal, ignored)
+    new java.io.File(tmp).list().filterNot(_.startsWith("."))
+      .toSeq shouldBe Seq("report.csv")
+    val lines = scala.io.Source.fromFile(f).getLines().toSeq
+    lines.head shouldBe "k,n,v"
+    lines.length shouldBe 4
+    // overwrite is idempotent
+    IO.writeSingleCsv(data.limit(1), target)
+    scala.io.Source.fromFile(f).getLines().length shouldBe 2
+  }
+
   it should "estimate distinct counts within tolerance (approx HLL)" in {
     val ids = spark.range(100000).select((col("id") % 34567).as("k"))
     val approx = ids.agg(approx_count_distinct("k")).collect().head.getLong(0)
