@@ -100,22 +100,22 @@ object Quantize {
     // assignment, exactly as the scaladoc above prescribes)
     val qc = withQuantized(assignedCorpus, "vec", "qvec")
       .select(col("id").as("nid"), col("cid"), col("qvec").as("nvec"))
-    scoreCells(qc, quantizedProbeSide(queries, idCol, vecCol, model, nprobe), k)
+    val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
+    scoreCells(qc, quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 
-  /** Probe side for the quantized paths: cell pruning runs on the raw
-    * float vectors (same stage as Ivf.search), then the QUANTIZED query
-    * vector joins in by qid. Conditionally broadcast (Ivf's contract) on
-    * the FINAL frame so the (huge) corpus side never shuffles.
+  /** Probe side for the quantized paths: `prb` is `Ivf.probes` output
+    * (cell pruning on the raw float vectors — same stage as Ivf.search,
+    * passed in so callers that also need the probed-cid set build it
+    * ONCE); the QUANTIZED query vector joins in by qid. Conditionally
+    * broadcast (Ivf's contract) on the FINAL frame so the (huge) corpus
+    * side never shuffles.
     */
-  private def quantizedProbeSide(queries: DataFrame, idCol: String,
-      vecCol: String, model: graft.similarity.Ivf.Model,
-      nprobe: Int): DataFrame = {
-    val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
-      .select("qid", "cid")
+  private def quantizedProbeSide(prb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val qq = scalarQuantize(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("qvec"))
-    val joined = prb.join(qq, Seq("qid"))
+    val joined = prb.select("qid", "cid").join(qq, Seq("qid"))
     if (graft.similarity.Ivf.probeSideSmall(queries, idCol, nprobe))
       broadcast(joined)
     else joined
@@ -155,13 +155,13 @@ object Quantize {
       vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    val probedCids = graft.similarity.Ivf
-      .probes(queries, idCol, vecCol, model, nprobe)
-      .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
+    val probedCids = prb.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
     val qc = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
       .select(col("id").as("nid"), col("cid"),
         col("qvec").cast("array<double>").as("nvec"))
-    scoreCells(qc, quantizedProbeSide(queries, idCol, vecCol, model, nprobe), k)
+    scoreCells(qc, quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 }
