@@ -74,6 +74,10 @@ object Multimodal {
       if (u8(b, i) != 0xff) return None // desynced — not a marker
       var m = u8(b, i + 1)
       while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      // the fill-byte loop can advance i to the array tail: re-check before
+      // any further read (a truncated blob ending in an FF-run must fall
+      // back to synthetic dims, not throw out of decodeMeta's task)
+      if (i + 3 >= b.length) return None
       if (m == 0xd9 || m == 0xda) return None // EOI / scan start: no SOF seen
       if ((m & 0xf0) == 0xc0 && m != 0xc4 && m != 0xc8 && m != 0xcc) {
         return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
@@ -177,8 +181,14 @@ object Multimodal {
     */
   def resize(df: DataFrame, maxW: Int, maxH: Int): DataFrame =
     decodeMeta(df)
+      // null/empty media decodes to (0, 0) and a crafted header can carry a
+      // zero dim; under Spark 4's default ANSI mode an unguarded division
+      // would throw DIVIDE_BY_ZERO for the whole task — zero-dim assets
+      // keep scale 1 and a (0, 0) output box instead
       .withColumn("scale",
-        least(lit(1.0), lit(maxW) / col("width"), lit(maxH) / col("height")))
+        when(col("width") > 0 && col("height") > 0,
+          least(lit(1.0), lit(maxW) / col("width"), lit(maxH) / col("height")))
+          .otherwise(lit(1.0)))
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
 

@@ -109,6 +109,22 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (alreadyBucketed) return None
 
+    // Escape hatch for the composite shape: the width conf is SESSION-
+    // global while range extents are per-join — a width tuned for one
+    // narrow-range query would make another query's wide ranges fan out
+    // to (hi-lo)/width buckets per row. Pure-range joins always rewrite
+    // (the alternative is a nested-loop join); equi+range joins already
+    // have a working hash-join plan, so a mixed workload can keep them
+    // untouched by setting the composite conf to false.
+    val hasUserEqui = conjuncts.exists {
+      case EqualTo(a, b)       => spansSides(a, b)
+      case EqualNullSafe(a, b) => spansSides(a, b)
+      case _                   => false
+    }
+    val compositeDisabled =
+      spark.conf.getOption(RangeJoinRewrite.CompositeConf).contains("false")
+    if (hasUserEqui && compositeDisabled) return None
+
     def fromOneSide(e: Expression): Boolean =
       e.references.nonEmpty &&
         (e.references.subsetOf(left.outputSet) ||
@@ -165,6 +181,12 @@ object RangeJoinRewrite {
     * prefix was produced by this rule).
     */
   val BucketPrefix = "__graft_bucket_"
+
+  /** Set to "false" to keep equi+range (composite) joins on their plain
+    * hash-join plan while still rewriting pure range joins — for sessions
+    * whose global bucket width doesn't fit every query's range extents.
+    */
+  val CompositeConf = "spark.graft.rangeJoin.rewriteComposite"
 
   /** Install on an already-running session (builder-time
     * `spark.sql.extensions` only applies to new sessions).

@@ -137,9 +137,13 @@ object Ivf {
     queries.select(col(idCol)).limit((MaxBroadcastProbes + 1).toInt)
       .count() * nprobe <= MaxBroadcastProbes
 
-  /** Shared scoring stage: probe-side join on cid, exact cosine, top-k. */
-  private def scoreProbedCells(corpus: DataFrame, probeSide: DataFrame,
-      k: Int): DataFrame = {
+  /** Shared scoring stage: probe-side join on cid, exact cosine, top-k.
+    * Expects corpus (id, cid, vec) and probe side (qid, cid, qvec) — the
+    * quantized paths (`Quantize.ivfTopK`/`searchIvfQuantized`) feed their
+    * integral-valued arrays through the same kernel.
+    */
+  private[similarity] def scoreProbedCells(corpus: DataFrame,
+      probeSide: DataFrame, k: Int): DataFrame = {
     val scored = corpus.join(probeSide, Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
@@ -176,7 +180,10 @@ object Ivf {
   def searchPartitioned(path: String, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    val prb = probes(queries, idCol, vecCol, model, nprobe)
+    // cached: evaluated by the cid collect here AND by the probe join in
+    // the returned plan — without it the centroid-scoring window pipeline
+    // (the most expensive pre-stage for large query sets) runs twice
+    val prb = probes(queries, idCol, vecCol, model, nprobe).cache()
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(path)

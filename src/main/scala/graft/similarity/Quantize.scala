@@ -28,26 +28,31 @@ object Quantize {
   private def absMax(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
 
+  /** THE quantization formula — the engine-portability-critical round-half-
+    * up mapping, in exactly one place so the d10/d11 oracles can never
+    * diverge from half of the call sites. `amax` must be a materialized
+    * column, not an inline aggregate: HOF lambda argument expressions
+    * re-evaluate per element, so inlining would fold the whole vector
+    * again for every component (the O(len²) trap PLANS.md documents for
+    * shingles). amax = 0 (zero vector) quantizes to all-zero rather than
+    * dividing by zero.
+    */
+  private def quantizedExpr(v: Column, amax: Column): Column =
+    when(amax === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v,
+        x => floor(x * lit(127.0) / amax + lit(0.5)).cast("double")))
+
   /** Append `outCol` = int8-quantized `vecCol` (components integral in
     * [-127, 127], stored as array<double> so downstream kernels — Ann.dot —
     * apply unchanged; a writer targeting storage would cast to
     * array<tinyint> losslessly). All other columns pass through, so this
     * composes with the pruning paths (quantize AFTER cell/bucket
-    * assignment, keeping the cell id). amax = 0 (zero vector) quantizes to
-    * all-zero rather than dividing by zero.
+    * assignment, keeping the cell id).
     */
   def withQuantized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("__qz_v", col(vecCol).cast("array<double>"))
-      // materialize amax as a column BEFORE the transform: HOF lambda
-      // argument expressions re-evaluate per element, so an inline
-      // aggregate() here would fold the whole vector again for every
-      // component (the O(len²) trap PLANS.md documents for shingles)
       .withColumn("__qz_amax", absMax(col("__qz_v")))
-      .withColumn(outCol,
-        when(col("__qz_amax") === 0.0, transform(col("__qz_v"), _ => lit(0.0)))
-          .otherwise(transform(col("__qz_v"),
-            x => floor(x * lit(127.0) / col("__qz_amax") + lit(0.5))
-              .cast("double"))))
+      .withColumn(outCol, quantizedExpr(col("__qz_v"), col("__qz_amax")))
       .drop("__qz_v", "__qz_amax")
 
   /** Quantize `vecCol` to integral components in [-127, 127].
@@ -57,11 +62,7 @@ object Quantize {
       vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("amax", absMax(col("v")))
-      .withColumn("qvec",
-        when(col("amax") === 0.0, transform(col("v"), _ => lit(0.0)))
-          .otherwise(transform(col("v"),
-            x => floor(x * lit(127.0) / col("amax") + lit(0.5))
-              .cast("double"))))
+      .withColumn("qvec", quantizedExpr(col("v"), col("amax")))
       .select(col("id"), col("qvec"), col("amax"))
 
   /** Exact top-k cosine neighbors in the QUANTIZED space, full form with
@@ -97,11 +98,13 @@ object Quantize {
       vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
       nprobe: Int): DataFrame = {
     // quantize the assigned corpus KEEPING the cell id (quantize after
-    // assignment, exactly as the scaladoc above prescribes)
+    // assignment, exactly as the scaladoc above prescribes); the quantized
+    // array takes the `vec` slot so Ivf's scoring kernel applies verbatim
     val qc = withQuantized(assignedCorpus, "vec", "qvec")
-      .select(col("id").as("nid"), col("cid"), col("qvec").as("nvec"))
+      .select(col("id"), col("cid"), col("qvec").as("vec"))
     val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
-    scoreCells(qc, quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
+    graft.similarity.Ivf.scoreProbedCells(qc,
+      quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 
   /** Probe side for the quantized paths: `prb` is `Ivf.probes` output
@@ -119,16 +122,6 @@ object Quantize {
     if (graft.similarity.Ivf.probeSideSmall(queries, idCol, nprobe))
       broadcast(joined)
     else joined
-  }
-
-  /** Exact integer-dot scoring within probed cells + shared top-k. */
-  private def scoreCells(qc: DataFrame, probeSide: DataFrame,
-      k: Int): DataFrame = {
-    val scored = qc.join(probeSide, Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        Ann.cosine(col("qvec"), col("nvec")).as("cosine_sim"))
-    Ann.rankTopK(scored, k)
   }
 
   /** Persist the quantized assigned corpus for the at-scale layout:
@@ -155,13 +148,16 @@ object Quantize {
       vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
+    // cached for the same double-consumer reason as Ivf.searchPartitioned
+    val prb = graft.similarity.Ivf
+      .probes(queries, idCol, vecCol, model, nprobe).cache()
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
     val qc = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
-      .select(col("id").as("nid"), col("cid"),
-        col("qvec").cast("array<double>").as("nvec"))
-    scoreCells(qc, quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
+      .select(col("id"), col("cid"),
+        col("qvec").cast("array<double>").as("vec"))
+    graft.similarity.Ivf.scoreProbedCells(qc,
+      quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 }

@@ -142,13 +142,20 @@ object EventStreams {
     * the batch as-of join, and EventStreamsSpec replays a fixture through
     * both paths to assert they agree row-for-row.
     */
-  def latestMatchPerEvent(joined: DataFrame): DataFrame =
-    joined.groupBy("user_id", "event_id", "ts")
+  def latestMatchPerEvent(joined: DataFrame): DataFrame = {
+    // group on EVERY left column, not just the identity triple: event_id
+    // functionally determines the rest, so grouping wider is free and the
+    // left payload (event_type, value, ...) — the columns an attribution
+    // consumer aggregates — survives the reduction
+    val matchCols = Set("match_id", "match_ts", "match_type")
+    val leftCols = joined.columns.filterNot(matchCols).toSeq
+    joined.groupBy(leftCols.map(col): _*)
       .agg(max_by(
         struct(col("match_id"), col("match_ts"), col("match_type")),
         struct(col("match_ts"), col("match_id"))).as("m"))
-      .select(col("user_id"), col("event_id"), col("ts"),
+      .select(leftCols.map(col) ++ Seq(
         col("m.match_id").as("match_id"),
         col("m.match_ts").as("match_ts"),
-        col("m.match_type").as("match_type"))
+        col("m.match_type").as("match_type")): _*)
+  }
 }

@@ -74,6 +74,21 @@ class MultimodalSpec extends SparkSpec {
     // JPEG with no SOF before EOI
     Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte,
       0xff.toByte, 0xd9.toByte)) shouldBe None
+    // truncated blob ending in an FF fill-byte run: the fill-byte scan
+    // lands at the array tail and must fall back, not read past the end
+    Multimodal.jpegDims(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte, 0xfe.toByte, 0x00)) shouldBe None
+    Multimodal.jpegDims(Array.fill[Byte](6)(0xff.toByte)
+      .updated(1, 0xd8.toByte)) shouldBe None
+  }
+
+  it should "resize zero-dim assets to a (0, 0) box instead of dividing by zero" in {
+    // null media decodes to (0, 0); under ANSI mode an unguarded
+    // division would fail the task
+    val out = Multimodal.resize(assets((1L, null, "image/png")),
+      maxW = 32, maxH = 32).collect().head
+    out.getAs[Int]("out_width") shouldBe 0
+    out.getAs[Int]("out_height") shouldBe 0
   }
 
   it should "decode metadata deterministically over binary columns" in {

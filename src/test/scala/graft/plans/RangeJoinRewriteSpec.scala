@@ -81,6 +81,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  it should "leave composite joins on their hash plan when disabled by conf" in {
+    withWidth(Some(100.0)) {
+      spark.conf.set(RangeJoinRewrite.CompositeConf, "false")
+      try {
+        val keyedRanges = ranges.withColumn("rk", $"rid" % 2)
+        val keyedPoints = points.withColumn("pk", $"pid" % 2)
+        val joined = keyedPoints.join(keyedRanges,
+          $"pk" === $"rk" && $"x" >= $"lo" && $"x" < $"hi")
+        // no bucket fan-out: the user's equi key hash-joins as before
+        joined.queryExecution.optimizedPlan.toString should
+          not include RangeJoinRewrite.BucketPrefix
+        // pure range joins still rewrite under the same conf
+        val pure = points.join(ranges, $"x" >= $"lo" && $"x" < $"hi")
+        bnlj(pure) shouldBe false
+      } finally spark.conf.unset(RangeJoinRewrite.CompositeConf)
+    }
+  }
+
+  it should "disable the rewrite (not throw) on a malformed width conf" in {
+    RangeJoinRewrite.install(spark)
+    spark.conf.set(RangeJoinRewrite.WidthConf, "not-a-number")
+    try {
+      val joined = points.join(ranges, $"x" >= $"lo" && $"x" < $"hi")
+      // the optimizer must not propagate a NumberFormatException; the
+      // join silently stays on its naive plan
+      joined.count() shouldBe graft.operators.RangeJoin.pointInInterval(
+        points, "x", ranges, "lo", "hi", 100.0).count()
+    } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
   it should "not re-fire on its own output (idempotent under composite)" in {
     withWidth(Some(100.0)) {
       val joined = points.join(ranges, $"x" >= $"lo" && $"x" < $"hi")
