@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Internal bucket column. Carries `RangeJoinRewrite.BucketPrefix` so
+    * the optimizer rule's idempotency marker also recognizes joins this
+    * operator already bucketed — otherwise a session with the rewrite
+    * width conf set would re-bucket (correct but wasteful: a second
+    * explode fan-out) every explicit RangeJoin plan.
+    */
+  private val BucketCol = graft.plans.RangeJoinRewrite.BucketPrefix + "op"
+
   /** Join each point row to every range row whose `[lo, hi)` contains the
     * point. Output: point columns ++ range columns, inner-join semantics.
     */
@@ -34,17 +42,17 @@ object RangeJoin {
       ranges: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pb = points.withColumn("__bucket",
+    val pb = points.withColumn(BucketCol,
       floor(col(pointCol) / bucketWidth).cast("long"))
     // a range [lo, hi) overlaps buckets floor(lo/w) .. floor(hi/w); the hi
     // boundary bucket is included even when hi is exactly on a bucket edge
     // (one spurious candidate bucket, removed by the exact re-check)
-    val rb = ranges.withColumn("__bucket",
+    val rb = ranges.withColumn(BucketCol,
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor(col(hiCol) / bucketWidth).cast("long"))))
-    pb.join(rb, Seq("__bucket"))
+    pb.join(rb, Seq(BucketCol))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("__bucket")
+      .drop(BucketCol)
   }
 
   /** Interval-overlap join: pairs of (left, right) rows whose [lLo, lHi) ×
@@ -57,15 +65,15 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def fanOut(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.withColumn("__bucket",
+      df.withColumn(BucketCol,
         explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
           floor(col(hi) / bucketWidth).cast("long"))))
     val overlapStart = greatest(col(lLo), col(rLo))
-    fanOut(left, lLo, lHi).join(fanOut(right, rLo, rHi), Seq("__bucket"))
+    fanOut(left, lLo, lHi).join(fanOut(right, rLo, rHi), Seq(BucketCol))
       .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
       // emit the pair only from the bucket containing the overlap start —
       // every other shared bucket sees the same pair and drops it here
-      .filter(col("__bucket") === floor(overlapStart / bucketWidth).cast("long"))
-      .drop("__bucket")
+      .filter(col(BucketCol) === floor(overlapStart / bucketWidth).cast("long"))
+      .drop(BucketCol)
   }
 }

@@ -126,6 +126,20 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  it should "not re-bucket explicit RangeJoin operator plans" in {
+    withWidth(Some(100.0)) {
+      // the operator's internal bucket column carries the rule's marker
+      // prefix, so a width-conf session doesn't stack a second fan-out
+      // on plans the user already bucketed explicitly
+      val op = graft.operators.RangeJoin.pointInInterval(
+        points, "x", ranges, "lo", "hi", 100.0)
+      val generates = op.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      generates.size shouldBe 1
+    }
+  }
+
   it should "rewrite when the point side is on the right" in {
     withWidth(Some(50.0)) {
       val joined = ranges.join(points, $"x" >= $"lo" && $"x" < $"hi")
