@@ -96,6 +96,43 @@ object Multimodal {
       Some((le16(b, 6), le16(b, 8)))
     else None
 
+  /** Count the image frames of a GIF by walking its block structure — no
+    * LZW decode needed: each 0x2C image descriptor is one frame;
+    * extensions (0x21) and pixel data are skipped via their length-
+    * prefixed sub-block chains. Returns None for non-GIF, truncated, or
+    * desynced bytes.
+    */
+  def gifFrameCount(b: Array[Byte]): Option[Int] = {
+    if (gifDims(b).isEmpty || b.length < 14) return None
+    var i = 6 + 7 // header + logical screen descriptor
+    val packed = u8(b, 10)
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // global CT
+    var frames = 0
+    def skipSubBlocks(): Boolean = { // false on truncation
+      while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+      if (i >= b.length) false
+      else { i += 1; true } // block terminator
+    }
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3b => return Some(frames) // trailer
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          i += 2
+          if (!skipSubBlocks()) return None
+        case 0x2c => // image descriptor: 10 bytes incl. introducer
+          frames += 1
+          if (i + 10 > b.length) return None
+          val lp = u8(b, i + 9)
+          i += 10
+          if ((lp & 0x80) != 0) i += 3 * (1 << ((lp & 7) + 1)) // local CT
+          i += 1 // LZW minimum code size
+          if (!skipSubBlocks()) return None
+        case _ => return None // desynced
+      }
+    }
+    None // ran out of bytes before the trailer
+  }
+
   /** Container sniff from magic bytes. */
   def sniffFormat(b: Array[Byte]): String =
     if (b == null || b.length < 4) "unknown"
@@ -122,8 +159,12 @@ object Multimodal {
     }
   }
 
-  /** Decode pass: fills meta.width/height from the media bytes. Batched
-    * mapPartitions; schema (asset_id, media_type, width, height, n_bytes).
+  /** Decode pass: fills meta.width/height (+ frame count) from the media
+    * bytes. Batched mapPartitions; schema (asset_id, media_type, width,
+    * height, n_bytes, n_frames). n_frames is REAL for GIFs (block walk);
+    * other containers fall back to a deterministic size-derived count
+    * (single-frame stills would be 1 in a full deployment; the synthetic
+    * value keeps the multi-frame plumbing exercised for opaque video).
     */
   def decodeMeta(df: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -131,7 +172,8 @@ object Multimodal {
       StructField("media_type", StringType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("n_bytes", LongType)))
+      StructField("n_bytes", LongType),
+      StructField("n_frames", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     df.select("asset_id", "media_type", "media")
@@ -140,8 +182,12 @@ object Multimodal {
           batch.map { r =>
             val bytes = r.getAs[Array[Byte]]("media")
             val (w, h) = decodeDims(bytes)
-            Row(r.getLong(0), r.getString(1), w, h,
-              if (bytes == null) 0L else bytes.length.toLong)
+            val nBytes = if (bytes == null) 0L else bytes.length.toLong
+            val nFrames = gifFrameCount(bytes match {
+              case null => Array.emptyByteArray
+              case b    => b
+            }).getOrElse((nBytes / 1024 + 1).toInt)
+            Row(r.getLong(0), r.getString(1), w, h, nBytes, nFrames)
           }
         }
       }(enc)
@@ -192,13 +238,13 @@ object Multimodal {
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
 
-  /** Frame-sample pass (STUB): every nth "frame" index up to a fake frame
-    * count derived from size; real impl samples video frames. Shows the
-    * one-to-many explode shape.
+  /** Frame-sample pass: every nth frame index up to decodeMeta's frame
+    * count (real for GIFs, size-derived for opaque video). Extracting the
+    * sampled frames' PIXELS is deployment-time codec work; the
+    * one-to-many explode shape and index arithmetic are the engine's part.
     */
   def sampleFrames(df: DataFrame, everyN: Int): DataFrame =
     decodeMeta(df)
-      .withColumn("n_frames", (col("n_bytes") / 1024 + 1).cast("int"))
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
       .select("asset_id", "frame_idx", "n_frames")

@@ -49,6 +49,19 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte) ++
       Array.fill[Byte](3)(0)
 
+  /** Structurally valid animated GIF: `frames` graphic-control-ext +
+    * image-descriptor pairs, each with one pixel-data sub-block, then the
+    * 0x3B trailer.
+    */
+  private def animatedGif(frames: Int): Array[Byte] = {
+    val gce = Array[Byte](0x21, 0xf9.toByte, 4, 0, 10, 0, 0, 0)
+    val imgDesc = Array[Byte](0x2c, 0, 0, 0, 0, 2, 0, 2, 0, 0)
+    val pixelData = Array[Byte](2 /* LZW min code */, 3, 1, 2, 3, 0)
+    gifBytes(2, 2) ++
+      (0 until frames).flatMap(_ => gce ++ imgDesc ++ pixelData) ++
+      Array[Byte](0x3b)
+  }
+
   it should "parse real PNG/JPEG/GIF container headers" in {
     val out = Multimodal.decodeMeta(assets(
       (1L, pngBytes(640, 480), "image/png"),
@@ -89,6 +102,18 @@ class MultimodalSpec extends SparkSpec {
       maxW = 32, maxH = 32).collect().head
     out.getAs[Int]("out_width") shouldBe 0
     out.getAs[Int]("out_height") shouldBe 0
+  }
+
+  it should "count real GIF frames and sample indices from them" in {
+    Multimodal.gifFrameCount(animatedGif(3)) shouldBe Some(3)
+    Multimodal.gifFrameCount(animatedGif(1)) shouldBe Some(1)
+    // truncated mid-frame / non-GIF → None, never a crash
+    Multimodal.gifFrameCount(animatedGif(2).dropRight(3)) shouldBe None
+    Multimodal.gifFrameCount(wav) shouldBe None
+    val out = Multimodal.sampleFrames(
+      assets((1L, animatedGif(5), "image/gif")), everyN = 2)
+    out.collect().map(_.getAs[Int]("frame_idx")).sorted.toSeq shouldBe
+      Seq(0, 2, 4)
   }
 
   it should "decode metadata deterministically over binary columns" in {
