@@ -481,8 +481,10 @@ object PipelineQueries {
            |ORDER BY d.doc_id""".stripMargin)),
 
     // Multimodal plumbing surface: documents' text bytes treated as an
-    // opaque binary payload — byte length + deterministic fake decode
-    // dims (the codec itself is stubbed; see graft.multimodal.Multimodal).
+    // opaque binary payload — byte length + deterministic derived dims.
+    // (The oracle needs SQL-replayable arithmetic, so this gate uses the
+    // synthetic-dims path; graft.multimodal.Multimodal's REAL PNG/JPEG/GIF
+    // header codecs are spec-tested on byte fixtures instead.)
     GateQuery(
       "m01_media_meta",
       (s, dir) =>
