@@ -103,7 +103,7 @@ object Multimodal {
     * desynced bytes.
     */
   def gifFrameCount(b: Array[Byte]): Option[Int] = {
-    if (gifDims(b).isEmpty || b.length < 14) return None
+    if (b == null || b.length < 14 || gifDims(b).isEmpty) return None
     var i = 6 + 7 // header + logical screen descriptor
     val packed = u8(b, 10)
     if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // global CT
@@ -183,10 +183,8 @@ object Multimodal {
             val bytes = r.getAs[Array[Byte]]("media")
             val (w, h) = decodeDims(bytes)
             val nBytes = if (bytes == null) 0L else bytes.length.toLong
-            val nFrames = gifFrameCount(bytes match {
-              case null => Array.emptyByteArray
-              case b    => b
-            }).getOrElse((nBytes / 1024 + 1).toInt)
+            val nFrames = gifFrameCount(bytes)
+              .getOrElse((nBytes / 1024 + 1).toInt)
             Row(r.getLong(0), r.getString(1), w, h, nBytes, nFrames)
           }
         }
@@ -245,7 +243,10 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, everyN: Int): DataFrame =
     decodeMeta(df)
+      // a structurally valid frameless GIF has n_frames = 0: emit no rows
+      // (explode of a null sequence), not a sequence(0, -1) runtime error
       .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(everyN)))))
       .select("asset_id", "frame_idx", "n_frames")
 }

@@ -121,8 +121,9 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case EqualNullSafe(a, b) => spansSides(a, b)
       case _                   => false
     }
-    val compositeDisabled =
-      spark.conf.getOption(RangeJoinRewrite.CompositeConf).contains("false")
+    val compositeDisabled = spark.conf
+      .getOption(RangeJoinRewrite.CompositeConf)
+      .exists(_.equalsIgnoreCase("false")) // match Spark's boolean confs
     if (hasUserEqui && compositeDisabled) return None
 
     def fromOneSide(e: Expression): Boolean =

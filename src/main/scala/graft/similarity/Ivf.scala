@@ -180,10 +180,13 @@ object Ivf {
   def searchPartitioned(path: String, queries: DataFrame, idCol: String,
       vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    // cached: evaluated by the cid collect here AND by the probe join in
-    // the returned plan — without it the centroid-scoring window pipeline
-    // (the most expensive pre-stage for large query sets) runs twice
-    val prb = probes(queries, idCol, vecCol, model, nprobe).cache()
+    // the probe lineage is evaluated twice (cid collect here + the probe
+    // join in the returned plan). Deliberately NOT cache()d: the second
+    // consumer executes after this method returns, so no code path here
+    // could ever unpersist — the CacheManager entry would leak per call
+    // (leftover caches are exactly what Bench clears between queries).
+    // The recompute is bounded: queries × nlist dot products, map-side.
+    val prb = probes(queries, idCol, vecCol, model, nprobe)
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(path)

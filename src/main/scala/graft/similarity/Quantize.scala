@@ -148,9 +148,10 @@ object Quantize {
       vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    // cached for the same double-consumer reason as Ivf.searchPartitioned
+    // not cache()d — same bounded-recompute rationale as
+    // Ivf.searchPartitioned (no code path here could ever unpersist)
     val prb = graft.similarity.Ivf
-      .probes(queries, idCol, vecCol, model, nprobe).cache()
+      .probes(queries, idCol, vecCol, model, nprobe)
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
     val qc = spark.read.parquet(path)

@@ -114,6 +114,13 @@ class MultimodalSpec extends SparkSpec {
       assets((1L, animatedGif(5), "image/gif")), everyN = 2)
     out.collect().map(_.getAs[Int]("frame_idx")).sorted.toSeq shouldBe
       Seq(0, 2, 4)
+    // a structurally valid FRAMELESS gif samples zero rows, not a
+    // sequence(0, -1) runtime error; null is handled inside gifFrameCount
+    Multimodal.gifFrameCount(animatedGif(0)) shouldBe Some(0)
+    Multimodal.gifFrameCount(null) shouldBe None
+    Multimodal.sampleFrames(
+      assets((1L, animatedGif(0), "image/gif")), everyN = 2)
+      .count() shouldBe 0
   }
 
   it should "decode metadata deterministically over binary columns" in {
