@@ -180,6 +180,39 @@ object RelationalExt {
                 ch -> CAST(ascii(ch) AS BIGINT))),
               (h, ch) -> (h*31 + ch) % 1000000007) % 100 AS slice
           FROM orders)
-        WHERE slice < 5"""))
+        WHERE slice < 5""")),
+
+    // Skew salting end-to-end (core/Salt): events salted-joined to the
+    // event-type dimension (small side exploded over all salts), then the
+    // two-phase salted aggregation — partials on (key, salt), merge on
+    // key. The salt is engine-INTERNAL (any well-distributed salt yields
+    // identical results because the small side covers every salt value),
+    // so the oracle is the PLAIN join+group-by — the gate proves the
+    // salted plan changes distribution, never results. Money sums ride
+    // DECIMAL through both phases so the two-level summation stays exact.
+    GateQuery(
+      "q37_salted_skew",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val dim = e.select(col("event_type")).distinct()
+          .withColumn("type_len", length(col("event_type")).cast("long"))
+        val joined = graft.core.Salt.saltedJoin(
+          e, dim, "event_type", "event_id", saltFactor = 8)
+        graft.core.Salt.saltedAgg(joined, "event_type", "event_id", 8,
+            partial = Seq(count(lit(1)).as("c"),
+              sum(dec(col("value"))).as("v"),
+              first("type_len").as("tl")),
+            merge = Seq(sum("c").cast("long").as("n_events"),
+              sum("v").cast("double").as("value_sum"),
+              first("tl").as("type_len")))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+          CAST(length(event_type) AS BIGINT) AS type_len
+        FROM events
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }
