@@ -159,6 +159,41 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of raw media files into the canonical asset frame
+    * via Spark's `binaryFile` source — the missing first mile of the
+    * multimodal pipeline (everything downstream operates on DataFrames).
+    * asset_id is the polyHash of the file path (stable across re-runs and
+    * executors), media_type comes from magic-byte sniffing (truthful even
+    * when extensions lie), meta starts null for `decodeMeta` to fill.
+    * binaryFile reads are distributed and support `pathGlobFilter` +
+    * partition-parallel listing, so the pattern scales to a media lake.
+    */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      glob: String = "*"): DataFrame = {
+    val sniff = udfLessSniff _
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    spark.read.format("binaryFile").option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("content"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = r.getString(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          Row(graft.functions.expressions.PolyHash.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(p)),
+            bytes, sniff(bytes), null)
+        }
+      }(enc)
+  }
+
+  private def udfLessSniff(b: Array[Byte]): String = sniffFormat(b) match {
+    case "png"  => "image/png"
+    case "jpeg" => "image/jpeg"
+    case "gif"  => "image/gif"
+    case _      => "application/octet-stream"
+  }
+
   /** Decode pass: fills meta.width/height (+ frame count) from the media
     * bytes. Batched mapPartitions; schema (asset_id, media_type, width,
     * height, n_bytes, n_frames). n_frames is REAL for GIFs (block walk);

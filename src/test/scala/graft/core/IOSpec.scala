@@ -11,10 +11,12 @@ class IOSpec extends SparkSpec {
 
   it should "round-trip parquet, json and csv" in {
     val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
-    for (fmt <- Seq("parquet", "json", "csv")) {
+    for (fmt <- Seq("parquet", "orc", "json", "csv")) {
       IO.write(data, s"$tmp/$fmt", fmt, coalesceTo = 1)
+      // parquet/orc are self-describing; json/csv need the schema
       val back = IO.read(spark, s"$tmp/$fmt", fmt,
-        schema = if (fmt == "parquet") None else Some(data.schema))
+        schema = if (fmt == "parquet" || fmt == "orc") None
+        else Some(data.schema))
       back.count() shouldBe 3
       back.agg(sum("n")).collect().head.getLong(0) shouldBe 6L
       // coalesceTo=1 → a single data file

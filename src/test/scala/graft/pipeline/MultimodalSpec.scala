@@ -123,6 +123,28 @@ class MultimodalSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  it should "ingest a media directory via the binaryFile source" in {
+    val dir = java.nio.file.Files.createTempDirectory("media_lake")
+    java.nio.file.Files.write(dir.resolve("a.png"), pngBytes(640, 480))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), jpegBytes(32, 16))
+    java.nio.file.Files.write(dir.resolve("c.bin"), wav)
+    val assetsDf = Multimodal.readMediaDir(spark, dir.toString)
+    assetsDf.schema shouldBe Multimodal.mediaSchema
+    val byType = assetsDf.collect()
+      .map(r => r.getAs[String]("media_type")).sorted.toSeq
+    byType shouldBe Seq("application/octet-stream", "image/png", "image/jpeg").sorted
+    // composes with the decode pass: real dims come back out
+    val meta = Multimodal.decodeMeta(assetsDf).collect()
+      .map(r => (r.getAs[String]("media_type"),
+        (r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
+    meta("image/png") shouldBe ((640, 480))
+    meta("image/jpeg") shouldBe ((32, 16))
+    // ids are stable across re-reads (path-hash, not monotonically_increasing)
+    Multimodal.readMediaDir(spark, dir.toString)
+      .select("asset_id").collect().map(_.getLong(0)).sorted shouldBe
+      assetsDf.select("asset_id").collect().map(_.getLong(0)).sorted
+  }
+
   it should "decode metadata deterministically over binary columns" in {
     val out = Multimodal.decodeMeta(assets(
       (1L, png, "image/png"), (2L, wav, "audio/wav"), (3L, null, "image/png")))
