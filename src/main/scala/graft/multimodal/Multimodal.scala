@@ -133,12 +133,19 @@ object Multimodal {
     None // ran out of bytes before the trailer
   }
 
-  /** Container sniff from magic bytes. */
+  /** Container sniff from magic bytes — checks the FULL signatures the
+    * dimension parsers check (8-byte PNG, FFD8FF JPEG, GIF8xa), so a
+    * sniffed type never disagrees with the decoder about being an image.
+    */
   def sniffFormat(b: Array[Byte]): String =
-    if (b == null || b.length < 4) "unknown"
-    else if (u8(b, 0) == 0x89 && b(1) == 'P') "png"
-    else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) "jpeg"
-    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    if (b == null || b.length < 6) "unknown"
+    else if (b.length >= 8 &&
+      u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a &&
+      u8(b, 7) == 0x0a) "png"
+    else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
     else "unknown"
 
   /** Decode (width, height) from real container headers; bytes that are

@@ -38,10 +38,17 @@ object RangeJoin {
   /** Join each point row to every range row whose `[lo, hi)` contains the
     * point. Output: point columns ++ range columns, inner-join semantics.
     */
+  private def requireNoBucketCol(dfs: DataFrame*): Unit = {
+    val clash = dfs.exists(_.columns.contains(BucketCol))
+    require(!clash, // fail fast instead of silently clobbering the column
+      s"range join reserves column name $BucketCol; rename it before calling")
+  }
+
   def pointInInterval(points: DataFrame, pointCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireNoBucketCol(points, ranges)
     val pb = points.withColumn(BucketCol,
       floor(col(pointCol) / bucketWidth).cast("long"))
     // a range [lo, hi) overlaps buckets floor(lo/w) .. floor(hi/w); the hi
@@ -64,6 +71,7 @@ object RangeJoin {
       right: DataFrame, rLo: String, rHi: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireNoBucketCol(left, right)
     def fanOut(df: DataFrame, lo: String, hi: String): DataFrame =
       df.withColumn(BucketCol,
         explode(sequence(floor(col(lo) / bucketWidth).cast("long"),

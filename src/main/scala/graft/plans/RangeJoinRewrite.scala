@@ -48,12 +48,18 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * (with a warning), not throw from inside the optimizer and fail every
     * subsequent query in the session.
     */
+  // warn once per rule instance (= per session), not once per optimizer
+  // invocation — apply() runs for every query and fixed-point iteration
+  @transient private var warnedBadWidth = false
+
   private def configuredWidth: Option[Double] =
     spark.conf.getOption(WidthConf).flatMap { v =>
       val parsed = scala.util.Try(v.toDouble).toOption.filter(_ > 0)
-      if (parsed.isEmpty)
+      if (parsed.isEmpty && !warnedBadWidth) {
+        warnedBadWidth = true
         logWarning(s"$WidthConf='$v' is not a positive number; " +
           "range-join rewrite disabled")
+      }
       parsed
     }
 
@@ -121,9 +127,11 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case EqualNullSafe(a, b) => spansSides(a, b)
       case _                   => false
     }
+    // accept every common falsy spelling — a user who thinks they engaged
+    // the escape hatch must not silently still get the rewrite
     val compositeDisabled = spark.conf
       .getOption(RangeJoinRewrite.CompositeConf)
-      .exists(_.equalsIgnoreCase("false")) // match Spark's boolean confs
+      .exists(v => Set("false", "0", "no", "off")(v.trim.toLowerCase))
     if (hasUserEqui && compositeDisabled) return None
 
     def fromOneSide(e: Expression): Boolean =

@@ -193,8 +193,12 @@ object RelationalExt {
     GateQuery(
       "q37_salted_skew",
       (s, dir) => {
+        // null-keyed rows would survive a plain GROUP BY but never match
+        // the inner salted join — filter explicitly on BOTH sides so the
+        // gate is null-proof whatever a future fixture contains
         val e = t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value"))
+          .filter(col("event_type").isNotNull)
         val dim = e.select(col("event_type")).distinct()
           .withColumn("type_len", length(col("event_type")).cast("long"))
         val joined = graft.core.Salt.saltedJoin(
@@ -213,6 +217,7 @@ object RelationalExt {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
           CAST(length(event_type) AS BIGINT) AS type_len
         FROM events
+        WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type"""))
   )
 }

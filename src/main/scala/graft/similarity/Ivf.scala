@@ -141,13 +141,22 @@ object Ivf {
     * Expects corpus (id, cid, vec) and probe side (qid, cid, qvec) — the
     * quantized paths (`Quantize.ivfTopK`/`searchIvfQuantized`) feed their
     * integral-valued arrays through the same kernel.
+    *
+    * Norms are precomputed ONCE per corpus row / probe row before the cid
+    * join, so each scored pair costs one dot product instead of three —
+    * the same per-pair-norm fix round 5 measured at ~3-5× on d09. The
+    * division `dot / (qnrm * nrm)` is the exact expression `Ann.cosine`
+    * builds (same operand order), so gate results are bit-identical.
     */
   private[similarity] def scoreProbedCells(corpus: DataFrame,
       probeSide: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.join(probeSide, Seq("cid"))
+    val c = corpus.withColumn("__nrm", Ann.l2norm(col("vec")))
+    val p = probeSide.withColumn("__qnrm", Ann.l2norm(col("qvec")))
+    val scored = c.join(p, Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
-        Ann.cosine(col("qvec"), col("vec")).as("cosine_sim"))
+        (Ann.dot(col("qvec"), col("vec")) / (col("__qnrm") * col("__nrm")))
+          .as("cosine_sim"))
     Ann.rankTopK(scored, k)
   }
 

@@ -49,11 +49,15 @@ object Quantize {
     * composes with the pruning paths (quantize AFTER cell/bucket
     * assignment, keeping the cell id).
     */
-  def withQuantized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+  def withQuantized(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val clash = df.columns.filter(Set("__qz_v", "__qz_amax")).distinct
+    require(clash.isEmpty, // fail fast, don't silently eat caller columns
+      s"withQuantized reserves __qz_v/__qz_amax; rename ${clash.mkString(",")}")
     df.withColumn("__qz_v", col(vecCol).cast("array<double>"))
       .withColumn("__qz_amax", absMax(col("__qz_v")))
       .withColumn(outCol, quantizedExpr(col("__qz_v"), col("__qz_amax")))
       .drop("__qz_v", "__qz_amax")
+  }
 
   /** Quantize `vecCol` to integral components in [-127, 127].
     * Output: (id, qvec array<double> of integral values, amax).
@@ -126,15 +130,19 @@ object Quantize {
 
   /** Persist the quantized assigned corpus for the at-scale layout:
     * PARTITIONED BY cell id, vectors stored as `array<tinyint>` — the
-    * actual 4× bytes-on-disk win the int8 scheme exists for (amax rides
-    * along for any consumer that needs dequantized magnitudes; cosine
-    * ranking never does).
+    * actual 4× bytes-on-disk win the int8 scheme exists for. `amax` IS
+    * persisted (one double per vector): cosine ranking never needs it,
+    * but it is the only way a consumer can dequantize magnitudes
+    * (x ≈ q·amax/127).
     */
   def writeIvfQuantized(assignedCorpus: DataFrame, path: String): Unit =
     graft.similarity.Ivf.writePartitioned(
-      withQuantized(assignedCorpus, "vec", "qvec")
-        .select(col("id"), col("cid"),
-          col("qvec").cast("array<tinyint>").as("qvec")),
+      assignedCorpus
+        .withColumn("__qz_v", col("vec").cast("array<double>"))
+        .withColumn("amax", absMax(col("__qz_v")))
+        .withColumn("qvec",
+          quantizedExpr(col("__qz_v"), col("amax")).cast("array<tinyint>"))
+        .select(col("id"), col("cid"), col("amax"), col("qvec")),
       path)
 
   /** Search a `writeIvfQuantized` corpus: probed cell ids (≤ nlist, tiny)

@@ -76,9 +76,10 @@ class QuantizeSpec extends SparkSpec {
     val assigned = graft.similarity.Ivf.assign(
       corpus, "vec_id", "embedding", model)
     Quantize.writeIvfQuantized(assigned, dir)
-    // vectors really are int8 on disk
-    spark.read.parquet(dir).schema("qvec").dataType.simpleString shouldBe
-      "array<tinyint>"
+    // vectors really are int8 on disk, with amax for dequantization
+    val onDisk = spark.read.parquet(dir).schema
+    onDisk("qvec").dataType.simpleString shouldBe "array<tinyint>"
+    onDisk("amax").dataType.simpleString shouldBe "double"
     val stored = Quantize.searchIvfQuantized(dir, queries,
       "vec_id", "embedding", model, k = 10, nprobe = 2)
     val mem = Quantize.ivfTopK(assigned, queries,
