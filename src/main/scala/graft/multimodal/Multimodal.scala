@@ -177,7 +177,6 @@ object Multimodal {
     */
   def readMediaDir(spark: org.apache.spark.sql.SparkSession, path: String,
       glob: String = "*"): DataFrame = {
-    val sniff = udfLessSniff _
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(mediaSchema)
     spark.read.format("binaryFile").option("pathGlobFilter", glob)
@@ -185,16 +184,16 @@ object Multimodal {
       .select(col("path"), col("content"))
       .mapPartitions { it =>
         it.map { r =>
-          val p = r.getString(0)
           val bytes = r.getAs[Array[Byte]](1)
           Row(graft.functions.expressions.PolyHash.hash(
-              org.apache.spark.unsafe.types.UTF8String.fromString(p)),
-            bytes, sniff(bytes), null)
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))),
+            bytes, mimeOf(bytes), null)
         }
       }(enc)
   }
 
-  private def udfLessSniff(b: Array[Byte]): String = sniffFormat(b) match {
+  /** Sniffed container → MIME type (opaque payloads stay octet-stream). */
+  private def mimeOf(b: Array[Byte]): String = sniffFormat(b) match {
     case "png"  => "image/png"
     case "jpeg" => "image/jpeg"
     case "gif"  => "image/gif"

@@ -99,15 +99,15 @@ object Quantize {
     * @param assignedCorpus output of `Ivf.assign`: (id, cid, vec)
     */
   def ivfTopK(assignedCorpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
+      vecCol: String, model: Ivf.Model, k: Int,
       nprobe: Int): DataFrame = {
     // quantize the assigned corpus KEEPING the cell id (quantize after
     // assignment, exactly as the scaladoc above prescribes); the quantized
     // array takes the `vec` slot so Ivf's scoring kernel applies verbatim
     val qc = withQuantized(assignedCorpus, "vec", "qvec")
       .select(col("id"), col("cid"), col("qvec").as("vec"))
-    val prb = graft.similarity.Ivf.probes(queries, idCol, vecCol, model, nprobe)
-    graft.similarity.Ivf.scoreProbedCells(qc,
+    val prb = Ivf.probes(queries, idCol, vecCol, model, nprobe)
+    Ivf.scoreProbedCells(qc,
       quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 
@@ -123,7 +123,7 @@ object Quantize {
     val qq = scalarQuantize(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("qvec"))
     val joined = prb.select("qid", "cid").join(qq, Seq("qid"))
-    if (graft.similarity.Ivf.probeSideSmall(queries, idCol, nprobe))
+    if (Ivf.probeSideSmall(queries, idCol, nprobe))
       broadcast(joined)
     else joined
   }
@@ -136,7 +136,7 @@ object Quantize {
     * (x ≈ q·amax/127).
     */
   def writeIvfQuantized(assignedCorpus: DataFrame, path: String): Unit =
-    graft.similarity.Ivf.writePartitioned(
+    Ivf.writePartitioned(
       assignedCorpus
         .withColumn("__qz_v", col("vec").cast("array<double>"))
         .withColumn("amax", absMax(col("__qz_v")))
@@ -153,20 +153,19 @@ object Quantize {
     * exact integer arithmetic.
     */
   def searchIvfQuantized(path: String, queries: DataFrame, idCol: String,
-      vecCol: String, model: graft.similarity.Ivf.Model, k: Int,
+      vecCol: String, model: Ivf.Model, k: Int,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     // not cache()d — same bounded-recompute rationale as
     // Ivf.searchPartitioned (no code path here could ever unpersist)
-    val prb = graft.similarity.Ivf
-      .probes(queries, idCol, vecCol, model, nprobe)
+    val prb = Ivf.probes(queries, idCol, vecCol, model, nprobe)
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
     val qc = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
       .select(col("id"), col("cid"),
         col("qvec").cast("array<double>").as("vec"))
-    graft.similarity.Ivf.scoreProbedCells(qc,
+    Ivf.scoreProbedCells(qc,
       quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 }
