@@ -368,7 +368,8 @@ object Main {
         }
         val (n, report) = hardware.HardwareReport.assembleReport(
           input, deviceMap,
-          o.getOrElse("count-threshold", "1").toLong)
+          // default -1 → 1% of the sample, the reference's own default
+          o.get("count-threshold").map(_.toLong).getOrElse(-1L))
         writeJson(required("output"), report ++ Map(
           "sampleCount" -> Map("total" -> n.toDouble)))
         println(s"[graft] hardware_report: $n clients → ${required("output")}")

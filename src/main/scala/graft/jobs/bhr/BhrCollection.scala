@@ -21,7 +21,17 @@ object BhrCollection {
 
   case class Hang(stack: Seq[String], duration: Double, thread: String,
       runnableName: String, process: String, buildDate: String,
-      platform: String)
+      platform: String,
+      // sorted (name, value) pairs — part of the aggregation key exactly
+      // like the reference's tupleize_annotation_list (bhr_collection
+      // .py:756-757, 782); defaulted so annotation-free fixtures stay terse
+      annotations: Seq[(String, String)] = Seq.empty)
+
+  /** Reference hang duration bounds (bhr_collection.py:772-775; configs at
+    * :1163-1164 use 128/16000 ms, the job at :1283-1284 uses 128/65536).
+    */
+  val HangLowerBoundMs = 128.0
+  val HangUpperBoundMs = 65536.0
 
   /** E4: explode pings into hang rows with a caller-provided extractor
     * (process_hangs is ping-format specific, bhr_collection.py:640-717).
@@ -33,11 +43,19 @@ object BhrCollection {
   }
 
   /** A8: per-hang-key duration/count sums (merge_hang_data,
-    * bhr_collection.py:789-795).
+    * bhr_collection.py:789-795). The key includes the tupleized
+    * annotations, and out-of-bounds durations are dropped BEFORE
+    * aggregation (map_to_hang_data, :772-775) — a 5 ms noise hang or a
+    * multi-hour outlier never reaches the profile.
     */
-  def aggregateHangs(hangs: Dataset[Hang]): DataFrame =
+  def aggregateHangs(hangs: Dataset[Hang],
+      lowerBoundMs: Double = HangLowerBoundMs,
+      upperBoundMs: Double = HangUpperBoundMs): DataFrame =
     hangs.toDF()
-      .groupBy("stack", "thread", "runnableName", "buildDate", "platform")
+      .filter(col("duration") >= lowerBoundMs &&
+        col("duration") < upperBoundMs)
+      .groupBy("stack", "thread", "runnableName", "buildDate", "platform",
+        "annotations")
       .agg(sum("duration").as("total_duration"),
         count(lit(1)).cast("double").as("hang_count"))
 
@@ -89,7 +107,9 @@ object BhrCollection {
         runnableName = r.getAs[String]("runnableName"),
         threadName = r.getAs[String]("thread"),
         buildDate = r.getAs[String]("buildDate"),
-        annotations = Seq.empty,
+        annotations = r.getSeq[org.apache.spark.sql.Row](
+          r.fieldIndex("annotations"))
+          .map(a => (a.getString(0), a.getString(1))),
         platform = r.getAs[String]("platform"),
         hangMs = r.getAs[Double]("total_duration"),
         hangCount = r.getAs[Double]("hang_count"))

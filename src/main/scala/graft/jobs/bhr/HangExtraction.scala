@@ -60,7 +60,8 @@ object HangExtraction {
         }
       }
       val base = BhrCollection.Hang(stackStrings, h.duration, h.thread,
-        "", h.process, buildDate, ping.osName)
+        "", h.process, buildDate, ping.osName,
+        annotations = h.annotations.toSeq.sortBy(_._1))
       if (h.annotations.contains("PaintWhileInterruptingJS"))
         Seq(base, base.copy(thread = "Gecko_Child_ForcePaint"))
       else Seq(base)

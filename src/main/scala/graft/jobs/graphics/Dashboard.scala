@@ -54,7 +54,11 @@ object Dashboard {
     // try_element_at: an empty adapter array must yield null (→ row
     // dropped below), not an ANSI index error
     val adapter = try_element_at(col("adapters"), lit(1))
-    def t(c: Column): Column = coalesce(c, lit("Unknown"))
+    // Python truthiness, not just null: the reference's `obj.get(key) or
+    // "Unknown"` (graphics_telemetry_dashboard.py:189) also maps EMPTY
+    // strings to Unknown — telemetry "isn't guaranteed to be well-formed"
+    def t(c: Column): Column =
+      when(c.isNull || c === "", lit("Unknown")).otherwise(c)
     // Intel Open Source Technology Center reports its own vendor string;
     // merge with the PCI id it should report (dashboard.py:196-199)
     val vendorId = when(
@@ -244,12 +248,15 @@ object Dashboard {
     val os = nested(pings, "OSName")
     val vendors = nested(pings, "vendorID")
     val windows = nested(pings.filter(col("OSName") === "Windows"), "OSVersion")
-    (os.keySet ++ vendors.keySet).map { fx =>
+    val byVersion = (os.keySet ++ vendors.keySet).map { fx =>
       fx -> Map(
         "os" -> os.getOrElse(fx, Map.empty),
         "windows" -> windows.getOrElse(fx, Map.empty),
         "vendors" -> vendors.getOrElse(fx, Map.empty))
     }.toMap
+    // the reference always includes the whole-population slice under
+    // "all" alongside the per-version keys (dashboard.py:424)
+    byVersion + ("all" -> subsetStatistics(pings))
   }
 
   /** device-statistics (dashboard.py:448-450): the vendor/device/driver
@@ -490,9 +497,13 @@ object Dashboard {
       gpuProcess = Analytics.frequencyMap(df, "gpu_process_c"),
       advancedLayers = Analytics.frequencyMap(df, "advanced_layers_c"))
     val all = slice(feats)
+    // one OSVersion frequency pass decides which important versions are
+    // populated — replaces a limit(1).count() probe job per version (the
+    // reference's feature_pings_by_os gate, dashboard.py:1040-1043)
+    val versionCounts = Analytics.frequencyMap(feats, "OSVersion")
     val byVersion = ImportantWindowsVersions
+      .filter(v => versionCounts.getOrElse(v, 0L) > 0)
       .map(v => v -> feats.filter(col("OSVersion") === v))
-      .filter(_._2.limit(1).count() > 0)
       .map { case (v, df) =>
         val s = slice(df)
         // pre-Vista versions skip the d3d11/d2d/warp detail

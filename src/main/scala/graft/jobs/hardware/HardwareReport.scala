@@ -1,6 +1,6 @@
 package graft.jobs.hardware
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Hardware-survey report core, ported from
@@ -65,15 +65,49 @@ object HardwareReport {
     clients.select(explode(col(dimensionsCol)).as(Seq("dimension", "value")))
       .groupBy("dimension", "value").count()
 
-  /** collapse_buckets (summarize_json.py:351-418): within each dimension,
-    * fold values below `countThreshold` into "Other".
+  /** Dimensions never collapsed into "Other" (summarize_json.py:20
+    * EXCLUSION_LIST) — their full value range is not privacy-sensitive.
     */
-  def collapseBuckets(aggregated: DataFrame, countThreshold: Long): DataFrame =
-    aggregated
-      .withColumn("value",
-        when(col("count") < countThreshold, lit("Other"))
-          .otherwise(col("value")))
+  val ExclusionList: Seq[String] = Seq("has_flash", "browser_arch", "os_arch")
+
+  /** collapse_buckets (summarize_json.py:351-418), full reference
+    * semantics as two grouped passes:
+    *
+    *  - a bucket survives only with count STRICTLY ABOVE the threshold
+    *    (`v > count_threshold`), except the `ExclusionList` dimensions
+    *    which always survive;
+    *  - resolution "0x0" (bug 1324014) goes straight to "Other";
+    *  - rare resolutions regroup to "~WxH" with both sides rounded to the
+    *    nearest hundred — bround (half-even) replicates Python 3's
+    *    round(int, -2) banker's rounding exactly;
+    *  - rare os values regroup to "<osname>-Other" (split on the FIRST
+    *    dash, like .split("-", 1));
+    *  - a SECOND pass re-checks the regrouped buckets ("~WxH"/"os-Other")
+    *    and folds any still at-or-under the threshold into plain "Other".
+    */
+  def collapseBuckets(aggregated: DataFrame, countThreshold: Long): DataFrame = {
+    val excluded = col("dimension").isin(ExclusionList: _*)
+    def roundHundred(c: Column): Column =
+      (bround(c.cast("double") / 100.0, 0) * 100).cast("int").cast("string")
+    val res = split(col("value"), "x")
+    val roundedRes = concat(lit("~"), roundHundred(res.getItem(0)),
+      lit("x"), roundHundred(res.getItem(1)))
+    val osOther = concat(split(col("value"), "-").getItem(0), lit("-Other"))
+    val pass1Value =
+      when(col("dimension") === "resolution" && col("value") === "0x0",
+        lit("Other"))
+        .when(col("count") > countThreshold || excluded, col("value"))
+        .when(col("dimension") === "resolution", roundedRes)
+        .when(col("dimension") === "os", osOther)
+        .otherwise(lit("Other"))
+    val pass1 = aggregated.withColumn("value", pass1Value)
       .groupBy("dimension", "value").agg(sum("count").as("count"))
+    val keep2 = (col("count") > countThreshold && col("value") =!= "Other") ||
+      excluded
+    pass1.withColumn("value",
+        when(keep2, col("value")).otherwise(lit("Other")))
+      .groupBy("dimension", "value").agg(sum("count").as("count"))
+  }
 
   /** finalize_data (summarize_json.py:420-485): counts → shares of the
     * sample.
@@ -195,13 +229,17 @@ object HardwareReport {
     * count.
     */
   def assembleReport(clients: DataFrame, deviceMap: DataFrame,
-      countThreshold: Long = 1): (Long, Map[String, Map[String, Double]]) = {
+      countThreshold: Long = -1): (Long, Map[String, Map[String, Double]]) = {
     val prepared = Dimensions.prepareData(clients, deviceMap)
     val sampleCount = prepared.count()
+    // negative → the reference's default: 1% of the valid sample
+    // (summarize_json.py:706 threshold_to_collapse)
+    val threshold =
+      if (countThreshold < 0) (sampleCount * 0.01).toLong else countThreshold
     val shares = finalizeData(
       collapseBuckets(
         aggregateDimensions(Dimensions.toDimensionsMap(prepared)),
-        countThreshold),
+        threshold),
       sampleCount)
     val report = shares.collect()
       .groupBy(_.getAs[String]("dimension"))

@@ -104,6 +104,15 @@ object MissingSymbols {
     * inside executors (and removes the engine's last UDF call site);
     * `symbolsNowAvailable(debugFile, debugId)` is injected so tests stay
     * hermetic.
+    *
+    * DELIBERATE DIVERGENCE: the reference defines
+    * `are_symbols_available(debug_file, debug_id)` but CALLS it with the
+    * arguments swapped (modules_with_missing_symbols.py:166 vs :147), so
+    * its probe URL interpolates debug_id where the file belongs and the
+    * HEAD always misses — every reference report row says unavailable.
+    * This port passes (debug_file, debug_id) in the declared order; the
+    * '(*)' flags can therefore differ from (be more truthful than) the
+    * reference's output.
     */
   def finalizeReport(reportDf: DataFrame,
       symbolsNowAvailable: (String, String) => Boolean = (_, _) => false)

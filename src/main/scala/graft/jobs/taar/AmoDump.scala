@@ -60,8 +60,11 @@ object AmoDump {
       col("guid"),
       coalesce(col("is_featured"), lit(false)).as("is_featured"),
       (size(col("current_version.files")) > 0).as("has_files"),
-      coalesce(exists(col("current_version.files"),
-        f => f.getField("is_webextension")), lit(false)).as("is_webext"),
+      // the reference tests ONLY the first file's flag
+      // (taar_amowhitelist.py:88 current_version_files[0]), not any-of —
+      // an addon listing [legacy, webextension] is rejected there
+      coalesce(col("current_version.files").getItem(0)
+        .getField("is_webextension"), lit(false)).as("is_webext"),
       coalesce(element_at(col("ratings"), "average"), lit(0.0)).as("rating"),
       col("first_create_date"))
       .collect().toSeq.map { r =>

@@ -1,6 +1,6 @@
 package graft.jobs.taar
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,24 @@ object Dynamo {
       "scalar_parent_browser_engagement_unique_domains_count",
       "active_addons", "disabled_addons_ids")
 
+    // The reference strips every PYTHON-FALSY value from the payload
+    // (taar_dynamo.py:163 `if value`), not just nulls: 0, 0.0, "", empty
+    // arrays/maps and false all disappear. to_json only drops nulls, so
+    // falsy values are nulled per-type first.
+    def truthyOrNull(f: String): Column = {
+      import org.apache.spark.sql.types._
+      val c = col(f)
+      val nulled = latest.schema(f).dataType match {
+        case StringType     => when(c === "", lit(null)).otherwise(c)
+        case _: NumericType => when(c === 0, lit(null)).otherwise(c)
+        case _: ArrayType   => when(size(c) === 0, lit(null)).otherwise(c)
+        case _: MapType     => when(size(c) === 0, lit(null)).otherwise(c)
+        case BooleanType    => when(!c, lit(null)).otherwise(c)
+        case _              => c
+      }
+      nulled.as(f)
+    }
+
     latest
       // taar_dynamo.py:118-132 validity filter
       .where(col("client_id").isNotNull && col("client_id") =!= "" &&
@@ -61,7 +79,7 @@ object Dynamo {
         col("client_id"),
         date_format(to_date(col("subsession_start_date")), "yyyyMMdd")
           .as("start_date"),
-        to_json(struct(payloadFields.map(col): _*)).as("payload"))
+        to_json(struct(payloadFields.map(truthyOrNull): _*)).as("payload"))
   }
 
   /** External key-value store boundary (DynamoDB in the reference).
@@ -78,14 +96,20 @@ object Dynamo {
     */
   case class LoadStats(pushed: Long, seen: Long, errors: Seq[String])
 
-  /** foreachPartition batching load (replaces reduce-with-side-effects). */
+  /** foreachPartition batching load (replaces reduce-with-side-effects).
+    * client_id is sha256-hex-hashed AT PUSH TIME, exactly where the
+    * reference clobbers it (taar_dynamo.py:191-215 hash_client_ids inside
+    * push_to_dynamo, via taar_utils.hash_telemetry_id) — raw telemetry
+    * ids never reach the external store.
+    */
   def load(rows: DataFrame, sink: KeyValueSink,
       batchSize: Int = BatchSize): LoadStats = {
     val spark = rows.sparkSession
     val pushedAcc = spark.sparkContext.longAccumulator("dynamo.pushed")
     val seenAcc = spark.sparkContext.longAccumulator("dynamo.seen")
     val errAcc = spark.sparkContext.collectionAccumulator[String]("dynamo.errors")
-    rows.select("client_id", "start_date", "payload")
+    rows.select(sha2(col("client_id"), 256).as("client_id"),
+        col("start_date"), col("payload"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.map(r => (r.getString(0), r.getString(1), r.getString(2)))
           .grouped(batchSize).foreach { batch =>

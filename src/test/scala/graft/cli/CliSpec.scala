@@ -128,9 +128,9 @@ class CliSpec extends SparkSpec {
     val in = tmp("bhr-in"); val out = tmp("bhr-out")
     Seq(
       graft.jobs.bhr.BhrCollection.Hang(Seq("xul.pdb\\A:f1", "xul.pdb\\A:f2"),
-        50.0, "Gecko", "r1", "parent", "20170101", "win"),
+        500.0, "Gecko", "r1", "parent", "20170101", "win"),
       graft.jobs.bhr.BhrCollection.Hang(Seq("xul.pdb\\A:f1"),
-        30.0, "Gecko_Child", "r2", "content", "20170101", "win"))
+        300.0, "Gecko_Child", "r2", "content", "20170101", "win"))
       .toDS().toDF().write.mode("overwrite").parquet(in)
     dispatch("bhr_collection", "input" -> in, "output" -> s"$out/profile.json")
     val json = Files.readString(java.nio.file.Paths.get(s"$out/profile.json"))

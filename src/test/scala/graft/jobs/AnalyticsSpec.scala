@@ -71,11 +71,17 @@ class AnalyticsSpec extends SparkSpec {
 
   it should "aggregate hang durations per key and normalize by usage hours" in {
     val hangs = Seq(
-      BhrCollection.Hang(Seq("f1", "f2"), 100.0, "Gecko", "r1", "parent",
+      BhrCollection.Hang(Seq("f1", "f2"), 1000.0, "Gecko", "r1", "parent",
         "20170101", "win"),
-      BhrCollection.Hang(Seq("f1", "f2"), 50.0, "Gecko", "r1", "parent",
+      BhrCollection.Hang(Seq("f1", "f2"), 500.0, "Gecko", "r1", "parent",
         "20170101", "win"),
+      BhrCollection.Hang(Seq("f3"), 200.0, "Gecko", "r2", "parent",
+        "20170101", "win"),
+      // out-of-bounds durations are dropped pre-aggregation
+      // (map_to_hang_data bounds): sub-128ms noise and huge outliers
       BhrCollection.Hang(Seq("f3"), 10.0, "Gecko", "r2", "parent",
+        "20170101", "win"),
+      BhrCollection.Hang(Seq("f3"), 1e6, "Gecko", "r2", "parent",
         "20170101", "win")).toDS()
     val agg = BhrCollection.aggregateHangs(hangs)
     agg.count() shouldBe 2
@@ -83,7 +89,7 @@ class AnalyticsSpec extends SparkSpec {
     val norm = BhrCollection.normalizeByUsageHours(agg, usage)
     val r = norm.filter(
       org.apache.spark.sql.functions.size(col("stack")) === 2).collect().head
-    r.getAs[Double]("hangs_per_hour") shouldBe 15.0
+    r.getAs[Double]("hangs_per_hour") shouldBe 150.0
     r.getAs[Double]("count_per_hour") shouldBe 0.2
   }
 
@@ -161,10 +167,30 @@ class AnalyticsSpec extends SparkSpec {
       Map("gpu" -> "amd", "os" -> "win")).toDF("dimensions")
     val agg = HardwareReport.aggregateDimensions(clients)
     val collapsed = HardwareReport.collapseBuckets(agg, countThreshold = 2)
+    // reference keeps only counts STRICTLY above the threshold
+    // (summarize_json.py:376 `v > count_threshold`): nv at exactly 2
+    // collapses too
     rowsOf(collapsed, "dimension", "value", "count") shouldBe Set(
-      Seq("gpu", "nv", 2L), Seq("gpu", "Other", 1L), Seq("os", "win", 3L))
+      Seq("gpu", "Other", 3L), Seq("os", "win", 3L))
     val fin = HardwareReport.finalizeData(collapsed, 3)
     fin.filter(col("value") === "win").collect().head
       .getAs[Double]("share") shouldBe 1.0
+  }
+
+  it should "collapse with full reference semantics (exclusions, 0x0, ~WxH, os-Other)" in {
+    val agg = Seq(
+      ("resolution", "0x0", 100L), // bug 1324014: straight to Other
+      ("resolution", "1920x1080", 50L), // above threshold: kept
+      ("resolution", "1366x768", 2L), // rare → ~1400x800, still rare → Other
+      ("os", "Windows_NT-6.1", 2L), // rare → Windows_NT-Other ...
+      ("os", "Windows_NT-6.2", 2L), // ... merged to 4 > 3: survives pass 2
+      ("has_flash", "true", 1L) // EXCLUSION_LIST: kept at any count
+    ).toDF("dimension", "value", "count")
+    val out = HardwareReport.collapseBuckets(agg, countThreshold = 3)
+    rowsOf(out, "dimension", "value", "count") shouldBe Set(
+      Seq("resolution", "1920x1080", 50L),
+      Seq("resolution", "Other", 102L),
+      Seq("os", "Windows_NT-Other", 4L),
+      Seq("has_flash", "true", 1L))
   }
 }

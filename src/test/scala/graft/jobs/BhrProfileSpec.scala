@@ -112,16 +112,20 @@ class BhrProfileSpec extends SparkSpec {
     import spark.implicits._
     val hangs = Seq(
       BhrCollection.Hang(Seq("xul.pdb\\ABC:0x1f", "pseudo\\null:js::Run"),
-        100.0, "Gecko", "r1", "parent", "20170101", "win"),
+        1000.0, "Gecko", "r1", "parent", "20170101", "win",
+        annotations = Seq(("PaintWhileInterruptingJS", "true"))),
       BhrCollection.Hang(Seq("xul.pdb\\ABC:0x1f", "pseudo\\null:js::Run"),
-        20.0, "Gecko", "r1", "parent", "20170101", "win")).toDS()
+        200.0, "Gecko", "r1", "parent", "20170101", "win",
+        annotations = Seq(("PaintWhileInterruptingJS", "true")))).toDS()
     val rows = BhrCollection.toSampleRows(BhrCollection.aggregateHangs(hangs))
     rows.length shouldBe 1
     val r = rows.head
-    r.hangMs shouldBe 120.0
+    r.hangMs shouldBe 1200.0
     r.hangCount shouldBe 2.0
     // first ':' splits lib from frame; frame may itself contain "::"
     r.stack shouldBe Seq(("0x1f", "xul.pdb\\ABC"), ("js::Run", "pseudo\\null"))
+    // annotations survive the distributed aggregation into the bridge
+    r.annotations shouldBe Seq(("PaintWhileInterruptingJS", "true"))
     // end-to-end: the bridged rows feed the processor
     val p = new ProfileProcessor(Config(uuid = "u"))
     p.ingest(rows)
