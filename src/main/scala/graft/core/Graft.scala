@@ -79,7 +79,12 @@ object Graft {
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tableNames.foreach { n =>
-      if (new java.io.File(s"$sfDir/$n.parquet").exists())
+      // Hadoop FS existence probe, not java.io.File: sfDir may be an
+      // hdfs:// or s3a:// URI on a cluster (java.io would silently skip
+      // every table there)
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$n.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
         table(spark, sfDir, n).createOrReplaceTempView(n)
     }
 

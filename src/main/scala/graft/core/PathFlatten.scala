@@ -26,18 +26,26 @@ object PathFlatten {
   def flatten(df: DataFrame, paths: Seq[String]): DataFrame =
     df.select(paths.map(pathColumn): _*)
 
-  /** The subset of `paths` resolvable against the frame's schema. */
-  def existingPaths(df: DataFrame, paths: Seq[String]): Seq[String] =
-    paths.filter { p =>
-      val parts = p.split("/")
-      var dt: org.apache.spark.sql.types.DataType = df.schema
-      parts.forall { part =>
-        dt match {
-          case s: org.apache.spark.sql.types.StructType
-              if s.fieldNames.contains(part) =>
-            dt = s(part).dataType; true
-          case _ => false
-        }
-      }
+  /** The subset of `paths` resolvable against the frame's schema.
+    * Matches Spark's own resolution rules, which the previous version
+    * under-approximated: field lookup is CASE-INSENSITIVE (the analyzer's
+    * default), and a path step may pass through an array of structs
+    * (projection maps over elements) or a map's value type — both shapes
+    * are routine in ping payloads (histogram maps, addon arrays).
+    */
+  def existingPaths(df: DataFrame, paths: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def step(dt: DataType, part: String): Option[DataType] = dt match {
+      case s: StructType =>
+        s.fields.find(_.name.equalsIgnoreCase(part)).map(_.dataType)
+      case a: ArrayType => step(a.elementType, part)
+      case m: MapType   => step(m.valueType, part)
+      case _            => None
     }
+    paths.filter { p =>
+      p.split("/").foldLeft(Option(df.schema: DataType)) {
+        (acc, part) => acc.flatMap(step(_, part))
+      }.isDefined
+    }
+  }
 }

@@ -68,8 +68,17 @@ object NearDup {
     // one scan + explode, NOT a bands-way union: a union re-reads (or at
     // best re-projects) the signature frame once per band
     val bandStructs = array((0 until bands).map { b =>
-      val key = (0 until r).map(j => col(s"mh${b * r + j}"))
-        .reduceLeft((acc, c) => acc * HashMod + c)
+      val cols = (0 until r).map(j => col(s"mh${b * r + j}"))
+      // positional packing acc*HashMod + c is EXACT (and SQL-replayable,
+      // which the d02 oracle depends on) only while it fits a long:
+      // values < 2^30, so r ≤ 2. Wider bands hash-combine instead —
+      // under ANSI the old packing would throw ARITHMETIC_OVERFLOW at
+      // r ≥ 3 (and silently conflate buckets with ANSI off). A hash
+      // collision can only ADD a candidate pair, which the exact-Jaccard
+      // verify stage then rejects — never lose one.
+      val key =
+        if (r <= 2) cols.reduceLeft((acc, c) => acc * HashMod + c)
+        else xxhash64(cols: _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }: _*)
     sig.select(col("id"), explode(bandStructs).as("bb"))
@@ -157,6 +166,9 @@ object NearDup {
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bandBits: Int = 6, maxHamming: Int = 10): DataFrame = {
+    require(SimHashBits % bandBits == 0,
+      s"bandBits must divide $SimHashBits — a remainder would silently " +
+        "exempt the top bits from candidate generation")
     val sh = simhash(df, idCol, textCol, n)
     val bands = SimHashBits / bandBits
     // single-pass explode of (band, bkey) structs — see bandKeys note

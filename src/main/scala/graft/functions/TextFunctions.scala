@@ -27,9 +27,12 @@ object TextFunctions {
   val MinHashB: Seq[Long] =
     Seq(94007L, 517093L, 332989L, 611953L, 27961L, 440411L, 763901L, 120889L)
 
-  /** Whitespace tokenization, empty tokens dropped. */
+  /** Whitespace tokenization (ANY whitespace run — newlines and tabs
+    * included, not just literal spaces: real corpora are line-wrapped),
+    * empty tokens dropped.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    filter(split(text, "\\s+"), t => t =!= lit(""))
 
   /** Word n-gram shingles (joined by single spaces); inputs shorter than
     * n tokens fall back to their token list so they still dedup.
@@ -84,7 +87,9 @@ object TextFunctions {
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    // two empty sets → null, not an ANSI DIVIDE_BY_ZERO (Spark 4 default)
+    when(union > 0, inter.cast("double") / union)
   }
 
   /** Number of set bits in a long (for SimHash Hamming distance) —

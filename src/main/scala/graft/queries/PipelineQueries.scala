@@ -17,9 +17,17 @@ object PipelineQueries {
 
   // ---- shared DuckDB fragments (mirror TextFunctions exactly) ----
 
-  /** documents → (doc_id, toks) */
+  /** documents → (doc_id, toks) — regex whitespace split, mirroring
+    * TextFunctions.tokens (ANY whitespace run, not just literal spaces).
+    */
   private val tokCte =
-    "tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
+    "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks FROM documents)"
+
+  /** languageId's variant: lowercased before tokenizing (sentence-initial
+    * markers must count), exactly like TextAnalysis.languageId.
+    */
+  private val tokLowerCte =
+    "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks FROM documents)"
 
   /** (doc_id, toks) → (doc_id, ss): distinct 3-gram shingle set, short-doc
     * fallback to tokens, empty sets dropped — mirrors NearDup.shingleSets.
@@ -435,7 +443,7 @@ object PipelineQueries {
         val best = s"greatest(${langs.map(_ + "_hits").mkString(", ")})"
         val caseArms = langs.dropRight(1)
           .map(l => s"WHEN ${l}_hits = $best THEN '$l'").mkString(" ")
-        s"""WITH $tokCte,
+        s"""WITH $tokLowerCte,
            |sc AS (SELECT doc_id, $hitCols FROM tok)
            |SELECT doc_id, ${langs.map(_ + "_hits").mkString(", ")},
            |  CASE WHEN $best = 0 THEN 'und' $caseArms

@@ -71,7 +71,14 @@ object EventStreams {
               val t = e.ts.getTime
               current match {
                 case Some(s) if t - s.lastSeen <= gapMs =>
-                  current = Some(s.copy(lastSeen = t, events = s.events + 1,
+                  // min/max, not plain assignment: a late-but-in-watermark
+                  // event older than the current state must not REGRESS
+                  // lastSeen (which would mis-time the gap check and the
+                  // event-time timeout) or leave start after end
+                  current = Some(s.copy(
+                    start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
+                    events = s.events + 1,
                     valueSum = s.valueSum + e.value))
                 case Some(s) =>
                   closed += emit(s)
@@ -91,13 +98,16 @@ object EventStreams {
       }
   }
 
-  /** Streaming dedup on an id column within the watermark horizon —
-    * the streaming form of exact dedup (NearDup.exactDedup).
+  /** Streaming dedup on the id column ALONE within the watermark horizon —
+    * the streaming form of exact dedup (NearDup.exactDedup). Uses
+    * dropDuplicatesWithinWatermark so a redelivered id with a fresh
+    * timestamp (the standard producer-retry shape) still deduplicates;
+    * dropDuplicates(id, ts) would keep both.
     */
   def dedupStream(events: DataFrame, idCol: String,
       lateness: String): DataFrame =
     events.withWatermark("ts", lateness)
-      .dropDuplicates(Seq(idCol, "ts"))
+      .dropDuplicatesWithinWatermark(Seq(idCol))
 
   /** Stream-stream interval join: each left event joined to every right
     * event for the same user within the trailing `horizonSec` window

@@ -27,12 +27,20 @@ object TextAnalysis {
 
   /** Per-document language scores + argmax prediction ("und" when no
     * marker hits; ties break in LangMarkers order).
+    *
+    * Text is LOWERCASED before tokenizing — sentence-initial "The"/"La"
+    * must count as markers. Tokens are materialized in their own
+    * projection first: HOFs get no common-subexpression elimination, so
+    * an inline `tokens(text)` would re-tokenize the full document once
+    * per language column (the shingleSets trap, NearDup.scala:33-38).
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = df.select(
-      (col(idCol).as("id") +:
-        LangMarkers.map { case (l, m) => hits(toks, m).as(s"${l}_hits") }): _*)
+    val scored = df
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("__toks"))
+      .select(
+        (col("id") +:
+          LangMarkers.map { case (l, m) =>
+            hits(col("__toks"), m).as(s"${l}_hits") }): _*)
     val best = LangMarkers.map(l => col(s"${l._1}_hits"))
       .reduceLeft((a, b) => greatest(a, b))
     // first-match-wins in LangMarkers order; no hits at all → "und"
@@ -48,17 +56,21 @@ object TextAnalysis {
     * exact integers (bit-stable across engines).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // materialize tokens once (see languageId note) — the three
+    // token-derived metrics would otherwise each re-tokenize the document
+    val toks = col("__toks")
     val nTok = size(toks).cast("long")
     val nTypes = size(array_distinct(toks)).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    df.select(
-      col(idCol).as("id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      nTok.as("n_tokens"),
-      nTypes.as("n_types"),
-      when(nTok > 0, nTypes.cast("double") / nTok).as("type_token_ratio"),
-      when(nTok > 0, sumLen.cast("double") / nTok).as("mean_token_len"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .select(
+        col("id"),
+        length(col("__text")).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        nTypes.as("n_types"),
+        when(nTok > 0, nTypes.cast("double") / nTok).as("type_token_ratio"),
+        when(nTok > 0, sumLen.cast("double") / nTok).as("mean_token_len"))
   }
 
   /** Token counts: whitespace tokens and regex word tokens ([a-z0-9]+,
