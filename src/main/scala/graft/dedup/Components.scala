@@ -1,0 +1,110 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the cluster-
+  * resolution step a dedup pipeline needs AFTER pair generation: MinHash /
+  * SimHash emit near-duplicate PAIRS, but keep-one-per-group semantics need
+  * the transitive closure (a~b, b~c ⇒ keep one of {a,b,c}).
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round does (1) label(u) ← min(label(u), min over neighbours v of
+  * label(v)) and (2) label(u) ← label(label(u)). Step 2 (pointer jumping)
+  * collapses label chains, giving O(log diameter) convergence instead of
+  * O(diameter) — the standard trick from the MapReduce connected-components
+  * literature (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"). Labels start at the node's own id, only ever decrease, and at
+  * the fixpoint every component carries its minimum member id.
+  *
+  * Scale design (100 TB, 1000 executors):
+  *  - Each round is two shuffles (a grouped min and a label-to-label join)
+  *    over (id, label) pairs — 16 bytes/node, never documents.
+  *  - Lineage is truncated every round with localCheckpoint; without it the
+  *    plan doubles per iteration and the job dies on driver planning long
+  *    before data size matters. On a cluster with an unreliable executor
+  *    pool, swap localCheckpoint for a reliable checkpoint dir.
+  *  - Convergence is detected by the sum of labels (strictly decreasing
+  *    until fixpoint, since labels are non-negative and only move down) —
+  *    one cheap scalar action per round instead of a change-count join.
+  *  - Near-dup graphs are overwhelmingly tiny stars/cliques, so rounds ≈ 2
+  *    in practice; maxIter bounds the pathological chain.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges`; component is the
+    * minimum node id reachable from the node. Null endpoints and self-loops
+    * are dropped. Ids must be non-negative (the sum-based convergence test
+    * relies on labels decreasing monotonically toward a non-negative
+    * fixpoint; near-dup doc ids always are).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // Symmetrize once and materialize: every iteration scans this frame,
+    // and without the checkpoint each round would re-run the (possibly
+    // expensive — MinHash LSH) edge-producing lineage from scratch.
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = labels.isEmpty
+
+    while (!converged && iter < maxIter) {
+      // (1) neighbour min: grouped agg over (dst → min comp of src side)
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(sym("dst").as("id")).agg(min("comp").as("ncomp"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // (2) pointer jump: comp ← comp(comp). Every label IS a node id, so
+      // the self-join always finds it; inner join is safe but left keeps
+      // the invariant obvious.
+      val byId = propagated.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val jumped = propagated.join(byId, propagated("comp") === byId("cid"), "left")
+        .select(propagated("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = labelSum(jumped)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist()
+      labels = jumped
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Full near-dup cluster assignment for a document frame: MinHash LSH
+    * pairs → connected components → every document labelled with its
+    * cluster (singletons keep their own id), plus the cluster size and a
+    * keeper flag (the minimum id in each cluster survives).
+    *
+    * Output: (idCol, cluster_id, cluster_size, keep ∈ {0,1}).
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+    val pairs = NearDup.minhashNearDuplicates(df, idCol, textCol, n,
+      numHashes, bands, threshold, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val labelled = df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+    val sizes = labelled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labelled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).cast("int").as("keep"))
+  }
+}

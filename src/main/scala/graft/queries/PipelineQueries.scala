@@ -5,7 +5,7 @@ import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.dedup.NearDup
 import graft.similarity.Ann
-import graft.text.TextAnalysis
+import graft.text.{Bm25, TextAnalysis}
 import GateQuery.{table => t}
 
 /** Training-data pipeline gate queries: dedup (exact / MinHash-LSH /
@@ -54,6 +54,10 @@ object PipelineQueries {
   private val jaccardSql =
     """CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
       |  / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))""".stripMargin
+
+  /** Fixed probe query for the t06 BM25 gate (distinct lowercase tokens). */
+  val Bm25QueryTerms: Seq[String] =
+    Seq("query", "vector", "stream", "merge", "filter", "spark")
 
   val queries: Seq[GateQuery] = Seq(
 
@@ -261,6 +265,54 @@ object PipelineQueries {
            |                JOIN sets sb ON cand.id_b = sb.doc_id)
            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
            |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Near-dup CLUSTER resolution: the MinHash pairs above are only half of
+    // dedup — keep-one-per-group needs the transitive closure (a~b, b~c ⇒
+    // one cluster {a,b,c}). Spark side runs iterative min-label
+    // propagation + pointer jumping (Components.connectedComponents); the
+    // oracle recomputes the same closure via a recursive CTE — an
+    // INDEPENDENT algorithm, so the gate checks the semantics, not the
+    // implementation. Every document is labelled (singletons keep their
+    // own id); keep = 1 marks the cluster's minimum id.
+    GateQuery(
+      "d12_dedup_cluster",
+      (s, dir) =>
+        graft.dedup.Components.nearDupClusters(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, numHashes = 8, bands = 4, threshold = 0.8)
+          .orderBy("doc_id"),
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH RECURSIVE $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT id_a, id_b
+           |          FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |                    JOIN sets sb ON cand.id_b = sb.doc_id
+           |          WHERE $jaccardSql >= 0.8),
+           |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM sym) nodes
+           |          UNION
+           |          SELECT r.src, y.d FROM reach r JOIN sym y ON y.s = r.dst),
+           |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+           |         FROM reach GROUP BY src),
+           |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+           |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+           |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           |        FROM lab GROUP BY cluster_id)
+           |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           |       CAST(l.doc_id = l.cluster_id AS INT) AS keep
+           |FROM lab l JOIN siz s ON l.cluster_id = s.cluster_id
+           |ORDER BY l.doc_id""".stripMargin
       }),
 
     // Brute-force n-gram Jaccard pairs — the O(n²) correctness baseline
@@ -546,6 +598,54 @@ object PipelineQueries {
           .orderBy("doc_id"),
       Some(
         s"""SELECT doc_id, ${polyHashSql("text")} AS fingerprint
-           |FROM documents ORDER BY doc_id""".stripMargin))
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BM25 top-k retrieval — the exact text-search primitive (inverted-
+    // index-shaped: postings are filtered to the query's terms BEFORE the
+    // shuffle). The score is engine-portable by construction: idf is
+    // ln quantized through floor(x*1e6+0.5)/1e6 (same IEEE ops both
+    // sides; ln itself is the only non-correctly-rounded op and the
+    // quantization absorbs its ±1 ulp), every other op is +,*,/ in
+    // identical order, and the per-document total is a FIXED-ORDER sum of
+    // per-term columns, not an unordered float SUM aggregate.
+    GateQuery(
+      "t06_bm25",
+      (s, dir) =>
+        graft.text.Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          Bm25QueryTerms, k = 20),
+      Some {
+        val inList = Bm25QueryTerms.map(w => s"'$w'").mkString(", ")
+        val k1p1 = s"CAST(${Bm25.K1 + 1.0} AS DOUBLE)"
+        val k1 = s"CAST(${Bm25.K1} AS DOUBLE)"
+        val oneMinusB = s"CAST(${1.0 - Bm25.B} AS DOUBLE)"
+        val b = s"CAST(${Bm25.B} AS DOUBLE)"
+        val pCols = Bm25QueryTerms.zipWithIndex.map { case (w, i) =>
+          s"MAX(CASE WHEN term = '$w' THEN part END) AS p$i" }.mkString(", ")
+        val score = Bm25QueryTerms.indices
+          .map(i => s"COALESCE(p$i, CAST(0 AS DOUBLE))").mkString(" + ")
+        val nTerms = Bm25QueryTerms.indices
+          .map(i => s"(CASE WHEN p$i IS NOT NULL THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $tokLowerCte,
+           |po AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |              unnest(toks) AS term FROM tok),
+           |pof AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM po
+           |        WHERE term IN ($inList) GROUP BY doc_id, dl, term),
+           |dfq AS (SELECT term, COUNT(*) AS df FROM pof GROUP BY term),
+           |st AS (SELECT COUNT(*) AS n_docs,
+           |              SUM(CAST(len(toks) AS BIGINT)) AS total_dl FROM tok),
+           |sc AS (SELECT doc_id, term,
+           |         (CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |                             / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5)
+           |               AS DOUBLE) / 1000000.0)
+           |         * (CAST(tf AS DOUBLE) * $k1p1)
+           |         / (CAST(tf AS DOUBLE)
+           |            + $k1 * ($oneMinusB + $b * (CAST(dl AS DOUBLE)
+           |                / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS part
+           |       FROM pof JOIN dfq USING (term) CROSS JOIN st),
+           |ag AS (SELECT doc_id, $pCols FROM sc GROUP BY doc_id)
+           |SELECT doc_id, CAST($nTerms AS BIGINT) AS n_terms, $score AS score
+           |FROM ag ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      })
   )
 }

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.dedup.Components
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "Components.connectedComponents"
+
+  it should "label each component with its minimum id" in {
+    // two components: {1,2,3,4} (a path, so propagation needs >1 round)
+    // and {10, 11}; 20-20 self-loop dropped; 7 isolated (absent — only
+    // nodes appearing on edges are labelled)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 20L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+  }
+
+  it should "converge on a long chain within the pointer-jumping bound" in {
+    // a 64-node path has diameter 63; min-label alone needs ~63 rounds,
+    // pointer jumping gets under maxIter=20 (≈ log2 doubling)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(chain, "src", "dst")
+      .as[(Long, Long)].collect()
+    got.length shouldBe 64
+    all(got.map(_._2)) shouldBe 0L
+  }
+
+  it should "handle an empty edge list" in {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    Components.connectedComponents(empty, "src", "dst").count() shouldBe 0L
+  }
+
+  behavior of "Components.nearDupClusters"
+
+  it should "cluster transitive near-dups and keep the minimum id" in {
+    // A/B and B/C are near-identical (one token differs pairwise) so the
+    // pair stage links A~B and B~C even though A and C differ in two
+    // tokens; the component stage must fuse all three into one cluster.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val vA = base
+    val vB = base.replace("tok7", "tokX")
+    val vC = base.replace("tok7", "tokX").replace("tok23", "tokY")
+    val docs = Seq(
+      (100L, vA), (101L, vB), (102L, vC),
+      (200L, (1 to 30).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    // bands = 8 (r = 1): per-band match probability equals the Jaccard
+    // itself, so both chain pairs (J ≈ 0.8) reliably surface as candidates
+    val got = Components.nearDupClusters(docs, "doc_id", "text",
+      bands = 8, threshold = 0.5)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got(100L) shouldBe ((100L, 3L, 1))
+    got(101L) shouldBe ((100L, 3L, 0))
+    got(102L) shouldBe ((100L, 3L, 0))
+    got(200L) shouldBe ((200L, 1L, 1))
+  }
+}
