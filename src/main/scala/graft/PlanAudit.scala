@@ -14,7 +14,8 @@ object PlanAudit {
       "q03_join_agg", "q07_broadcast_dims", "q08_window_latest",
       "q11_pivot", "q32_asof_join", "q33_range_join", "q36_interval_overlap",
       "d02_minhash_lsh", "d05_ann_brute", "d06_ann_lsh", "d07_ann_ivf",
-      "d09_embed_neardup", "d11_ann_ivf_quantized", "t04_fingerprint")
+      "d09_embed_neardup", "d11_ann_ivf_quantized", "d13_semantic_dedup",
+      "t04_fingerprint", "t06_bm25")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

@@ -34,9 +34,10 @@ object Components {
 
   /** (id, component) for every node appearing in `edges`; component is the
     * minimum node id reachable from the node. Null endpoints and self-loops
-    * are dropped. Ids must be non-negative (the sum-based convergence test
-    * relies on labels decreasing monotonically toward a non-negative
-    * fixpoint; near-dup doc ids always are).
+    * are dropped. The convergence test sums labels as DECIMAL(38,0): labels
+    * only ever decrease, so the sum strictly decreases until fixpoint, and
+    * the decimal sum cannot wrap the way a long sum could at
+    * billions-of-nodes × 64-bit-id scale.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -54,8 +55,11 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("comp"), lit(0L))).first().getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(
+          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)))
+        .first().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = labels.isEmpty
@@ -75,7 +79,7 @@ object Components {
         .select(propagated("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
         .localCheckpoint()
       val s = labelSum(jumped)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = jumped

@@ -315,6 +315,55 @@ object PipelineQueries {
            |ORDER BY l.doc_id""".stripMargin
       }),
 
+    // Semantic dedup (SemDeDup, arXiv:2303.09540): IVF cells → within-cell
+    // cosine pairs → transitive closure → keep-one-per-cluster. The cells
+    // replay d11's deterministic hash-sampled centroids; the closure
+    // replays through a recursive CTE like d12. Threshold 0.4 sits ≥ 5.6e-4
+    // from the nearest pair cosine at sf0.01 (2.5e-5 at sf0.1) — far above
+    // any conceivable float divergence of the shared left-fold dot kernel.
+    GateQuery(
+      "d13_semantic_dedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        graft.similarity.SemDedup.semanticDedup(
+            e, "vec_id", "embedding", model, threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT e.vec_id, e.v, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |          FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |          WHERE list_dot_product(a.v, b.v)
+          |                / (sqrt(list_dot_product(a.v, a.v))
+          |                   * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+          |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+          |        UNION SELECT id_b, id_a FROM pairs),
+          |reach AS (SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM sym) nodes
+          |          UNION
+          |          SELECT r.src, y.d FROM reach r JOIN sym y ON y.s = r.dst),
+          |comp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id
+          |         FROM reach GROUP BY src),
+          |lab AS (SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+          |        FROM e LEFT JOIN comp c ON e.vec_id = c.vec_id),
+          |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          |        FROM lab GROUP BY cluster_id)
+          |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+          |       CAST(l.vec_id = l.cluster_id AS INT) AS keep
+          |FROM lab l JOIN siz s ON l.cluster_id = s.cluster_id
+          |ORDER BY l.vec_id""".stripMargin)),
+
     // Brute-force n-gram Jaccard pairs — the O(n²) correctness baseline
     // the LSH path is checked against.
     GateQuery(

@@ -1,0 +1,78 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Components
+
+/** Semantic deduplication over an embedding column — the SemDeDup recipe
+  * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus into IVF
+  * cells, compare vectors only WITHIN a cell, then resolve the similar
+  * pairs into clusters and keep one representative per cluster.
+  *
+  * The cell stage makes the quadratic part tractable: candidate pairs are
+  * O(Σ cell²) instead of O(n²), and the comparison join is an equi-join on
+  * cid (hash-partitioned, never a cross product). Pairs that straddle two
+  * cells are missed by construction — that is SemDeDup's documented
+  * approximation, traded for never scanning cross-cell pairs at all.
+  *
+  * Scale design (100 TB, 1000 executors):
+  *  - Cell assignment is Ivf.assign: map-only over a broadcast literal
+  *    centroid table, zero exchanges.
+  *  - The within-cell self-join shuffles (cid, id, vec, nrm) rows once;
+  *    norms are precomputed BEFORE the fan-out (the d09 lesson — computing
+  *    them inside the pair projection re-folds every vector per pair).
+  *  - `maxCellSize` caps quadratic blowup on a hot cell (same guard as
+  *    NearDup.minhashCandidates): oversized cells are SKIPPED, not
+  *    exploded — their members stay unlabelled singletons. At real scale
+  *    nlist is sized so cells hold ~√(corpus/nlist) ≪ maxCellSize.
+  */
+object SemDedup {
+
+  /** Within-cell cosine-similar pairs (id_a < id_b, cosine_sim ≥ t).
+    * One pair per id pair by construction (each id lives in exactly one
+    * cell), so no distinct is needed.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      model: Ivf.Model, threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
+    val asn0 = Ivf.assign(df, idCol, vecCol, model)
+      .withColumn("nrm", Ann.l2norm(col("vec")))
+    val asn =
+      if (maxCellSize <= 0) asn0
+      else {
+        val ok = asn0.groupBy("cid").agg(count(lit(1)).as("cell_n"))
+          .filter(col("cell_n") <= maxCellSize).drop("cell_n")
+        asn0.join(ok, Seq("cid"))
+      }
+    val a = asn.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = asn.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Ann.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Full SemDeDup labelling: every row gets its semantic cluster id
+    * (transitive closure of the within-cell pairs; singletons keep their
+    * own id), the cluster size, and keep = 1 on the minimum id.
+    *
+    * Output: (idCol, cluster_id, cluster_size, keep ∈ {0,1}).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      model: Ivf.Model, threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
+    val pairs = semanticPairs(df, idCol, vecCol, model, threshold, maxCellSize)
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+    val labelled = df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+    val sizes = labelled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labelled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("cluster_id")).cast("int").as("keep"))
+  }
+}
