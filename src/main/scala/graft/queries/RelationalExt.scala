@@ -218,6 +218,33 @@ object RelationalExt {
           CAST(length(event_type) AS BIGINT) AS type_len
         FROM events
         WHERE event_type IS NOT NULL
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // Exact interpolated percentiles per group. Both engines sort and
+    // interpolate lower + (upper - lower) * frac at rank p*(n-1) in double
+    // arithmetic — exact-per-op IEEE, so the gate compares bitwise.
+    // Scale note: exact percentile holds a per-group value→count map in the
+    // aggregation buffer, fine for bounded domains (money/quantity here) but
+    // not for unbounded ones at 100 TB — there the engine path is
+    // approx_percentile's bounded-memory GK sketch, which is
+    // engine-specific by design and therefore spec-tested against this
+    // exact form (PercentileSpec), never oracle'd.
+    GateQuery(
+      "q38_percentile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+            expr("percentile(l_quantity, 0.25)").as("q1_qty"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.5) AS p50_price,
+          quantile_cont(l_extendedprice, 0.9) AS p90_price,
+          quantile_cont(l_quantity, 0.25) AS q1_qty
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
