@@ -89,20 +89,16 @@ object Components {
     labels
   }
 
-  /** Full near-dup cluster assignment for a document frame: MinHash LSH
-    * pairs → connected components → every document labelled with its
-    * cluster (singletons keep their own id), plus the cluster size and a
-    * keeper flag (the minimum id in each cluster survives).
+  /** Shared keep-one labelling kernel: given the full id universe and the
+    * (id, comp) component labels of the ids that appeared on edges, label
+    * EVERY id (singletons keep their own id) with cluster id, cluster
+    * size, and keep = 1 on the cluster's minimum id.
     *
     * Output: (idCol, cluster_id, cluster_size, keep ∈ {0,1}).
     */
-  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
-    val pairs = NearDup.minhashNearDuplicates(df, idCol, textCol, n,
-      numHashes, bands, threshold, maxBucketSize)
-    val comps = connectedComponents(pairs, "id_a", "id_b")
-    val labelled = df.select(col(idCol))
+  def labelClusters(universe: DataFrame, idCol: String,
+      comps: DataFrame): DataFrame = {
+    val labelled = universe.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
     val sizes = labelled.groupBy("cluster_id")
@@ -110,5 +106,16 @@ object Components {
     labelled.join(sizes, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         (col(idCol) === col("cluster_id")).cast("int").as("keep"))
+  }
+
+  /** Full near-dup cluster assignment for a document frame: MinHash LSH
+    * pairs → connected components → keep-one labelling (labelClusters).
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+    val pairs = NearDup.minhashNearDuplicates(df, idCol, textCol, n,
+      numHashes, bands, threshold, maxBucketSize)
+    labelClusters(df, idCol, connectedComponents(pairs, "id_a", "id_b"))
   }
 }

@@ -65,14 +65,7 @@ object SemDedup {
       model: Ivf.Model, threshold: Double,
       maxCellSize: Int = 0): DataFrame = {
     val pairs = semanticPairs(df, idCol, vecCol, model, threshold, maxCellSize)
-    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
-    val labelled = df.select(col(idCol))
-      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
-    val sizes = labelled.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    labelled.join(sizes, Seq("cluster_id"))
-      .select(col(idCol), col("cluster_id"), col("cluster_size"),
-        (col(idCol) === col("cluster_id")).cast("int").as("keep"))
+    Components.labelClusters(df, idCol,
+      Components.connectedComponents(pairs, "id_a", "id_b"))
   }
 }

@@ -39,9 +39,13 @@ object Bm25 {
     * Output: (idCol, n_terms — distinct query terms matched, score).
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k: Int = 20): DataFrame = {
+      rawQueryTerms: Seq[String], k: Int = 20): DataFrame = {
+    // documents are lowercased before tokenizing, so an uppercase query
+    // term could never match — normalize instead of silently scoring 0
+    val queryTerms = rawQueryTerms.map(_.toLowerCase(java.util.Locale.ROOT))
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
-    require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    require(queryTerms.distinct == queryTerms,
+      "query terms must be distinct (case-insensitively)")
 
     // (id, toks) materialized once — the HOF re-evaluation trap
     // (NearDup.scala:33-38) applies to tokenization here too.
