@@ -62,8 +62,15 @@ object Bm25 {
     // Corpus stats: 1-row frame, broadcast onto the postings.
     val stats = toks.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    // Per-term document frequency (# docs containing the term).
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // Per-term document frequency (# docs containing the term). Written as
+    // sum(least(tf,1)) — identical in value to count(*) since tf ≥ 1 —
+    // DELIBERATELY: a plain count lets Catalyst prune the tf aggregate on
+    // this branch, the pruned subplan no longer canonically matches the
+    // scoring branch, and AQE's exchange reuse stops firing — the corpus
+    // would be scanned and exploded TWICE. Keeping tf in play makes both
+    // branches share one shuffle stage (asserted by Bm25Spec's plan test).
+    val dfreq = postings.groupBy("term")
+      .agg(sum(least(col("tf"), lit(1L))).as("df"))
 
     val scored = postings
       .join(broadcast(dfreq), "term")

@@ -53,6 +53,15 @@ class Bm25Spec extends SparkSpec {
     got.map(_._1).toSeq shouldBe Seq(1L)
   }
 
+  it should "reuse the postings shuffle between the scoring and df branches" in {
+    // df is sum(least(tf,1)) specifically so the df branch's subplan stays
+    // canonically identical to the scoring branch and AQE reuses the
+    // exchange — a plain count(*) regresses to scanning the corpus twice
+    val df = Bm25.topK(corpus, "doc_id", "text", Seq("alpha", "common"))
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("ReusedExchange")
+  }
+
   it should "reject empty or duplicate query terms" in {
     an[IllegalArgumentException] should be thrownBy
       Bm25.topK(corpus, "doc_id", "text", Nil)
