@@ -62,7 +62,10 @@ object Components {
         .first().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = labels.isEmpty
+    // no isEmpty pre-check: an empty label frame sums to 0, matches prevSum
+    // after one (trivially cheap) round, and exits — cheaper than paying an
+    // extra driver action on every non-empty call
+    var converged = false
 
     while (!converged && iter < maxIter) {
       // (1) neighbour min: grouped agg over (dst → min comp of src side)
