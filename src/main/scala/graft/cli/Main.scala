@@ -19,7 +19,9 @@ import graft.jobs._
   * modules_with_missing_symbols, top_signatures_correlations,
   * shield_privacy_prefs, basic_transform, graphics_dashboard,
   * hardware_report, bhr_collection. `search_dashboard` aliases
-  * search_aggregates (cli.py:49).
+  * search_aggregates (cli.py:49). Beyond the reference set: `curate`
+  * (quality rules → decontamination → near-dup keep-one over a document
+  * corpus).
   */
 object Main {
 
@@ -395,6 +397,49 @@ object Main {
             "funcs" -> t.funcTable.length.toLong,
             "dates" -> t.dates.map(_.date)))))
         println(s"[graft] bhr_collection wrote ${required("output")}")
+
+      // End-to-end corpus curation (beyond-reference; the LLM-data
+      // pipeline this engine's operator family exists for):
+      //   quality rules → optional eval-set decontamination → near-dup
+      //   cluster resolution keeping one doc per cluster.
+      // --input/--output parquet; --id-col/--text-col (defaults doc_id/
+      // text); --probe-path: newline-delimited n-grams to decontaminate
+      // against (skipped when absent); --min-words / --jaccard tune the
+      // two main knobs. Writes the surviving documents plus a JSON stats
+      // artifact (--stats-output) recording per-stage survivor counts.
+      case "curate" =>
+        import org.apache.spark.sql.functions.col
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val docs = input
+        val quality = graft.text.QualityRules.gopherQuality(docs, idCol,
+            textCol, minWords = o.getOrElse("min-words", "40").toLong)
+          .filter(col("keep") === 1).select(col(idCol))
+        val qualified = docs.join(quality, Seq(idCol))
+        val decontaminated = o.get("probe-path") match {
+          case Some(p) =>
+            val probe = scala.io.Source.fromFile(p)
+            val grams =
+              try probe.getLines().map(_.trim).filter(_.nonEmpty).toSeq
+              finally probe.close()
+            graft.text.Contamination.decontaminate(
+              qualified, idCol, textCol, grams)
+          case None => qualified
+        }
+        val keepers = graft.dedup.Components.nearDupClusters(
+            decontaminated, idCol, textCol,
+            bands = o.getOrElse("bands", "4").toInt,
+            threshold = o.getOrElse("jaccard", "0.8").toDouble)
+          .filter(col("keep") === 1).select(col(idCol))
+        val curated = decontaminated.join(keepers, Seq(idCol))
+        write(curated, required("output"))
+        o.get("stats-output").foreach { sp =>
+          writeJson(sp, Map(
+            "input" -> docs.count(), "qualified" -> qualified.count(),
+            "decontaminated" -> decontaminated.count(),
+            "curated" -> curated.count()))
+          println(s"[graft] curate wrote $sp")
+        }
 
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")

@@ -59,6 +59,13 @@ object PipelineQueries {
   val Bm25QueryTerms: Seq[String] =
     Seq("query", "vector", "stream", "merge", "filter", "spark")
 
+  /** Fixed probe shingles for the t08 decontamination gate (a simulated
+    * eval set: the sf0.01 corpus's most frequent trigrams).
+    */
+  val ContaminationProbe: Seq[String] = Seq(
+    "row column sort", "stream table hash", "window fast query",
+    "part filter scan", "value slow hash", "slow key order")
+
   val queries: Seq[GateQuery] = Seq(
 
     // Exact dedup by content key over a simulated re-crawl (corpus ∪ copy
@@ -695,6 +702,76 @@ object PipelineQueries {
            |ag AS (SELECT doc_id, $pCols FROM sc GROUP BY doc_id)
            |SELECT doc_id, CAST($nTerms AS BIGINT) AS n_terms, $score AS score
            |FROM ag ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // Gopher-style quality rules (arXiv:2112.11446 §A1.1): word-count and
+    // mean-word-length bounds, alphabetic fraction, top-bigram repetition,
+    // stopword presence, one combined keep flag. Bounds tuned to split the
+    // fixture (not all-keep / all-drop). Every ratio is a single double
+    // division of exact integers — bitwise portable.
+    GateQuery(
+      "t07_gopher_quality",
+      (s, dir) =>
+        graft.text.QualityRules.gopherQuality(t(s, dir, "documents"),
+          "doc_id", "text", minWords = 40, maxWords = 100000,
+          minMeanLen = 3.0, maxMeanLen = 10.0, minAlphaFrac = 0.8,
+          maxTopBigramFrac = 0.1, minStopHits = 2)
+          .orderBy("doc_id"),
+      Some {
+        val stops = "['the', 'a', 'and', 'of', 'is']"
+        s"""WITH $tokLowerCte,
+           |m AS (SELECT doc_id,
+           |        CAST(len(toks) AS BIGINT) AS n_words,
+           |        CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+           |          / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           |        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |          / CAST(len(toks) AS DOUBLE) AS frac_alpha_words,
+           |        CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS BIGINT) AS stop_hits
+           |      FROM tok),
+           |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           |         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           |         ELSE toks END) AS g FROM tok),
+           |bs AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+           |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+           |       GROUP BY doc_id)
+           |SELECT m.doc_id, n_words, mean_word_len, frac_alpha_words,
+           |       COALESCE(top_bigram_frac, CAST(0 AS DOUBLE)) AS top_bigram_frac,
+           |       stop_hits,
+           |       CAST(n_words >= 40 AND n_words <= 100000
+           |            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |            AND frac_alpha_words >= 0.8
+           |            AND COALESCE(top_bigram_frac, CAST(0 AS DOUBLE)) <= 0.1
+           |            AND stop_hits >= 2 AS INT) AS keep
+           |FROM m LEFT JOIN bs ON m.doc_id = bs.doc_id
+           |ORDER BY m.doc_id""".stripMargin
+      }),
+
+    // Eval-set decontamination: per-document n-gram overlap against a
+    // probe shingle set (simulated benchmark data: the fixture's most
+    // frequent trigrams), shipped as one broadcast literal → the whole
+    // check is a map-only pass, no shuffle.
+    GateQuery(
+      "t08_contamination",
+      (s, dir) =>
+        graft.text.Contamination.ngramOverlap(t(s, dir, "documents"),
+          "doc_id", "text", ContaminationProbe, n = 3)
+          .orderBy("doc_id"),
+      Some {
+        val probeSql = ContaminationProbe.map(p => s"'$p'")
+          .mkString("[", ", ", "]")
+        s"""WITH $tokCte,
+           |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+           |  THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  ELSE toks END) AS ss FROM tok),
+           |ov AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles,
+           |         CAST(len(list_intersect(ss, $probeSql)) AS BIGINT) AS overlap_cnt
+           |       FROM sh)
+           |SELECT doc_id, n_shingles, overlap_cnt,
+           |       CASE WHEN n_shingles > 0
+           |            THEN CAST(overlap_cnt AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+           |            ELSE CAST(0 AS DOUBLE) END AS overlap_frac,
+           |       CAST(overlap_cnt > 0 AS INT) AS contaminated
+           |FROM ov ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Gopher-style document quality filtering (Rae et al. 2021, arXiv:
+  * 2112.11446 §A1.1): the rule set real curation pipelines run before
+  * training — word-count bounds, mean-word-length bounds, alphabetic-word
+  * fraction, repetition (top-bigram fraction), stopword presence — each
+  * emitted as a metric plus one combined keep flag.
+  *
+  * Plan shape: the per-token metrics are one map-only pass (tokens
+  * materialized once, HOF re-evaluation trap avoided); the repetition
+  * metric needs a (doc, bigram) grouped count — two map-side-combinable
+  * aggregations whose shuffle carries (id, gram, count) rows — joined back
+  * on id. All ratios are single double divisions of exact integers, so
+  * the whole frame replays bitwise in any engine.
+  */
+object QualityRules {
+
+  /** English stopword markers (TextAnalysis.LangMarkers) — Gopher's
+    * "contains ≥ 2 of a small stopword list" rule.
+    */
+  private val StopMarkers: Seq[String] =
+    TextAnalysis.LangMarkers.collect { case ("en", m) => m }.flatten
+
+  /** Per-document quality metrics + keep flag. Tokens are lowercased
+    * (stopword hits must count sentence-initial forms; length/alpha
+    * metrics are case-blind anyway).
+    *
+    * Output: (idCol, n_words, mean_word_len, frac_alpha_words,
+    * top_bigram_frac, stop_hits, keep ∈ {0,1}).
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, maxTopBigramFrac: Double = 0.2,
+      minStopHits: Long = 2): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("__toks"))
+
+    val metrics = toks.select(
+      col("id"),
+      size(col("__toks")).cast("long").as("n_words"),
+      (aggregate(transform(col("__toks"), t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double")
+        / size(col("__toks")).cast("double")).as("mean_word_len"),
+      (size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("double")
+        / size(col("__toks")).cast("double")).as("frac_alpha_words"),
+      size(filter(col("__toks"),
+        t => t.isin(StopMarkers.map(_.asInstanceOf[Any]): _*)))
+        .cast("long").as("stop_hits"))
+
+    // repetition: most frequent bigram's share of all bigrams
+    val bigrams = toks
+      .select(col("id"), explode(shinglesFromTokens(col("__toks"), 2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        (max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("top_bigram_frac"))
+
+    val joined = metrics.join(bigrams, Seq("id"), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("top_bigram_frac"), lit(0.0)))
+    val keep =
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen &&
+        col("frac_alpha_words") >= minAlphaFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("stop_hits") >= minStopHits
+    joined.select(col("id").as(idCol), col("n_words"), col("mean_word_len"),
+      col("frac_alpha_words"), col("top_bigram_frac"), col("stop_hits"),
+      keep.cast("int").as("keep"))
+  }
+}

@@ -192,6 +192,34 @@ class CliSpec extends SparkSpec {
     spark.read.parquet(out).count() should be >= 1L
   }
 
+  it should "dispatch curate end-to-end" in {
+    val in = tmp("curate-in"); val out = tmp("curate-out")
+    val stats = tmp("curate-stats") + "/stats.json"
+    val probePath = tmp("curate-probe") + "/probe.txt"
+    val healthy = "the quick brown fox jumps over a lazy dog " +
+      "while the cat naps in a warm sunny window near the door"
+    Seq(
+      (1L, healthy),
+      (2L, healthy + " extra"), // near-dup of 1 → dropped (keep-one)
+      (3L, "too short a doc"), // fails min-words
+      (4L, healthy.replace("quick brown fox", "slow green turtle") +
+        " entirely different tail with many more of the varied words here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Files.writeString(java.nio.file.Paths.get(probePath),
+      "slow green turtle\nno such gram\n")
+    dispatch("curate", "input" -> in, "output" -> out,
+      "min-words" -> "10", "jaccard" -> "0.5", "bands" -> "8",
+      "probe-path" -> probePath, "stats-output" -> stats)
+    // 3 fails min-words; 4 hits the probe; 2 is 1's near-dup → keep 1
+    val txt = Files.readString(java.nio.file.Paths.get(stats))
+    txt should include("\"input\":4")
+    txt should include("\"qualified\":3")
+    txt should include("\"decontaminated\":2")
+    txt should include("\"curated\":1")
+    spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq shouldBe
+      Seq(1L)
+  }
+
   it should "reject unknown commands" in {
     a[RuntimeException] should be thrownBy dispatch("nope")
   }
