@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-
@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *    before data size matters. On a cluster with an unreliable executor
   *    pool, swap localCheckpoint for a reliable checkpoint dir.
   *  - Convergence is detected by the sum of labels (strictly decreasing
-  *    until fixpoint, since labels are non-negative and only move down) —
-  *    one cheap scalar action per round instead of a change-count join.
+  *    until fixpoint, since labels only ever move down) — one cheap scalar
+  *    action per round instead of a change-count join.
   *  - Near-dup graphs are overwhelmingly tiny stars/cliques, so rounds ≈ 2
-  *    in practice; maxIter bounds the pathological chain.
+  *    in practice; maxIter bounds the pathological chain (2^maxIter-node
+  *    path diameter — hitting it returns the partial labelling, correct
+  *    within every already-collapsed region).
   */
 object Components {
 

@@ -21,11 +21,12 @@ import graft.functions.TextFunctions._
   *    (one conditional-max column per query term, then left-to-right
   *    addition), not a float SUM aggregate — double addition is not
   *    associative, so an unordered sum would not be deterministic across
-  *    engines/partitionings. idf is rounded to 6 decimals because `ln` is
-  *    the one operation here that IEEE 754 does NOT require to be
-  *    correctly rounded (±1 ulp across libm implementations); every other
-  *    op (+,*,/) is exact-per-op and evaluated in identical order by any
-  *    engine, making the gate bit-stable by construction.
+  *    engines/partitionings. idf is quantized to 6 decimals via
+  *    floor(x*1e6 + 0.5)/1e6 because `ln` is the one operation here that
+  *    IEEE 754 does NOT require to be correctly rounded (±1 ulp across
+  *    libm implementations); every other op (+,*,/,floor) is exact-per-op
+  *    and evaluated in identical order by any engine, making the gate
+  *    bit-stable by construction.
   */
 object Bm25 {
 
