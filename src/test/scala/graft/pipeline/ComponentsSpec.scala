@@ -38,6 +38,39 @@ class ComponentsSpec extends SparkSpec {
     Components.connectedComponents(empty, "src", "dst").count() shouldBe 0L
   }
 
+  it should "match a driver-side union-find on random graphs" in {
+    import org.scalacheck.Gen
+    val graphGen = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    (0 until 5).foreach { seed =>
+      val edges = graphGen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed.toLong)).get
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = Components
+          .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        // reference: driver union-find with min-id roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        got shouldBe expected
+      }
+    }
+  }
+
   behavior of "Components.nearDupClusters"
 
   it should "cluster transitive near-dups and keep the minimum id" in {

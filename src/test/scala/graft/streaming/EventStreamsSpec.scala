@@ -147,6 +147,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "run map-only curation ops (decontamination) on a stream" in {
+    // Contamination.ngramOverlap is a stateless map-only pass (probe set
+    // is one literal), so it composes with Structured Streaming unchanged
+    // — the streaming twin of the batch t08 gate.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val flagged = graft.text.Contamination.ngramOverlap(
+      docs, "doc_id", "text", probe = Seq("leaked eval gram"))
+    val query = flagged.writeStream.format("memory")
+      .queryName("contamination").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "clean text with plenty of ordinary words"),
+        (2L, "contains the leaked eval gram right here"))
+      query.processAllAvailable()
+      rowsOf(spark.table("contamination"), "doc_id", "contaminated") shouldBe
+        Set(Seq(1L, 0), Seq(2L, 1))
+    } finally query.stop()
+  }
+
   it should "drop duplicate ids within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
