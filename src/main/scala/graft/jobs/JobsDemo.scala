@@ -192,6 +192,27 @@ object JobsDemo {
     val mm = graft.multimodal.Multimodal.decodeMeta(media)
     show("multimodal_decode", mm.count(), mm.columns.length)
 
+    // --- corpus curation pipeline ---------------------------------------
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the old barn"),
+      (2L, "the quick brown fox jumps over a lazy dog near the old shed"),
+      (3L, "a completely different document about the weather and a storm"),
+      (4L, "short")).toDF("doc_id", "text")
+    val quality = graft.text.QualityRules.gopherQuality(
+      corpus, "doc_id", "text", minWords = 6)
+    show("gopher_quality", quality.filter($"keep" === 1).count(),
+      quality.columns.length)
+    val clusters = graft.dedup.Components.nearDupClusters(
+      corpus, "doc_id", "text", bands = 8, threshold = 0.5)
+    show("neardup_clusters", clusters.filter($"keep" === 1).count(),
+      clusters.columns.length)
+    val hits = graft.text.Bm25.topK(corpus, "doc_id", "text",
+      Seq("fox", "weather"), k = 2)
+    show("bm25_topk", hits.count(), hits.columns.length)
+    val clean = graft.text.Contamination.decontaminate(
+      corpus, "doc_id", "text", probe = Seq("about the weather"))
+    show("decontaminate", clean.count(), clean.columns.length)
+
     spark.stop()
   }
 
