@@ -43,6 +43,36 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_dot takes two arguments")
           DotProduct(args(0), args(1))
+        }),
+      // compositions of built-in catalyst expressions (no custom eval):
+      // expose the engine's set-similarity primitives to plain SQL users.
+      // Built as raw Expression trees — the Column→Expression bridge
+      // yields unresolved ColumnNode wrappers that an injected function
+      // builder cannot return (Unevaluable at codegen).
+      ("graft_jaccard",
+        info("graft_jaccard",
+          "graft_jaccard(a, b) - exact Jaccard similarity of two array " +
+            "columns treated as sets (null when both are empty)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_jaccard takes two arguments")
+          import org.apache.spark.sql.catalyst.expressions._
+          import org.apache.spark.sql.types.{DoubleType, IntegerType}
+          val inter = Size(ArrayIntersect(args(0), args(1)))
+          val union = Subtract(Add(Size(args(0)), Size(args(1))), inter)
+          // mirror TextFunctions.jaccard: empty∪empty → null, not an ANSI
+          // DIVIDE_BY_ZERO
+          CaseWhen(Seq((GreaterThan(union, Literal(0, IntegerType)),
+            Divide(Cast(inter, DoubleType), Cast(union, DoubleType)))))
+        }),
+      ("graft_hamming",
+        info("graft_hamming",
+          "graft_hamming(a, b) - hamming distance between two integral " +
+            "bit-signature columns (popcount of xor)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_hamming takes two arguments")
+          import org.apache.spark.sql.catalyst.expressions._
+          Cast(BitwiseCount(BitwiseXor(args(0), args(1))),
+            org.apache.spark.sql.types.IntegerType)
         }))
 
   /** Register the same functions on an already-running session (local

@@ -1,0 +1,30 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** The injected SQL function surface (GraftExtensions): every function
+  * callable from plain `spark.sql` with no Scala imports.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  it should "expose graft_polyhash to SQL" in {
+    val h = spark.sql("SELECT graft_polyhash('ab') AS h")
+      .collect().head.getLong(0)
+    h shouldBe ('a'.toLong * 31 + 'b'.toLong) % 1000000007L
+  }
+
+  it should "expose graft_dot with deterministic left-to-right order" in {
+    spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0) shouldBe 11.0
+  }
+
+  it should "expose graft_jaccard over array sets" in {
+    spark.sql("SELECT graft_jaccard(array('a','b','c'), array('b','c','d')) AS j")
+      .collect().head.getDouble(0) shouldBe 0.5
+  }
+
+  it should "expose graft_hamming over long signatures" in {
+    spark.sql("SELECT graft_hamming(11L, 8L) AS h")
+      .collect().head.getInt(0) shouldBe 2 // 11 xor 8 = 0b0011
+  }
+}
