@@ -40,19 +40,38 @@ object Components {
     * only ever decrease, so the sum strictly decreases until fixpoint, and
     * the decimal sum cannot wrap the way a long sum could at
     * billions-of-nodes × 64-bit-id scale.
+    *
+    * Adaptive execution (the broadcast-threshold philosophy): the edge
+    * list is materialized once; at or below `localEdgeThreshold` edges the
+    * labels come from a driver-side union-find — a near-dup graph is
+    * usually minuscule next to its corpus, and the iterative loop's cost
+    * there is pure driver round-trip latency, not data. Above the
+    * threshold (or with it set to 0) the distributed min-label loop runs.
+    * Both paths produce identical labels (ComponentsSpec pins them
+    * against each other on random graphs).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // Materialize the (possibly expensive — MinHash LSH) edge lineage
+    // exactly once; the size probe, the symmetrize, and every loop
+    // iteration read the checkpoint, never the lineage.
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // Symmetrize once and materialize: every iteration scans this frame,
-    // and without the checkpoint each round would re-run the (possibly
-    // expensive — MinHash LSH) edge-producing lineage from scratch.
+      .localCheckpoint()
+    if (e.count() <= localEdgeThreshold) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val pairs = e.as[(Long, Long)].collect()
+      val result = localUnionFind(pairs).toSeq.toDF("id", "comp")
+      e.unpersist()
+      return result
+    }
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    e.unpersist()
 
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -92,6 +111,28 @@ object Components {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Driver-side union-find with iterative path compression and min-id
+    * roots (labels match the distributed loop exactly). Iterative find —
+    * a recursive one would blow the stack on a million-edge chain.
+    */
+  private[graft] def localUnionFind(
+      pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+      // path compression
+      var y = x0
+      while (parent(y) != x) { val next = parent(y); parent(y) = x; y = next }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(x => x -> find(x)).toMap
   }
 
   /** Shared keep-one labelling kernel: given the full id universe and the

@@ -9,7 +9,7 @@ class ComponentsSpec extends SparkSpec {
 
   behavior of "Components.connectedComponents"
 
-  it should "label each component with its minimum id" in {
+  it should "label each component with its minimum id (both paths)" in {
     // two components: {1,2,3,4} (a path, so propagation needs >1 round)
     // and {10, 11}; 20-20 self-loop dropped; 7 isolated (absent — only
     // nodes appearing on edges are labelled)
@@ -17,25 +17,32 @@ class ComponentsSpec extends SparkSpec {
       (2L, 1L), (2L, 3L), (3L, 4L),
       (10L, 11L),
       (20L, 20L)).toDF("src", "dst")
-    val got = Components.connectedComponents(edges, "src", "dst")
-      .as[(Long, Long)].collect().toMap
-    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L)
+    // adaptive default → driver union-find fast path
+    Components.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap shouldBe expected
+    // threshold 0 → distributed min-label loop
+    Components.connectedComponents(edges, "src", "dst",
+      localEdgeThreshold = 0).as[(Long, Long)].collect().toMap shouldBe expected
   }
 
   it should "converge on a long chain within the pointer-jumping bound" in {
     // a 64-node path has diameter 63; min-label alone needs ~63 rounds,
-    // pointer jumping gets under maxIter=20 (≈ log2 doubling)
+    // pointer jumping gets under maxIter=20 (≈ log2 doubling). Threshold 0
+    // forces the DISTRIBUTED path — the driver fast path would hide it.
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Components.connectedComponents(chain, "src", "dst")
-      .as[(Long, Long)].collect()
+    val got = Components.connectedComponents(chain, "src", "dst",
+      localEdgeThreshold = 0).as[(Long, Long)].collect()
     got.length shouldBe 64
     all(got.map(_._2)) shouldBe 0L
   }
 
-  it should "handle an empty edge list" in {
+  it should "handle an empty edge list on both paths" in {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     Components.connectedComponents(empty, "src", "dst").count() shouldBe 0L
+    Components.connectedComponents(empty, "src", "dst",
+      localEdgeThreshold = 0).count() shouldBe 0L
   }
 
   it should "match a driver-side union-find on random graphs" in {
@@ -52,10 +59,13 @@ class ComponentsSpec extends SparkSpec {
         org.scalacheck.rng.Seed(seed.toLong)).get
         .filter(e => e._1 != e._2)
       if (edges.nonEmpty) {
+        // distributed loop (threshold 0), checked against an independent
+        // recursive union-find — NOT Components.localUnionFind, so the
+        // driver fast path is pinned by a third implementation too
         val got = Components
-          .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+          .connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+            localEdgeThreshold = 0)
           .as[(Long, Long)].collect().toMap
-        // reference: driver union-find with min-id roots
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           val p = parent.getOrElseUpdate(x, x)
@@ -67,6 +77,7 @@ class ComponentsSpec extends SparkSpec {
         }
         val expected = parent.keys.map(x => x -> find(x)).toMap
         got shouldBe expected
+        Components.localUnionFind(edges.toArray) shouldBe expected
       }
     }
   }
