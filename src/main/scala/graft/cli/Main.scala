@@ -411,6 +411,7 @@ object Main {
         import org.apache.spark.sql.functions.col
         val idCol = o.getOrElse("id-col", "doc_id")
         val textCol = o.getOrElse("text-col", "text")
+        val ngram = o.getOrElse("ngram", "3").toInt
         val docs = input
         val quality = graft.text.QualityRules.gopherQuality(docs, idCol,
             textCol, minWords = o.getOrElse("min-words", "40").toLong)
@@ -422,24 +423,41 @@ object Main {
             val grams =
               try probe.getLines().map(_.trim).filter(_.nonEmpty).toSeq
               finally probe.close()
+            // a probe line that isn't an n-token gram can never equal an
+            // n-token shingle — that's a silent no-op decontamination, so
+            // surface it loudly
+            val offSize = grams.filterNot(_.split("\\s+").length == ngram)
+            if (offSize.nonEmpty)
+              println(s"[graft] curate WARNING: ${offSize.length} probe " +
+                s"line(s) are not $ngram-grams and can never match " +
+                s"(first: '${offSize.head}'); pass --ngram to align")
             graft.text.Contamination.decontaminate(
-              qualified, idCol, textCol, grams)
+              qualified, idCol, textCol, grams, n = ngram)
           case None => qualified
         }
-        val keepers = graft.dedup.Components.nearDupClusters(
-            decontaminated, idCol, textCol,
-            bands = o.getOrElse("bands", "4").toInt,
-            threshold = o.getOrElse("jaccard", "0.8").toDouble)
-          .filter(col("keep") === 1).select(col(idCol))
-        val curated = decontaminated.join(keepers, Seq(idCol))
-        write(curated, required("output"))
-        o.get("stats-output").foreach { sp =>
-          writeJson(sp, Map(
-            "input" -> docs.count(), "qualified" -> qualified.count(),
-            "decontaminated" -> decontaminated.count(),
-            "curated" -> curated.count()))
-          println(s"[graft] curate wrote $sp")
-        }
+        // materialize the survivor frame: the dedup stage, the write, and
+        // the stats counts would each re-run the quality/contamination
+        // passes from scratch otherwise
+        val survivors = decontaminated.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val keepers = graft.dedup.Components.nearDupClusters(
+              survivors, idCol, textCol,
+              bands = o.getOrElse("bands", "4").toInt,
+              threshold = o.getOrElse("jaccard", "0.8").toDouble)
+            .filter(col("keep") === 1).select(col(idCol))
+          val curated = survivors.join(keepers, Seq(idCol))
+          write(curated, required("output"))
+          o.get("stats-output").foreach { sp =>
+            writeJson(sp, Map(
+              "input" -> docs.count(),
+              "qualified" -> qualified.count(),
+              "decontaminated" -> survivors.count(),
+              // count what was actually written, not a recompute
+              "curated" -> spark.read.parquet(required("output")).count()))
+            println(s"[graft] curate wrote $sp")
+          }
+        } finally survivors.unpersist()
 
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")

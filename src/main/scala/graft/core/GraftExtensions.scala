@@ -57,8 +57,13 @@ object GraftExtensions {
           require(args.length == 2, "graft_jaccard takes two arguments")
           import org.apache.spark.sql.catalyst.expressions._
           import org.apache.spark.sql.types.{DoubleType, IntegerType}
-          val inter = Size(ArrayIntersect(args(0), args(1)))
-          val union = Subtract(Add(Size(args(0)), Size(args(1))), inter)
+          // ArrayDistinct both sides: ArrayIntersect dedups its output, so
+          // raw sizes would over-count duplicate elements and under-report
+          // the similarity of multiset inputs ("treated as sets" must hold
+          // for ANY input, unlike the internal pre-distinct fast path)
+          val (da, db) = (ArrayDistinct(args(0)), ArrayDistinct(args(1)))
+          val inter = Size(ArrayIntersect(da, db))
+          val union = Subtract(Add(Size(da), Size(db)), inter)
           // mirror TextFunctions.jaccard: empty∪empty → null, not an ANSI
           // DIVIDE_BY_ZERO
           CaseWhen(Seq((GreaterThan(union, Literal(0, IntegerType)),

@@ -52,6 +52,16 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20, localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    // Fail fast on non-integral ids: the long cast below would throw
+    // CAST_INVALID_INPUT mid-job under ANSI (string ids), and the
+    // label-sum convergence test needs numeric labels. Map string keys to
+    // dense longs (zipWithIndex / xxhash64) before calling this.
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = edges.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral node ids; '$c' is $dt")
+    }
     // Materialize the (possibly expensive — MinHash LSH) edge lineage
     // exactly once; the size probe, the symmetrize, and every loop
     // iteration read the checkpoint, never the lineage.

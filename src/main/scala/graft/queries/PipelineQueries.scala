@@ -352,7 +352,9 @@ object PipelineQueries {
           |          FROM e, cent) WHERE rn = 1),
           |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
           |          FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
-          |          WHERE list_dot_product(a.v, b.v)
+          |          WHERE sqrt(list_dot_product(a.v, a.v))
+          |                  * sqrt(list_dot_product(b.v, b.v)) > 0
+          |            AND list_dot_product(a.v, b.v)
           |                / (sqrt(list_dot_product(a.v, a.v))
           |                   * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
           |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
@@ -722,10 +724,12 @@ object PipelineQueries {
         s"""WITH $tokLowerCte,
            |m AS (SELECT doc_id,
            |        CAST(len(toks) AS BIGINT) AS n_words,
-           |        CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
-           |          / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-           |        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
-           |          / CAST(len(toks) AS DOUBLE) AS frac_alpha_words,
+           |        CASE WHEN len(toks) > 0 THEN
+           |          CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+           |            / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+           |        CASE WHEN len(toks) > 0 THEN
+           |          CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |            / CAST(len(toks) AS DOUBLE) END AS frac_alpha_words,
            |        CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS BIGINT) AS stop_hits
            |      FROM tok),
            |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2

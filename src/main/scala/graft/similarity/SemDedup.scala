@@ -50,7 +50,12 @@ object SemDedup {
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (Ann.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+        // zero-norm guard: a missing/failed embedding is an all-zero
+        // vector, and an unguarded division is a fatal ANSI
+        // DIVIDE_BY_ZERO; cosine with a zero vector is undefined → null
+        // → the threshold filter drops the pair
+        when(col("nrm_a") * col("nrm_b") > 0,
+          Ann.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
           .as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }

@@ -40,14 +40,22 @@ object QualityRules {
     val toks = df
       .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("__toks"))
 
+    // ratio metrics are guarded: an empty/whitespace-only document has
+    // zero tokens, and an unguarded division is a fatal DIVIDE_BY_ZERO
+    // under the session's ANSI default — the doc must FAIL the filter
+    // (n_words = 0 < minWords), not kill the job
+    val nTok = size(col("__toks"))
     val metrics = toks.select(
       col("id"),
-      size(col("__toks")).cast("long").as("n_words"),
-      (aggregate(transform(col("__toks"), t => length(t).cast("long")),
-        lit(0L), (acc, x) => acc + x).cast("double")
-        / size(col("__toks")).cast("double")).as("mean_word_len"),
-      (size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("double")
-        / size(col("__toks")).cast("double")).as("frac_alpha_words"),
+      nTok.cast("long").as("n_words"),
+      when(nTok > 0,
+        aggregate(transform(col("__toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / nTok.cast("double"))
+        .as("mean_word_len"),
+      when(nTok > 0,
+        size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("double")
+          / nTok.cast("double"))
+        .as("frac_alpha_words"),
       size(filter(col("__toks"),
         t => t.isin(StopMarkers.map(_.asInstanceOf[Any]): _*)))
         .cast("long").as("stop_hits"))

@@ -21,6 +21,12 @@ class ExtensionsSpec extends SparkSpec {
   it should "expose graft_jaccard over array sets" in {
     spark.sql("SELECT graft_jaccard(array('a','b','c'), array('b','c','d')) AS j")
       .collect().head.getDouble(0) shouldBe 0.5
+    // multiset inputs are dedup'd — set semantics hold for ANY input
+    spark.sql("SELECT graft_jaccard(array('a','a'), array('a')) AS j")
+      .collect().head.getDouble(0) shouldBe 1.0
+    // both empty → null, not an ANSI divide-by-zero
+    spark.sql("SELECT graft_jaccard(array(), array()) AS j")
+      .collect().head.isNullAt(0) shouldBe true
   }
 
   it should "expose graft_hamming over long signatures" in {

@@ -38,6 +38,13 @@ class ComponentsSpec extends SparkSpec {
     all(got.map(_._2)) shouldBe 0L
   }
 
+  it should "reject non-integral node ids with a clear error" in {
+    val strEdges = Seq(("a", "b")).toDF("src", "dst")
+    val ex = the[IllegalArgumentException] thrownBy
+      Components.connectedComponents(strEdges, "src", "dst")
+    ex.getMessage should include("integral node ids")
+  }
+
   it should "handle an empty edge list on both paths" in {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     Components.connectedComponents(empty, "src", "dst").count() shouldBe 0L

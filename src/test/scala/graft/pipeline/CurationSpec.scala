@@ -39,6 +39,16 @@ class CurationSpec extends SparkSpec {
     got(4L).getDouble(3) shouldBe (3.0 / 15.0) // frac_alpha_words
   }
 
+  it should "drop empty documents instead of dividing by zero (ANSI)" in {
+    val withEmpty = docs.union(Seq((6L, ""), (7L, "   ")).toDF("doc_id", "text"))
+    val got = QualityRules.gopherQuality(withEmpty, "doc_id", "text",
+      minWords = 5).collect().map(r => r.getLong(0) -> r).toMap
+    got(6L).getLong(1) shouldBe 0L // n_words
+    got(6L).isNullAt(2) shouldBe true // mean_word_len undefined, not a crash
+    got(6L).getInt(6) shouldBe 0
+    got(7L).getInt(6) shouldBe 0
+  }
+
   behavior of "Contamination"
 
   it should "flag documents overlapping the probe set, map-only" in {

@@ -55,6 +55,17 @@ class SemDedupSpec extends SparkSpec {
     got(3L) shouldBe 1L
   }
 
+  it should "treat zero vectors as similar to nothing (ANSI-safe)" in {
+    val withZero = vecs.union(
+      Seq((99L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = SemDedup.semanticDedup(withZero, "vec_id", "embedding",
+      model, threshold = 0.9)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    got(99L) shouldBe 99L // singleton, and no DIVIDE_BY_ZERO crash
+    got(2L) shouldBe 1L // unrelated pairs unaffected
+  }
+
   it should "skip cells above maxCellSize instead of exploding them" in {
     val got = SemDedup.semanticDedup(vecs, "vec_id", "embedding",
       model, threshold = 0.9, maxCellSize = 2)
