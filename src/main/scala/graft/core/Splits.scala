@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.polyHash
+
+/** Deterministic dataset splitting — the train/val/test assignment step of
+  * a training-data pipeline. The split is a pure function of (id, salt):
+  * reproducible across runs, engines, and cluster layouts (unlike
+  * randomSplit, whose assignment depends on partitioning), and stable
+  * under corpus growth — a document keeps its split when new data
+  * arrives, so eval sets never silently absorb training documents.
+  *
+  * Map-only: one projection over whatever scan the pipeline already does;
+  * at 100 TB the assignment is free and the per-split reads are plain
+  * filters that Catalyst pushes into the scan.
+  */
+object Splits {
+
+  /** Permille bucket in [0, 1000) from the rolling hash of the id
+    * rendered as a string plus the salt (change the salt → an independent
+    * re-split).
+    */
+  def bucket(id: Column, salt: String): Column =
+    polyHash(concat(id.cast("string"), lit(salt))) % 1000
+
+  /** Adds `split_bucket` (permille) and `split` ∈ {train, val, test}.
+    * test takes buckets [0, testPermille), val the next valPermille
+    * buckets, train the rest.
+    */
+  def assign(df: DataFrame, idCol: String, salt: String = "",
+      valPermille: Int = 10, testPermille: Int = 10): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      "val/test permille must be non-negative and sum to at most 1000")
+    val b = bucket(col(idCol), salt)
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(col("split_bucket") < testPermille, "test")
+          .when(col("split_bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+  }
+
+  def train(df: DataFrame, idCol: String, salt: String = "",
+      valPermille: Int = 10, testPermille: Int = 10): DataFrame =
+    assign(df, idCol, salt, valPermille, testPermille)
+      .filter(col("split") === "train").drop("split", "split_bucket")
+
+  def validation(df: DataFrame, idCol: String, salt: String = "",
+      valPermille: Int = 10, testPermille: Int = 10): DataFrame =
+    assign(df, idCol, salt, valPermille, testPermille)
+      .filter(col("split") === "val").drop("split", "split_bucket")
+
+  def test(df: DataFrame, idCol: String, salt: String = "",
+      valPermille: Int = 10, testPermille: Int = 10): DataFrame =
+    assign(df, idCol, salt, valPermille, testPermille)
+      .filter(col("split") === "test").drop("split", "split_bucket")
+}

@@ -776,6 +776,24 @@ object PipelineQueries {
            |            ELSE CAST(0 AS DOUBLE) END AS overlap_frac,
            |       CAST(overlap_cnt > 0 AS INT) AS contaminated
            |FROM ov ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Deterministic dataset splitting: train/val/test as a pure function
+    // of (id, salt) via the rolling hash — reproducible across engines
+    // and stable under corpus growth, unlike randomSplit. Map-only.
+    GateQuery(
+      "t09_dataset_split",
+      (s, dir) =>
+        graft.core.Splits.assign(
+            t(s, dir, "documents").select("doc_id"), "doc_id",
+            salt = "r7", valPermille = 100, testPermille = 100)
+          .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id,
+           |  ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 AS split_bucket,
+           |  CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 < 100 THEN 'test'
+           |       WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 < 200 THEN 'val'
+           |       ELSE 'train' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,45 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.core.{Splits => S}
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (1L to 500L).toDF("id")
+
+  it should "assign deterministically and stably under corpus growth" in {
+    val full = S.assign(ids, "id", salt = "s").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    val again = S.assign(ids, "id", salt = "s").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    again shouldBe full
+    // a document keeps its split when new data arrives
+    val subset = S.assign((1L to 100L).toDF("id"), "id", salt = "s")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, sp) => full(id) shouldBe sp }
+  }
+
+  it should "produce disjoint covering splits near the target fractions" in {
+    val n = ids.count()
+    val tr = S.train(ids, "id").count()
+    val va = S.validation(ids, "id").count()
+    val te = S.test(ids, "id").count()
+    tr + va + te shouldBe n
+    va.toDouble / n should be < 0.05 // 10‰ target, loose bound
+    te.toDouble / n should be < 0.05
+  }
+
+  it should "re-split independently under a different salt" in {
+    val a = S.assign(ids, "id", salt = "a").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = S.assign(ids, "id", salt = "b").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    a should not be b
+  }
+
+  it should "reject invalid permille settings" in {
+    an[IllegalArgumentException] should be thrownBy
+      S.assign(ids, "id", valPermille = 600, testPermille = 600)
+  }
+}
