@@ -794,6 +794,35 @@ object PipelineQueries {
            |  CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 < 100 THEN 'test'
            |       WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 < 200 THEN 'val'
            |       ELSE 'train' END AS split
-           |FROM documents ORDER BY doc_id""".stripMargin))
+           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM quality scoring (CCNet-style, arXiv:1911.00359): mean
+    // negative log-probability under a corpus-trained unigram model.
+    // Bitwise-portable because each token's log-prob is quantized to an
+    // integer micro-nat (floor(ln(p)*1e6 + 0.5), a BIGINT) — per-document
+    // sums are exact long arithmetic with no float summation order, and
+    // the single closing division is a correctly-rounded IEEE op.
+    GateQuery(
+      "t10_unigram_nll",
+      (s, dir) =>
+        graft.text.UnigramLm.scoreDocs(t(s, dir, "documents"),
+          "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokLowerCte,
+           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           |tot AS (SELECT COUNT(*) AS total FROM occ),
+           |model AS (SELECT term,
+           |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+           |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
+           |          CROSS JOIN tot),
+           |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |              CAST(SUM(lp) AS BIGINT) AS sum_lp
+           |       FROM occ JOIN model USING (term) GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, sum_lp,
+           |       CAST(-sum_lp AS DOUBLE) / 1000000.0
+           |         / CAST(n_tokens AS DOUBLE) AS nll
+           |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }
