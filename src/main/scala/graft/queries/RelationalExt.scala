@@ -245,6 +245,40 @@ object RelationalExt {
           quantile_cont(l_extendedprice, 0.9) AS p90_price,
           quantile_cont(l_quantity, 0.25) AS q1_qty
         FROM lineitem
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Blocked fuzzy matching (entity resolution): probes are customer
+    // names with the last character corrupted; the blocked join pairs
+    // each probe with the names sharing a 16-char prefix (blocks of 100)
+    // and keeps edit distance ≤ 1 (the 10 names differing only in the
+    // final digit) — the verify filter demonstrably prunes 90% of the
+    // candidates while the plan stays a plain hash equi-join, not a
+    // cross product. Both engines implement classical levenshtein, so
+    // the distances (and counts) match exactly.
+    GateQuery(
+      "q39_fuzzy_match",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val probes = c.select(concat(
+          substring(col("c_name"), 1, 17), lit("X")).as("probe"))
+        graft.operators.FuzzyJoin.blockedByPrefix(
+            probes, "probe", c.select(col("c_name")), "c_name",
+            maxDist = 1, blockLen = 16)
+          .groupBy("probe")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("c_name")).as("first_match"))
+          .orderBy("probe")
+      },
+      Some("""
+        WITH probes AS (
+          SELECT concat(substr(c_name, 1, 17), 'X') AS probe FROM customer),
+        cand AS (
+          SELECT p.probe, c.c_name,
+                 levenshtein(p.probe, c.c_name) AS edit_dist
+          FROM probes p JOIN customer c
+            ON substr(p.probe, 1, 16) = substr(c.c_name, 1, 16))
+        SELECT probe, COUNT(*) AS n_matches, MIN(c_name) AS first_match
+        FROM cand WHERE edit_dist <= 1
+        GROUP BY probe ORDER BY probe"""))
   )
 }
