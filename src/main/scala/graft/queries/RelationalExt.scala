@@ -284,6 +284,49 @@ object RelationalExt {
             ON substr(p.probe, 1, 16) = substr(c.c_name, 1, 16))
         SELECT probe, COUNT(*) AS n_matches, MIN(c_name) AS first_match
         FROM cand WHERE edit_dist <= 1
-        GROUP BY probe ORDER BY probe"""))
+        GROUP BY probe ORDER BY probe""")),
+
+    // Gap-filled hourly resample with carry-forward (resample().ffill()):
+    // a 1-in-37 event sample leaves most hours empty, the grid explodes
+    // each type's full [min,max] hour range from a sequence (no calendar
+    // cross join), and the window carries the last observed sum through
+    // the gaps. Money sums ride DECIMAL then surface as double BEFORE the
+    // carry (copying a double is order-free), timestamps leave as
+    // formatted strings per gate discipline.
+    GateQuery(
+      "q40_gapfill",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+        graft.operators.GapFill.carryForwardResample(
+            ev, "event_type", "ts", "value", unit = "hour")
+          .select(col("event_type"),
+            date_format(col("bucket"), "yyyy-MM-dd HH:00").as("bucket"),
+            col("n_events"), col("value_sum"), col("gap"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, date_trunc('hour', ts) AS b, value
+          FROM events WHERE event_id % 37 = 0),
+        agg AS (
+          SELECT event_type, b, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+          FROM ev GROUP BY event_type, b),
+        rng AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+                FROM agg GROUP BY event_type),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                 FROM rng),
+        j AS (SELECT g.event_type, g.b,
+                     COALESCE(a.n, 0) AS n_events, a.vs
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.b = a.b)
+        SELECT event_type, strftime(b, '%Y-%m-%d %H:00') AS bucket,
+               CAST(n_events AS BIGINT) AS n_events,
+               last_value(vs IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum,
+               CAST(n_events = 0 AS INT) AS gap
+        FROM j ORDER BY event_type, bucket"""))
   )
 }
