@@ -327,6 +327,28 @@ object RelationalExt {
                  PARTITION BY event_type ORDER BY b
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum,
                CAST(n_events = 0 AS INT) AS gap
-        FROM j ORDER BY event_type, bucket"""))
+        FROM j ORDER BY event_type, bucket""")),
+
+    // Equi-width histogram binning: width_bucket is the same closed-form
+    // integer computation in both engines (bin = 1 + floor((x-lo)/(hi-lo)
+    // *n), clamped), so bucket ids and counts compare exactly. The
+    // out-of-range overflow bins (0 and n+1) are kept — dropping them
+    // silently is the classic histogram bug.
+    GateQuery(
+      "q41_histogram",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(width_bucket(col("l_extendedprice"),
+            lit(1000.0), lit(100000.0), lit(20)).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .orderBy("bin"),
+      Some("""
+        SELECT CASE WHEN l_extendedprice < 1000.0 THEN 0
+                    WHEN l_extendedprice >= 100000.0 THEN 21
+                    ELSE CAST(floor(20.0 * (l_extendedprice - 1000.0)
+                                    / (100000.0 - 1000.0) + 1) AS BIGINT)
+               END AS bin,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY bin ORDER BY bin"""))
   )
 }
