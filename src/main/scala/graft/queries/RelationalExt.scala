@@ -349,6 +349,51 @@ object RelationalExt {
                                     / (100000.0 - 1000.0) + 1) AS BIGINT)
                END AS bin,
                COUNT(*) AS n
-        FROM lineitem GROUP BY bin ORDER BY bin"""))
+        FROM lineitem GROUP BY bin ORDER BY bin""")),
+
+    // EWMA over the gap-filled hourly series — the full feature chain
+    // (resample → ffill → smooth) composed from q40's operator plus an
+    // ordered HOF fold. Deterministic by construction: the fold order is
+    // pinned by the sort, the oracle replays the SAME left fold with
+    // DuckDB's list_reduce (whose seed is the list head, matching the
+    // s_0 = v_0 recurrence), and every op is exact-per-op IEEE.
+    GateQuery(
+      "q42_ewma",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+        val filled = graft.operators.GapFill.carryForwardResample(
+          ev, "event_type", "ts", "value", unit = "hour")
+        graft.operators.Ewma.latest(filled, "event_type", "bucket",
+            "value_sum", alpha = 0.2)
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, date_trunc('hour', ts) AS b, value
+          FROM events WHERE event_id % 37 = 0),
+        agg AS (
+          SELECT event_type, b, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+          FROM ev GROUP BY event_type, b),
+        rng AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+                FROM agg GROUP BY event_type),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                 FROM rng),
+        j AS (SELECT g.event_type, g.b, a.vs
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.b = a.b),
+        f AS (SELECT event_type, b,
+                     last_value(vs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_sum
+              FROM j)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               list_reduce(list(value_sum ORDER BY b),
+                 (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                             + CAST(0.8 AS DOUBLE) * acc) AS ewma
+        FROM f GROUP BY event_type ORDER BY event_type"""))
   )
 }
