@@ -394,6 +394,48 @@ object RelationalExt {
                list_reduce(list(value_sum ORDER BY b),
                  (acc, x) -> CAST(0.2 AS DOUBLE) * x
                              + CAST(0.8 AS DOUBLE) * acc) AS ewma
-        FROM f GROUP BY event_type ORDER BY event_type"""))
+        FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // Funnel analysis: signup → view → purchase per user within a 3-day
+    // horizon of signup, on a 1-in-7 event sample (full data completes
+    // trivially). Chained conditional-min windows over ONE partitioning —
+    // a single exchange for the whole funnel, vs the naive
+    // one-self-join-per-step. Timestamps leave as epoch micros (exact
+    // integers).
+    GateQuery(
+      "q43_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 7 === 0)
+        graft.operators.Funnel.completion(ev, "user_id", "event_type", "ts",
+            Seq("signup", "view", "purchase"),
+            horizon = expr("interval 3 days"))
+          .select(col("user_id"), col("steps_completed"),
+            unix_micros(col("t_first")).as("t1_us"),
+            unix_micros(col("t_last")).as("tlast_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, ts FROM events
+                    WHERE event_id % 7 = 0),
+        s1 AS (SELECT *,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1 FROM ev),
+        s1d AS (SELECT *, t1 + INTERVAL 3 DAY AS dl FROM s1),
+        s2 AS (SELECT *,
+                 MIN(CASE WHEN event_type = 'view' AND ts >= t1
+                          AND ts <= dl THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2 FROM s1d),
+        s3 AS (SELECT *,
+                 MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                          AND ts <= dl THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3 FROM s2)
+        SELECT user_id,
+               CAST(MAX(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END) AS BIGINT) AS steps_completed,
+               epoch_us(MAX(t1)) AS t1_us,
+               epoch_us(MAX(COALESCE(t3, t2, t1))) AS tlast_us
+        FROM s3 GROUP BY user_id ORDER BY user_id"""))
   )
 }
