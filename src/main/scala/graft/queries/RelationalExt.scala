@@ -436,6 +436,35 @@ object RelationalExt {
                              ELSE 0 END) AS BIGINT) AS steps_completed,
                epoch_us(MAX(t1)) AS t1_us,
                epoch_us(MAX(COALESCE(t3, t2, t1))) AS tlast_us
-        FROM s3 GROUP BY user_id ORDER BY user_id"""))
+        FROM s3 GROUP BY user_id ORDER BY user_id""")),
+
+    // Cohort retention: weekly cohorts by first activity, offset counts
+    // of still-active users (offset 0 = cohort size). A sparse 1-in-97
+    // sample spreads first-seen weeks across the month. Periods are
+    // epoch-day arithmetic, not calendar months — exact integers in both
+    // engines.
+    GateQuery(
+      "q44_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 97 === 0)
+        graft.operators.Retention.cohorts(ev, "user_id", "ts",
+            periodDays = 7)
+          .orderBy("cohort_period", "period_offset")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) / 7) AS BIGINT)
+                   AS period
+          FROM events WHERE event_id % 97 = 0),
+        act AS (SELECT DISTINCT user_id, period FROM ev),
+        fs AS (SELECT user_id, MIN(period) AS cohort_period
+               FROM act GROUP BY user_id)
+        SELECT cohort_period, period - cohort_period AS period_offset,
+               COUNT(*) AS n_active
+        FROM act JOIN fs USING (user_id)
+        GROUP BY cohort_period, period_offset
+        ORDER BY cohort_period, period_offset"""))
   )
 }
