@@ -15,7 +15,8 @@ object PlanAudit {
       "q11_pivot", "q32_asof_join", "q33_range_join", "q36_interval_overlap",
       "d02_minhash_lsh", "d05_ann_brute", "d06_ann_lsh", "d07_ann_ivf",
       "d09_embed_neardup", "d11_ann_ivf_quantized", "d13_semantic_dedup",
-      "t04_fingerprint", "t06_bm25")
+      "t04_fingerprint", "t06_bm25", "q40_gapfill", "q43_funnel",
+      "q39_fuzzy_match", "d12_dedup_cluster")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

@@ -213,6 +213,28 @@ object JobsDemo {
       corpus, "doc_id", "text", probe = Seq("about the weather"))
     show("decontaminate", clean.count(), clean.columns.length)
 
+    // --- time-series / product analytics operators -----------------------
+    val clicks = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "signup", 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view", 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), "purchase", 9.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-08 09:00:00"), "signup", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val filled = graft.operators.GapFill.carryForwardResample(
+      clicks, "event_type", "ts", "value", unit = "hour")
+    show("gapfill_resample", filled.count(), filled.columns.length)
+    val smoothed = graft.operators.Ewma.latest(
+      filled, "event_type", "bucket", "value_sum", alpha = 0.3)
+    show("ewma_latest", smoothed.count(), smoothed.columns.length)
+    val funnel = graft.operators.Funnel.report(clicks, "user_id",
+      "event_type", "ts", Seq("signup", "view", "purchase"))
+    show("funnel_report", funnel.count(), funnel.columns.length)
+    val cohorts = graft.operators.Retention.cohorts(
+      clicks, "user_id", "ts", periodDays = 7)
+    show("retention_cohorts", cohorts.count(), cohorts.columns.length)
+    val splits = graft.core.Splits.assign(corpus, "doc_id", salt = "demo")
+    show("dataset_split", splits.count(), splits.columns.length)
+
     spark.stop()
   }
 
