@@ -98,6 +98,65 @@ object EventStreams {
       }
   }
 
+  case class FunnelState(depth: Int, t1: Long, tLast: Long)
+
+  case class FunnelProgress(user_id: Long, step: Int, step_name: String,
+      ts: java.sql.Timestamp)
+
+  /** Incremental funnel — the streaming twin of `operators.Funnel`: a
+    * per-user state machine emits one row each time the user ADVANCES a
+    * step (in order, at-or-after the previous step, within `horizonMs` of
+    * step one). The caller must watermark `ts` upstream; state for
+    * expired funnels is dropped via an event-time timeout at the
+    * horizon deadline.
+    *
+    * Single-pass-forward semantics: events are processed in event-time
+    * order WITHIN a micro-batch, but an event older than already-consumed
+    * progress that arrives in a LATER batch cannot retroactively insert a
+    * step (the batch operator, seeing everything, can). Batch/stream
+    * parity therefore holds for watermark-ordered delivery — asserted on
+    * a replayed fixture in EventStreamsSpec, the same contract as the
+    * as-of twin.
+    */
+  def incrementalFunnel(events: Dataset[Event], steps: Seq[String],
+      horizonMs: Long = Long.MaxValue): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // funnel horizon passed — free the state
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+            val out = Seq.newBuilder[FunnelProgress]
+            for (e <- rows.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              if (st.depth == 0) {
+                if (e.event_type == steps.head) {
+                  st = FunnelState(1, t, t)
+                  out += FunnelProgress(userId, 1, steps.head, e.ts)
+                }
+              } else if (st.depth < steps.length &&
+                  e.event_type == steps(st.depth) && t >= st.tLast &&
+                  (horizonMs == Long.MaxValue || t - st.t1 <= horizonMs)) {
+                st = FunnelState(st.depth + 1, st.t1, t)
+                out += FunnelProgress(userId, st.depth, steps(st.depth - 1), e.ts)
+              }
+            }
+            if (st.depth > 0) {
+              state.update(st)
+              if (horizonMs != Long.MaxValue)
+                state.setTimeoutTimestamp(st.t1 + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming dedup on the id column ALONE within the watermark horizon —
     * the streaming form of exact dedup (NearDup.exactDedup). Uses
     * dropDuplicatesWithinWatermark so a redelivered id with a fresh

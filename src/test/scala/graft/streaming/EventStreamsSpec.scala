@@ -168,6 +168,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "advance the incremental funnel with batch parity" in {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "purchase")
+    val fixture = Seq(
+      EventStreams.Event(1L, ts(1), "signup", 1.0),
+      EventStreams.Event(1L, ts(2), "view", 1.0),
+      EventStreams.Event(2L, ts(1), "purchase", 1.0), // before signup
+      EventStreams.Event(2L, ts(3), "signup", 1.0),
+      EventStreams.Event(1L, ts(9), "purchase", 1.0),
+      EventStreams.Event(2L, ts(10), "view", 1.0),
+      EventStreams.Event(3L, ts(4), "view", 1.0)) // never signs up
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.incrementalFunnel(
+      input.toDS().withWatermark("ts", "10 minutes")
+        .as[EventStreams.Event], steps)
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode("append").start()
+    try {
+      // watermark-ordered delivery across two batches
+      input.addData(fixture.take(4): _*)
+      query.processAllAvailable()
+      input.addData(fixture.drop(4): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("funnel_prog")
+        .groupBy("user_id").agg(max("step").as("depth"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // batch twin on the same fixture
+      val batch = graft.operators.Funnel.completion(
+        fixture.toDF().withColumnRenamed("ts", "t"),
+        "user_id", "event_type", "t", steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      streamed shouldBe batch.filter(_._2 > 0) // depth-0 users emit nothing
+      batch(3L) shouldBe 0
+    } finally query.stop()
+  }
+
   it should "drop duplicate ids within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
