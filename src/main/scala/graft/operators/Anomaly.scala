@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trailing-window anomaly detection: z-score each point against the
+  * preceding `lookback` points of its key (the point itself excluded, so
+  * an outlier can't mask itself), flag |z| > threshold.
+  *
+  * Engine-portable by construction: the window sums (Σx, Σx²) run in
+  * DECIMAL — exact and summation-order-free, unlike float window sums —
+  * and only convert to double for the closing mean/variance/ratio, a
+  * fixed sequence of correctly-rounded IEEE ops. x² at DECIMAL(18,2)
+  * squares into scale 4 exactly; both engines' decimal→double conversion
+  * of these ≤15-digit sums is the single correctly-rounded step the dsum
+  * gates already rely on.
+  *
+  * One window partition per key (single exchange), sorted by the caller's
+  * unique ordering columns.
+  */
+object Anomaly {
+
+  /** Adds `n_window`, `z` (null until `minN` points precede, or when the
+    * window variance is 0) and `is_anomaly` ∈ {0,1}.
+    */
+  def trailingZScore(df: DataFrame, keyCol: String, ordCols: Seq[String],
+      valueCol: String, lookback: Int = 24, minN: Int = 8,
+      threshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2 && minN >= 2 && minN <= lookback,
+      "need 2 <= minN <= lookback")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val xDec = col(valueCol).cast(DecimalType(18, 2))
+    val n = count(lit(1)).over(w)
+    val sx = sum(xDec).over(w)
+    val sx2 = sum(xDec * xDec).over(w)
+    val nD = col("__n").cast("double")
+    val mean = col("__sx").cast("double") / nD
+    val variance = (col("__sx2").cast("double") / nD - mean * mean) *
+      (nD / (nD - lit(1.0)))
+    val z = when(col("__n") >= minN && variance > 0,
+      (col(valueCol) - mean) / sqrt(variance))
+    df.withColumn("__n", n).withColumn("__sx", sx).withColumn("__sx2", sx2)
+      .withColumn("n_window", col("__n"))
+      .withColumn("z", z)
+      .withColumn("is_anomaly",
+        (coalesce(abs(col("z")), lit(0.0)) > threshold).cast("int"))
+      .drop("__n", "__sx", "__sx2")
+  }
+}

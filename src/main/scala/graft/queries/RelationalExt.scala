@@ -465,6 +465,44 @@ object RelationalExt {
                COUNT(*) AS n_active
         FROM act JOIN fs USING (user_id)
         GROUP BY cohort_period, period_offset
-        ORDER BY cohort_period, period_offset"""))
+        ORDER BY cohort_period, period_offset""")),
+
+    // Trailing-window anomaly detection: z-score vs the preceding 24
+    // points per type (self excluded), flag |z| > 2.5 — 14 anomalies at
+    // sf0.01 with the nearest z 0.11 from the threshold. The window sums
+    // run in DECIMAL (exact, order-free); the closing mean/variance/ratio
+    // is a fixed sequence of correctly-rounded double ops, so the raw z
+    // values compare bitwise.
+    GateQuery(
+      "q45_anomaly",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+        graft.operators.Anomaly.trailingZScore(ev, "event_type",
+            Seq("ts", "event_id"), "value",
+            lookback = 24, minN = 8, threshold = 2.5)
+          .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+            col("value"), col("n_window"), col("z"), col("is_anomaly"))
+          .orderBy("event_type", "ts_us")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, ts, event_id, value FROM events
+                    WHERE event_id % 37 = 0),
+        wn AS (SELECT event_type, ts, value,
+                 COUNT(*) OVER w AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))
+                          * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx2
+               FROM ev WINDOW w AS (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        z AS (SELECT event_type, ts, value, CAST(n AS BIGINT) AS n_window,
+                CASE WHEN n >= 8
+                     AND (sx2/n - (sx/n)*(sx/n)) * (n/(n-1.0)) > 0
+                THEN (value - sx/n)
+                     / sqrt((sx2/n - (sx/n)*(sx/n)) * (n/(n-1.0))) END AS z
+              FROM wn)
+        SELECT event_type, epoch_us(ts) AS ts_us, value, n_window, z,
+               CAST(COALESCE(ABS(z), 0) > 2.5 AS INT) AS is_anomaly
+        FROM z ORDER BY event_type, ts_us"""))
   )
 }
