@@ -23,14 +23,19 @@ import org.apache.spark.sql.functions._
 object Ewma {
 
   /** One row per key: the series length and the final smoothed level.
-    * `ordCol` must be unique per key (it pins the fold order).
+    * `ordCol` must be unique per key (it pins the fold order). Null
+    * observations are SKIPPED before the fold — a single null would
+    * otherwise poison the whole key's result (null seed or null step
+    * propagates through every remaining iteration); `n_points` counts the
+    * observations actually folded.
     */
   def latest(df: DataFrame, keyCol: String, ordCol: String,
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val sorted = array_sort(
       collect_list(struct(col(ordCol).as("o"), col(valueCol).as("v"))))
-    df.groupBy(col(keyCol))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(sorted.as("__s"))
       .select(col(keyCol),
         size(col("__s")).cast("long").as("n_points"),

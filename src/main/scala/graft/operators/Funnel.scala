@@ -74,10 +74,16 @@ object Funnel {
     val levels = comp.sparkSession.range(1)
       .select(posexplode(typedLit(steps)).as(Seq("pos", "step")))
       .select((col("pos") + 1).cast("long").as("level"), col("step"))
-    comp.crossJoin(broadcast(levels))
+    val counts = comp.crossJoin(broadcast(levels))
       .filter(col("steps_completed") >= col("level"))
       .groupBy(col("level"), col("step"))
       .agg(count(lit(1)).as("n_entities"))
+    // left join FROM the levels so a step nobody reached still emits its
+    // zero row — "one row per step" must hold or positional consumers
+    // (charts, step-to-step conversion) silently misalign
+    levels.join(counts, Seq("level", "step"), "left")
+      .select(col("level"), col("step"),
+        coalesce(col("n_entities"), lit(0L)).as("n_entities"))
       .orderBy("level")
   }
 }

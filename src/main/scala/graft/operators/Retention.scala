@@ -32,11 +32,13 @@ object Retention {
       period.as("period")).distinct()
     val firstSeen = activity.groupBy("entity")
       .agg(min("period").as("cohort_period"))
+    // activity is already distinct on (entity, period) and cohort_period
+    // is functionally dependent on entity, so the triple is unique — no
+    // second distinct (it would cost a full extra exchange)
     activity.join(firstSeen, Seq("entity"))
       .select(col("cohort_period"),
         (col("period") - col("cohort_period")).as("period_offset"),
         col("entity"))
-      .distinct()
       .groupBy("cohort_period", "period_offset")
       .agg(count(lit(1)).as("n_active"))
   }

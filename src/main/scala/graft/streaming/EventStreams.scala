@@ -111,12 +111,20 @@ object EventStreams {
     * horizon deadline.
     *
     * Single-pass-forward semantics: events are processed in event-time
-    * order WITHIN a micro-batch, but an event older than already-consumed
-    * progress that arrives in a LATER batch cannot retroactively insert a
-    * step (the batch operator, seeing everything, can). Batch/stream
-    * parity therefore holds for watermark-ordered delivery — asserted on
-    * a replayed fixture in EventStreamsSpec, the same contract as the
-    * as-of twin.
+    * order WITHIN a micro-batch, but no event is buffered across batches,
+    * so delivery must be MONOTONE in event time across micro-batches — an
+    * event must never arrive after an event with a LATER timestamp was
+    * already processed (neither an out-of-order step-1 straggler nor a
+    * later step delivered early can be replayed). The batch operator,
+    * seeing everything, has no such constraint. Parity under monotone
+    * delivery is asserted on a replayed fixture in EventStreamsSpec, the
+    * same contract as the as-of twin.
+    *
+    * State lifecycle: a COMPLETED funnel's state is removed immediately;
+    * with a finite horizon, in-flight state times out (event time) at the
+    * step-one deadline. With the default infinite horizon, in-flight
+    * state for users who never finish lives forever — pass a horizon in
+    * production.
     */
   def incrementalFunnel(events: Dataset[Event], steps: Seq[String],
       horizonMs: Long = Long.MaxValue): Dataset[FunnelProgress] = {
@@ -147,10 +155,25 @@ object EventStreams {
                 out += FunnelProgress(userId, st.depth, steps(st.depth - 1), e.ts)
               }
             }
-            if (st.depth > 0) {
-              state.update(st)
-              if (horizonMs != Long.MaxValue)
-                state.setTimeoutTimestamp(st.t1 + horizonMs)
+            if (st.depth >= steps.length) {
+              // completed — nothing can advance further; free the state
+              if (state.exists) state.remove()
+            } else if (st.depth > 0) {
+              val deadline =
+                if (horizonMs == Long.MaxValue ||
+                  st.t1 > Long.MaxValue - horizonMs) Long.MaxValue
+                else st.t1 + horizonMs
+              val wm = state.getCurrentWatermarkMs()
+              if (deadline <= wm) {
+                // horizon already passed: any future in-watermark event
+                // has ts >= wm >= deadline and cannot advance — expire now
+                // (setTimeoutTimestamp at/behind the watermark THROWS)
+                if (state.exists) state.remove()
+              } else {
+                state.update(st)
+                if (deadline != Long.MaxValue)
+                  state.setTimeoutTimestamp(deadline)
+              }
             }
             out.result().iterator
           }

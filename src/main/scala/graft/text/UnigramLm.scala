@@ -18,11 +18,13 @@ import graft.functions.TextFunctions._
   * IEEE op). ln's ±1 ulp libm slack is absorbed by the quantization,
   * exactly as in Bm25's idf.
   *
-  * Plan shape: one tokenize+explode pass; the model is a grouped count
-  * over that pass joined back by term. The model table is vocabulary-
-  * sized — broadcast here; at web-corpus vocabularies drop the broadcast
-  * hint and let AQE pick the join (the scoring join is then a shuffle on
-  * term, still never carrying documents).
+  * Plan shape: two passes over the tokenized corpus — one grouped count
+  * builds the model, one scoring join consumes it (the total token count
+  * derives from the model's own counts, NOT a third corpus aggregation).
+  * The model table is vocabulary-sized — broadcast here; at web-corpus
+  * vocabularies drop the broadcast hint and let AQE pick the join (the
+  * scoring join is then a shuffle on term, still never carrying
+  * documents).
   */
 object UnigramLm {
 
@@ -37,8 +39,12 @@ object UnigramLm {
       .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), explode(col("__toks")).as("term"))
 
-    val total = occ.agg(count(lit(1)).as("total"))
-    val model = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // total = Σ model counts — derived from the model subplan (whose
+    // exchange the two branches share), not a separate full-corpus
+    // aggregation that would cost a third tokenize+explode pass
+    val counts = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val model = counts
       .crossJoin(broadcast(total))
       .select(col("term"),
         floor(log(col("cnt").cast("double") / col("total").cast("double"))

@@ -22,6 +22,15 @@ class EwmaSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().head._3 shouldBe 42.0
   }
 
+  it should "skip null observations instead of poisoning the fold" in {
+    val df = Seq(("k", 1L, Some(10.0)), ("k", 2L, None), ("k", 3L, Some(20.0)))
+      .toDF("k", "o", "v")
+    val got = Ewma.latest(df, "k", "o", "v", alpha = 0.5)
+      .as[(String, Long, Double)].collect().head
+    got._2 shouldBe 2L // two folded points
+    got._3 shouldBe 15.0
+  }
+
   it should "reject out-of-range alpha" in {
     val df = Seq(("k", 1L, 1.0)).toDF("k", "o", "v")
     an[IllegalArgumentException] should be thrownBy

@@ -48,6 +48,14 @@ class FunnelSpec extends SparkSpec {
       (3L, "purchase", 1L))
   }
 
+  it should "emit a zero row for a step nobody reached" in {
+    val noPurchase = events.filter($"event_type" =!= "purchase")
+    val got = Funnel.report(noPurchase, "user_id", "event_type", "t", steps)
+      .as[(Long, String, Long)].collect().toSeq
+    got shouldBe Seq((1L, "signup", 3L), (2L, "view", 2L),
+      (3L, "purchase", 0L))
+  }
+
   it should "plan one exchange for the whole chain" in {
     val df = Funnel.completion(events, "user_id", "event_type", "t", steps)
     df.collect()

@@ -34,6 +34,23 @@ class FuzzyJoinSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  it should "handle the same match-column name on both sides" in {
+    val other = Seq("alpha-003", "gamma-001").toDF("name")
+    val got = FuzzyJoin.blockedByPrefix(names, "name", other, "name",
+      maxDist = 1, blockLen = 6)
+      .select("name", "name_right").as[(String, String)].collect().toSet
+    got shouldBe Set(
+      ("alpha-001", "alpha-003"), ("alpha-002", "alpha-003"))
+  }
+
+  it should "reject other shared column names loudly" in {
+    val l = Seq(("a", 1)).toDF("name", "extra")
+    val r = Seq(("b", 2)).toDF("other", "extra")
+    val ex = the[IllegalArgumentException] thrownBy
+      FuzzyJoin.blockedByPrefix(l, "name", r, "other", 1, 1)
+    ex.getMessage should include("extra")
+  }
+
   it should "emit the edit distance and honor maxDist 0" in {
     val probes = Seq("alpha-001").toDF("probe")
     val got = FuzzyJoin.blockedByPrefix(probes, "probe", names, "name",

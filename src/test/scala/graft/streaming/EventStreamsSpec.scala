@@ -204,6 +204,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "survive a funnel horizon already behind the watermark" in {
+    // regression: a user event arriving after the watermark passed the
+    // user's step-one deadline used to call setTimeoutTimestamp behind
+    // the watermark, which throws and kills the query — the state must
+    // expire instead
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.incrementalFunnel(
+      input.toDS().withWatermark("ts", "1 minute")
+        .as[EventStreams.Event],
+      Seq("signup", "view"), horizonMs = 5 * 60 * 1000L)
+      .writeStream.format("memory").queryName("funnel_horizon")
+      .outputMode("append").start()
+    try {
+      input.addData(EventStreams.Event(1L, ts(0), "signup", 1.0))
+      query.processAllAvailable()
+      // push the watermark far past user 1's 5-minute deadline
+      input.addData(EventStreams.Event(2L, ts(30), "signup", 1.0))
+      query.processAllAvailable()
+      // a late-ish event for user 1: must not crash, must not advance
+      input.addData(EventStreams.Event(1L, ts(31), "view", 1.0))
+      query.processAllAvailable()
+      val got = spark.table("funnel_horizon")
+        .groupBy("user_id").agg(max("step").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      got(1L) shouldBe 1 // view landed outside the horizon
+    } finally query.stop()
+  }
+
   it should "drop duplicate ids within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
