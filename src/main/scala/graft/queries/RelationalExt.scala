@@ -503,6 +503,32 @@ object RelationalExt {
               FROM wn)
         SELECT event_type, epoch_us(ts) AS ts_us, value, n_window, z,
                CAST(COALESCE(ABS(z), 0) > 2.5 AS INT) AS is_anomaly
-        FROM z ORDER BY event_type, ts_us"""))
+        FROM z ORDER BY event_type, ts_us""")),
+
+    // Rolling median: exact interpolated percentile over a trailing ROWS
+    // frame — q38's engine-parity result (same interpolation closed form
+    // in both engines) carried into the windowed setting. The per-frame
+    // sort is the cost model's point: a 25-row frame re-sorts per row,
+    // which is exactly what the approx sketch path avoids at scale.
+    GateQuery(
+      "q46_rolling_median",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-24, 0)
+        ev.select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+            col("value"),
+            expr("percentile(value, 0.5)").over(w).as("rolling_median"))
+          .orderBy("event_type", "ts_us")
+      },
+      Some("""
+        SELECT event_type, epoch_us(ts) AS ts_us, value,
+               quantile_cont(value, 0.5) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS rolling_median
+        FROM events WHERE event_id % 37 = 0
+        ORDER BY event_type, ts_us"""))
   )
 }
