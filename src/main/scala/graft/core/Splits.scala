@@ -55,4 +55,22 @@ object Splits {
       valPermille: Int = 10, testPermille: Int = 10): DataFrame =
     assign(df, idCol, salt, valPermille, testPermille)
       .filter(col("split") === "test").drop("split", "split_bucket")
+
+  /** Stratified deterministic sampling: keep a row iff its hash bucket
+    * falls under its stratum's permille rate ("sample 10% of the common
+    * language, keep 100% of the rare ones" — the curation rebalance).
+    * Same hash → same survivors on every run and every engine; unknown
+    * strata fall back to `defaultPermille`. The rate table compiles to a
+    * literal CASE — map-only, no join, rides the existing scan.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      permilleByStratum: Map[String, Int], defaultPermille: Int,
+      salt: String = ""): DataFrame = {
+    (permilleByStratum.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille out of range: $p"))
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (s, p)) => when(col(strataCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt) < rate)
+  }
 }

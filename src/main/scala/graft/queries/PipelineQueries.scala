@@ -823,6 +823,27 @@ object PipelineQueries {
            |SELECT doc_id, n_tokens, sum_lp,
            |       CAST(-sum_lp AS DOUBLE) / 1000000.0
            |         / CAST(n_tokens AS DOUBLE) AS nll
-           |FROM sc ORDER BY doc_id""".stripMargin))
+           |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Stratified deterministic sampling: language-rebalancing rates
+    // (downsample the dominant language, keep the rare ones whole) as a
+    // pure hash function — identical survivors on every run and engine.
+    GateQuery(
+      "t11_stratified_sample",
+      (s, dir) =>
+        graft.core.Splits.stratifiedSample(
+            t(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang",
+            permilleByStratum = Map("en" -> 200, "zh" -> 500),
+            defaultPermille = 1000, salt = "t11")
+          .orderBy("doc_id"),
+      Some {
+        val bucket = s"${polyHashSql("CAST(doc_id AS VARCHAR) || 't11'")} % 1000"
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE $bucket < CASE WHEN lang = 'zh' THEN 500
+           |                     WHEN lang = 'en' THEN 200
+           |                     ELSE 1000 END
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

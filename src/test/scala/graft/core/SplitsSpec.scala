@@ -38,6 +38,21 @@ class SplitsSpec extends SparkSpec {
     a should not be b
   }
 
+  it should "sample strata at their own deterministic rates" in {
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i % 2 == 0) "common" else "rare")).toDF("id", "lang")
+    val kept = S.stratifiedSample(docs, "id", "lang",
+      Map("common" -> 100), defaultPermille = 1000)
+    val counts = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    counts("rare") shouldBe 500L // default keeps everything
+    counts("common").toDouble should be (50.0 +- 30.0) // ~10% of 500
+    // deterministic: identical survivors on a re-run
+    kept.select("id").as[Long].collect().toSet shouldBe
+      S.stratifiedSample(docs, "id", "lang", Map("common" -> 100), 1000)
+        .select("id").as[Long].collect().toSet
+  }
+
   it should "reject invalid permille settings" in {
     an[IllegalArgumentException] should be thrownBy
       S.assign(ids, "id", valPermille = 600, testPermille = 600)
