@@ -19,10 +19,15 @@ object Splits {
 
   /** Permille bucket in [0, 1000) from the rolling hash of the id
     * rendered as a string plus the salt (change the salt → an independent
-    * re-split).
+    * re-split). The rolling hash is passed through one LCG permute step
+    * before the mod: polyHash of SHORT numeric ids is far from uniform
+    * mod 1000 (a rolling hash has no avalanche — "2" hashes to 50), and
+    * the permute restores uniformity while staying exactly replayable in
+    * any engine (same trick as the MinHash permutations).
     */
   def bucket(id: Column, salt: String): Column =
-    polyHash(concat(id.cast("string"), lit(salt))) % 1000
+    ((polyHash(concat(id.cast("string"), lit(salt))) * lit(1103515245L)
+      + lit(12345L)) % lit(graft.functions.TextFunctions.HashMod)) % 1000
 
   /** Adds `split_bucket` (permille) and `split` ∈ {train, val, test}.
     * test takes buckets [0, testPermille), val the next valPermille

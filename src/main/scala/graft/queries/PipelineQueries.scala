@@ -788,13 +788,16 @@ object PipelineQueries {
             t(s, dir, "documents").select("doc_id"), "doc_id",
             salt = "r7", valPermille = 100, testPermille = 100)
           .orderBy("doc_id"),
-      Some(
+      Some {
+        val bkt = s"((${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")}" +
+          s" * 1103515245 + 12345) % $HashMod) % 1000"
         s"""SELECT doc_id,
-           |  ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 AS split_bucket,
-           |  CASE WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 < 100 THEN 'test'
-           |       WHEN ${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")} % 1000 < 200 THEN 'val'
+           |  $bkt AS split_bucket,
+           |  CASE WHEN $bkt < 100 THEN 'test'
+           |       WHEN $bkt < 200 THEN 'val'
            |       ELSE 'train' END AS split
-           |FROM documents ORDER BY doc_id""".stripMargin)),
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
 
     // Unigram-LM quality scoring (CCNet-style, arXiv:1911.00359): mean
     // negative log-probability under a corpus-trained unigram model.
@@ -838,7 +841,8 @@ object PipelineQueries {
             defaultPermille = 1000, salt = "t11")
           .orderBy("doc_id"),
       Some {
-        val bucket = s"${polyHashSql("CAST(doc_id AS VARCHAR) || 't11'")} % 1000"
+        val bucket = s"((${polyHashSql("CAST(doc_id AS VARCHAR) || 't11'")}" +
+          s" * 1103515245 + 12345) % $HashMod) % 1000"
         s"""SELECT doc_id, lang FROM documents
            |WHERE $bucket < CASE WHEN lang = 'zh' THEN 500
            |                     WHEN lang = 'en' THEN 200
