@@ -848,6 +848,33 @@ object PipelineQueries {
            |                     WHEN lang = 'en' THEN 200
            |                     ELSE 1000 END
            |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Sequence packing (concat-and-chunk): each document's span in
+    // training-sequence space — per-shard hash partitioning (one exchange,
+    // no global sort), exact integer cumulative arithmetic, so the
+    // assignment replays bitwise from the same tokenization.
+    GateQuery(
+      "t12_seq_pack",
+      (s, dir) =>
+        graft.text.Packing.concatChunk(t(s, dir, "documents"),
+            "doc_id", "text", seqLen = 64, nShards = 8, salt = "t12")
+          .orderBy("doc_id"),
+      Some {
+        val shard = s"(((${polyHashSql("CAST(doc_id AS VARCHAR) || 't12'")}" +
+          s" * 1103515245 + 12345) % $HashMod) % 1000) % 8"
+        s"""WITH $tokCte,
+           |cnt AS (SELECT doc_id, $shard AS shard, len(toks) AS n_tokens
+           |        FROM tok WHERE len(toks) > 0),
+           |cum AS (SELECT doc_id, shard, n_tokens,
+           |          CAST(SUM(n_tokens) OVER (PARTITION BY shard
+           |            ORDER BY doc_id) - n_tokens AS BIGINT) AS strt
+           |        FROM cnt)
+           |SELECT doc_id, shard, n_tokens,
+           |       strt % 64 AS off_start,
+           |       strt // 64 AS seq_start,
+           |       (strt + n_tokens - 1) // 64 AS seq_end
+           |FROM cum ORDER BY doc_id""".stripMargin
       })
   )
 }
