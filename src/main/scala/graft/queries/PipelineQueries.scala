@@ -875,6 +875,40 @@ object PipelineQueries {
            |       strt // 64 AS seq_start,
            |       (strt + n_tokens - 1) // 64 AS seq_end
            |FROM cum ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // C4-style chunk-level dedup: every repeated 5-token chunk keeps only
+    // its first corpus occurrence ((doc, position) order); documents
+    // rebuild from surviving chunks, fully-seen docs vanish. Decision key
+    // is the polynomial fingerprint (d08 discipline) — replayed bitwise.
+    GateQuery(
+      "t13_chunk_dedup",
+      (s, dir) =>
+        graft.text.ChunkDedup.dedupChunks(t(s, dir, "documents"),
+            "doc_id", "text", chunkTokens = 5)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokCte,
+           |ix AS (SELECT doc_id, toks,
+           |         unnest(range(0, (len(toks) + 4) // 5)) AS chunk_idx
+           |       FROM tok WHERE len(toks) > 0),
+           |ch AS (SELECT doc_id, chunk_idx,
+           |         array_to_string(
+           |           list_slice(toks, chunk_idx*5 + 1, chunk_idx*5 + 5),
+           |           ' ') AS chunk
+           |       FROM ix),
+           |fp AS (SELECT doc_id, chunk_idx, chunk,
+           |         ${polyHashSql("chunk")} AS h FROM ch),
+           |rn AS (SELECT doc_id, chunk_idx, chunk, ROW_NUMBER() OVER
+           |         (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+           |       FROM fp)
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_kept,
+           |       string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+           |         ORDER BY chunk_idx) AS text_dedup
+           |FROM rn GROUP BY doc_id
+           |HAVING CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
+           |ORDER BY doc_id""".stripMargin))
   )
 }
