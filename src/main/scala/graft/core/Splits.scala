@@ -78,4 +78,39 @@ object Splits {
     }
     df.filter(bucket(col(idCol), salt) < rate)
   }
+
+  /** Temperature-weighted rebalancing: per-stratum keep rates computed
+    * FROM the data — rate_s = (min_count / count_s)^(1/2^halvings), so
+    * the rarest stratum is kept whole and dominant strata are damped
+    * toward (halvings=0: exactly to) uniform. This is the corpus-mixing
+    * move of multilingual training pipelines ("temperature sampling",
+    * e.g. mC4/XLM-R): flatten the language distribution without
+    * hand-tuning one rate per language.
+    *
+    * The exponent is restricted to 1/2^halvings on purpose: division and
+    * sqrt are CORRECTLY-ROUNDED IEEE-754 ops (pow is not), so the
+    * permille rate — floor(1000 * sqrt^halvings(min/cnt)) — is the same
+    * integer in every engine, which keeps the survivor set a pure
+    * function of (id, salt, data). The t14 oracle replays it bitwise.
+    *
+    * Plan: one map-side-combinable count over the strata, a 1-row min
+    * broadcast onto it, and the resulting tiny rate table broadcast onto
+    * the main scan — the big side is never shuffled.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      halvings: Int = 1, salt: String = ""): DataFrame = {
+    require(halvings >= 0 && halvings <= 10,
+      s"halvings must be in [0, 10]: $halvings")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min"))
+    val ratio = col("__min").cast("double") / col("__cnt").cast("double")
+    val damped = (0 until halvings).foldLeft(ratio)((c, _) => sqrt(c))
+    val rates = counts
+      .crossJoin(broadcast(minCnt))
+      .select(col(strataCol),
+        floor(lit(1000.0) * damped).as("__permille"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(bucket(col(idCol), salt) < col("__permille"))
+      .drop("__permille")
+  }
 }

@@ -909,6 +909,33 @@ object PipelineQueries {
            |         ORDER BY chunk_idx) AS text_dedup
            |FROM rn GROUP BY doc_id
            |HAVING CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) > 0
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-weighted language rebalancing: keep rates computed FROM
+    // the distribution — rate = floor(1000*sqrt(min_cnt/cnt)) permille.
+    // Division and sqrt are correctly-rounded IEEE ops, so the rate ints
+    // (and thus the survivor set) are identical in any engine.
+    GateQuery(
+      "t14_temperature_mix",
+      (s, dir) =>
+        graft.core.Splits.temperatureSample(
+            t(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang", halvings = 1, salt = "t14")
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some {
+        val bucket = s"((${polyHashSql("CAST(doc_id AS VARCHAR) || 't14'")}" +
+          s" * 1103515245 + 12345) % $HashMod) % 1000"
+        s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
+           |           GROUP BY lang),
+           |m AS (SELECT MIN(cnt) AS mn FROM c),
+           |r AS (SELECT lang, CAST(floor(1000.0 *
+           |        sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)))
+           |        AS BIGINT) AS permille
+           |      FROM c CROSS JOIN m)
+           |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+           |WHERE $bucket < permille
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

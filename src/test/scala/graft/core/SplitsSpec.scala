@@ -57,4 +57,23 @@ class SplitsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       S.assign(ids, "id", valPermille = 600, testPermille = 600)
   }
+
+  it should "flatten a skewed distribution with temperature sampling" in {
+    val docs = ((1L to 900L).map(i => (i, "common")) ++
+      (901L to 1000L).map(i => (i, "rare"))).toDF("id", "lang")
+    val kept = S.temperatureSample(docs, "id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    kept("rare") shouldBe 100L // rarest stratum kept whole
+    // rate = floor(1000*sqrt(100/900)) = 333‰ → ~300 of 900
+    kept("common").toDouble should be(300.0 +- 60.0)
+    // halvings = 0 flattens exactly toward the min count
+    val flat = S.temperatureSample(docs, "id", "lang", halvings = 0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    flat("common").toDouble should be(100.0 +- 40.0)
+    // deterministic: identical survivors on a re-run
+    S.temperatureSample(docs, "id", "lang").select("id")
+      .as[Long].collect().toSet shouldBe
+      S.temperatureSample(docs, "id", "lang").select("id")
+        .as[Long].collect().toSet
+  }
 }
