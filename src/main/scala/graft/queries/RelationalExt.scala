@@ -529,6 +529,29 @@ object RelationalExt {
                  PARTITION BY event_type ORDER BY ts, event_id
                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS rolling_median
         FROM events WHERE event_id % 37 = 0
-        ORDER BY event_type, ts_us"""))
+        ORDER BY event_type, ts_us""")),
+
+    // First-order Markov transition matrix: one lead window per user
+    // (single exchange, no rank self-join), tiny (from,to) count matrix,
+    // probability = one exact-integer division — bitwise in any engine.
+    GateQuery(
+      "q47_transitions",
+      (s, dir) =>
+        graft.operators.Transitions.matrix(t(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy("from_state", "to_state"),
+      Some("""
+        WITH tr AS (
+          SELECT event_type AS from_state,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_state
+          FROM events)
+        SELECT from_state, to_state, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) /
+                 CAST(CAST(SUM(COUNT(*)) OVER (PARTITION BY from_state)
+                   AS BIGINT) AS DOUBLE) AS prob
+        FROM tr WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
+        ORDER BY from_state, to_state"""))
   )
 }
