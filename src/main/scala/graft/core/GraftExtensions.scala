@@ -69,6 +69,15 @@ object GraftExtensions {
           CaseWhen(Seq((GreaterThan(union, Literal(0, IntegerType)),
             Divide(Cast(inter, DoubleType), Cast(union, DoubleType)))))
         }),
+      ("graft_freq",
+        info("graft_freq",
+          "graft_freq(item, m) - mergeable Misra-Gries heavy-hitter " +
+            "sketch aggregate: array<struct<item, est, err>>, est desc; " +
+            "est <= true <= est + err, items above N/(m+1) guaranteed"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_freq takes two arguments")
+          graft.functions.expressions.FreqSketch(args(0), args(1))
+        }),
       ("graft_hamming",
         info("graft_hamming",
           "graft_hamming(a, b) - hamming distance between two integral " +

@@ -97,4 +97,14 @@ object TextFunctions {
     */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Heavy-hitter sketch aggregate (mergeable Misra-Gries, m counters):
+    * array<struct<item, est, err>> sorted by est desc. The bounded-state
+    * alternative to an exact explode+count top-k when item cardinality is
+    * unbounded — see expressions.FreqSketch for the guarantees.
+    */
+  def freqSketch(items: Column, m: Int): Column =
+    graft.core.Graft.column(
+      graft.functions.expressions.FreqSketch(
+        graft.core.Graft.expression(items), m).toAggregateExpression())
 }
