@@ -936,6 +936,47 @@ object PipelineQueries {
            |SELECT doc_id, lang FROM documents JOIN r USING (lang)
            |WHERE $bucket < permille
            |ORDER BY doc_id""".stripMargin
+      }),
+
+    // PII redaction: email → IP → digit-run rules in order, counts taken
+    // before each rule's replacement (placeholders never re-counted). The
+    // synthetic text mixes the props JSON with derived addresses so all
+    // three rules genuinely fire; regexes stay in the Java/RE2-agreeing
+    // subset, so DuckDB replays the scrub verbatim.
+    GateQuery(
+      "t15_redact",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_id") % 11 === 0)
+          .withColumn("text", concat(
+            col("props"), lit(" from 10."),
+            (col("user_id") % 200).cast("string"), lit(".0."),
+            (col("event_id") % 250).cast("string"), lit(" by user"),
+            col("user_id").cast("string"), lit("@example.com")))
+        graft.text.Redact.scrub(ev, "text")
+          .select(col("event_id"), col("text_redacted"),
+            col("n_redactions"))
+          .orderBy("event_id")
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        s"""WITH s0 AS (SELECT event_id,
+           |    props || ' from 10.' || (user_id % 200) || '.0.' ||
+           |    (event_id % 250) || ' by user' || user_id ||
+           |    '@example.com' AS t0
+           |  FROM events WHERE event_id % 11 = 0),
+           |s1 AS (SELECT event_id, t0,
+           |    regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1 FROM s0),
+           |s2 AS (SELECT event_id, t0, t1,
+           |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1)
+           |SELECT event_id,
+           |  regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS text_redacted,
+           |  CAST(len(regexp_extract_all(t0, '$email'))
+           |     + len(regexp_extract_all(t1, '$ip'))
+           |     + len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT)
+           |    AS n_redactions
+           |FROM s2 ORDER BY event_id""".stripMargin
       })
   )
 }
