@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank over a DataFrame edge list (beyond-reference
+  * op, SURVEY §2.13) — the graph-centrality companion to the connected-
+  * components operator (dedup/Components).
+  *
+  * All rank mass is SCALED INTEGER "micro-rank" (longs), not doubles:
+  * contributions are integer divisions (rank div outdeg), inflows are
+  * exact long sums (order-free — a float PageRank diverges bitwise
+  * between engines because shuffle order changes the summation order),
+  * and the damping step is (15·base + 85·inflow) div 100 in exact
+  * arithmetic. The q48 oracle replays iterations as unrolled CTEs and
+  * matches bit-for-bit. Rounding remainders vanish deterministically
+  * (standard in fixed-point PR); total mass decays slightly rather than
+  * being redistributed, which preserves ranking order.
+  *
+  * Scale shape: per iteration, one hash join of ranks onto the (cached)
+  * out-degree-annotated edge list plus one map-side-combinable inflow
+  * aggregation — both shuffle on the node key, so AQE reuses the
+  * partitioning; the iteration count is fixed and small. Nodes with no
+  * out-edges simply leak their mass (documented dangling policy).
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // 1e12 micro-rank units of total mass
+
+  /** Ranks after `iterations` damped rounds over the directed edge list.
+    * Output: (node, rank_micro). `edges` rows are (srcCol, dstCol) pairs;
+    * parallel edges should be pre-deduplicated by the caller if they are
+    * not meant to weight the walk.
+    */
+  def ranks(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50]: $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val base = (15L * (Scale / n)) / 100L
+    var ranks = nodes.withColumn("r", lit(Scale / n))
+    (1 to iterations).foreach { _ =>
+      val inflow = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("r div outdeg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr("85 * coalesce(inflow, 0L) div 100")).as("r"))
+    }
+    // nodes/withDeg stay cached: the returned plan re-reads both (the
+    // caller's single action materializes everything once, then the
+    // session's cache lifecycle — Verify.clearCache — releases them)
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+}

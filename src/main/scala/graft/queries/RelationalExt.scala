@@ -552,6 +552,53 @@ object RelationalExt {
                    AS BIGINT) AS DOUBLE) AS prob
         FROM tr WHERE to_state IS NOT NULL
         GROUP BY from_state, to_state
-        ORDER BY from_state, to_state"""))
+        ORDER BY from_state, to_state""")),
+
+    // Fixed-point PageRank over the customer↔supplier trade graph: all
+    // arithmetic is scaled-integer (contrib = rank div outdeg, exact long
+    // inflow sums, damping in exact div) so three unrolled iterations
+    // replay bitwise in DuckDB — a float PageRank would diverge with
+    // shuffle summation order.
+    GateQuery(
+      "q48_pagerank",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = pairs
+          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.PageRank.ranks(edges, "src", "dst", 3).orderBy("node")
+      },
+      Some {
+        val S = graft.graph.PageRank.Scale
+        val iters = (1 to 3).map { i =>
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          s"""c$i AS (SELECT e.dst AS node,
+             |    SUM(r.r // d.outdeg) AS inflow
+             |  FROM edges e JOIN $prev r ON e.src = r.node
+             |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    (15 * ($S // nn.n)) // 100 +
+             |    (85 * COALESCE(CAST(c$i.inflow AS BIGINT), 0)) // 100 AS r
+             |  FROM nodes n CROSS JOIN nn
+             |  LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT DISTINCT
+           |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+           |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM p
+           |          UNION ALL SELECT dst, src FROM p),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT node, $S // nn.n AS r FROM nodes CROSS JOIN nn),
+           |$iters
+           |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
+           |ORDER BY node""".stripMargin
+      })
   )
 }
