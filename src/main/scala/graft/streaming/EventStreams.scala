@@ -250,4 +250,61 @@ object EventStreams {
         col("m.match_ts").as("match_ts"),
         col("m.match_type").as("match_type")): _*)
   }
+
+  case class TransState(lastState: String, lastTs: Long)
+
+  case class Transition(user_id: Long, from_state: String, to_state: String,
+      ts: java.sql.Timestamp)
+
+  /** Incremental transition stream — the streaming twin of
+    * `operators.Transitions`: one row per observed (state → next state)
+    * step per user, emitted as events arrive; counting/normalizing into
+    * the matrix is a downstream aggregation. State per user is a single
+    * (last state, last ts) pair.
+    *
+    * Same monotone-delivery contract as `incrementalFunnel`: events are
+    * ordered by event time within a micro-batch and never buffered across
+    * batches. Batch/stream parity on a replayed fixture is asserted in
+    * EventStreamsSpec against `Transitions.matrix`.
+    *
+    * With a finite `ttlMs`, a user idle past the watermark by more than
+    * the TTL has their state dropped (event-time timeout) — the next
+    * event starts a fresh chain instead of bridging an unbounded gap,
+    * which is what bounds state at 100 TB-stream scale.
+    */
+  def incrementalTransitions(events: Dataset[Event],
+      ttlMs: Long = Long.MaxValue): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[Transition]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              if (st != null)
+                out += Transition(userId, st.lastState, e.event_type, e.ts)
+              st = TransState(e.event_type, e.ts.getTime)
+            }
+            if (st != null) {
+              state.update(st)
+              if (ttlMs != Long.MaxValue &&
+                  st.lastTs <= Long.MaxValue - ttlMs) {
+                val deadline = st.lastTs + ttlMs
+                // a deadline at/behind the watermark would THROW; the
+                // state is already expired — drop it now
+                if (deadline <= state.getCurrentWatermarkMs()) state.remove()
+                else state.setTimeoutTimestamp(deadline)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

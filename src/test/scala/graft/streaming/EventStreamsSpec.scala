@@ -247,4 +247,58 @@ class EventStreamsSpec extends SparkSpec {
       spark.table("deduped").count() shouldBe 2
     } finally query.stop()
   }
+
+  it should "match the batch transition matrix on a replayed stream" in {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      EventStreams.Event(1L, ts(1), "a", 0.0),
+      EventStreams.Event(1L, ts(2), "b", 0.0),
+      EventStreams.Event(2L, ts(3), "a", 0.0),
+      // second micro-batch (monotone event time)
+      EventStreams.Event(1L, ts(10), "a", 0.0),
+      EventStreams.Event(2L, ts(11), "b", 0.0),
+      EventStreams.Event(1L, ts(12), "c", 0.0))
+    val input = MemoryStream[EventStreams.Event]
+    val withWm = input.toDS().withWatermark("ts", "1 minute")
+      .as[EventStreams.Event]
+    val query = EventStreams.incrementalTransitions(withWm)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture.take(3): _*)
+      query.processAllAvailable()
+      input.addData(fixture.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("transitions")
+        .groupBy("from_state", "to_state").count()
+        .as[(String, String, Long)].collect().toSet
+      val batch = graft.operators.Transitions
+        .matrix(fixture.toDF(), "user_id", "event_type", "ts")
+        .select("from_state", "to_state", "n")
+        .as[(String, String, Long)].collect().toSet
+      streamed shouldBe batch
+    } finally query.stop()
+  }
+
+  it should "expire idle transition state past the TTL" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val withWm = input.toDS().withWatermark("ts", "1 minute")
+      .as[EventStreams.Event]
+    val query = EventStreams
+      .incrementalTransitions(withWm, ttlMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("transitions_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(EventStreams.Event(1L, ts(0), "a", 0.0))
+      query.processAllAvailable()
+      // watermark sails past user 1's TTL deadline
+      input.addData(EventStreams.Event(2L, ts(30), "a", 0.0))
+      query.processAllAvailable()
+      // user 1 returns: chain must restart, not bridge the idle gap
+      input.addData(EventStreams.Event(1L, ts(31), "b", 0.0))
+      query.processAllAvailable()
+      spark.table("transitions_ttl").count() shouldBe 0L
+    } finally query.stop()
+  }
 }
