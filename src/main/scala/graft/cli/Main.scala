@@ -459,6 +459,22 @@ object Main {
           }
         } finally survivors.unpersist()
 
+      case "pack" =>
+        // curate → pack: the corpus-to-training-sequences step
+        val packed = graft.text.Packing.concatChunk(input,
+          o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text"),
+          seqLen = o.getOrElse("seq-len", "2048").toInt,
+          nShards = o.getOrElse("shards", "32").toInt,
+          salt = o.getOrElse("salt", ""))
+        write(packed, required("output"))
+
+      case "transitions" =>
+        val m = graft.operators.Transitions.matrix(input,
+          o.getOrElse("entity-col", "user_id"),
+          o.getOrElse("state-col", "event_type"),
+          o.getOrElse("order-cols", "ts").split(','): _*)
+        write(m.orderBy("from_state", "to_state"), required("output"), 1)
+
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")
     }

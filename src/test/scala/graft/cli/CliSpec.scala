@@ -220,6 +220,26 @@ class CliSpec extends SparkSpec {
       Seq(1L)
   }
 
+  it should "dispatch pack and transitions" in {
+    val in = tmp("pack-in"); val out = tmp("pack-out")
+    Seq((1L, "a b c d e"), (2L, "f g h"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    dispatch("pack", "input" -> in, "output" -> out, "seq-len" -> "4",
+      "shards" -> "2")
+    val packed = spark.read.parquet(out)
+    packed.count() shouldBe 2
+    packed.columns should contain allOf ("shard", "seq_start", "off_start")
+
+    val tin = tmp("trans-in"); val tout = tmp("trans-out")
+    Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 5L, "a"), (2L, 6L, "b"))
+      .toDF("user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(tin)
+    dispatch("transitions", "input" -> tin, "output" -> tout)
+    spark.read.parquet(tout).select("from_state", "to_state", "n")
+      .as[(String, String, Long)].collect().toSeq shouldBe
+      Seq(("a", "b", 2L))
+  }
+
   it should "reject unknown commands" in {
     a[RuntimeException] should be thrownBy dispatch("nope")
   }
