@@ -977,6 +977,30 @@ object PipelineQueries {
            |     + len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT)
            |    AS n_redactions
            |FROM s2 ORDER BY event_id""".stripMargin
-      })
+      }),
+
+    // Dataset-card corpus profile: one map-side-combinable aggregation,
+    // ratios as single exact-integer divisions — every cell bitwise.
+    GateQuery(
+      "t16_corpus_stats",
+      (s, dir) =>
+        graft.text.CorpusStats.byStratum(t(s, dir, "documents"),
+            "text", "lang", "source", shortTokens = 50)
+          .orderBy("stratum"),
+      Some(
+        s"""WITH $tokCte,
+           |j AS (SELECT d.lang AS stratum, d.source,
+           |        len(tok.toks) AS nt
+           |      FROM documents d JOIN tok ON d.doc_id = tok.doc_id)
+           |SELECT stratum,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           |  MAX(nt) AS max_tokens,
+           |  CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) /
+           |    CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+           |  COUNT(DISTINCT source) AS n_sources,
+           |  CAST(CAST(SUM(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS short_frac
+           |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin))
   )
 }
