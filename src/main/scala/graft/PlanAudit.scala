@@ -16,7 +16,9 @@ object PlanAudit {
       "d02_minhash_lsh", "d05_ann_brute", "d06_ann_lsh", "d07_ann_ivf",
       "d09_embed_neardup", "d11_ann_ivf_quantized", "d13_semantic_dedup",
       "t04_fingerprint", "t06_bm25", "q40_gapfill", "q43_funnel",
-      "q39_fuzzy_match", "d12_dedup_cluster")
+      "q39_fuzzy_match", "d12_dedup_cluster",
+      "t12_seq_pack", "t13_chunk_dedup", "t14_temperature_mix",
+      "q47_transitions", "t16_corpus_stats")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
