@@ -1001,6 +1001,44 @@ object PipelineQueries {
            |  COUNT(DISTINCT source) AS n_sources,
            |  CAST(CAST(SUM(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS BIGINT)
            |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS short_frac
-           |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin))
+           |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin)),
+
+    // Score-based pruning: keep the best 250‰ per language by unigram-LM
+    // NLL. The cut is rank <= (n*permille) div 1000 — exact integers over
+    // a bitwise-portable score (t10), so the survivor set is engine-exact.
+    GateQuery(
+      "t17_quality_prune",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = graft.text.UnigramLm
+          .scoreDocs(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        graft.text.QualityPrune
+          .keepTopPermille(scored, "doc_id", "nll", "lang", permille = 250)
+          .select("doc_id", "lang", "nll")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $tokLowerCte,
+           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           |tot AS (SELECT COUNT(*) AS total FROM occ),
+           |model AS (SELECT term,
+           |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+           |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
+           |          CROSS JOIN tot),
+           |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |              CAST(SUM(lp) AS BIGINT) AS sum_lp
+           |       FROM occ JOIN model USING (term) GROUP BY doc_id),
+           |sc2 AS (SELECT doc_id, CAST(-sum_lp AS DOUBLE) / 1000000.0
+           |          / CAST(n_tokens AS DOUBLE) AS nll FROM sc),
+           |j AS (SELECT s.doc_id, d.lang, s.nll
+           |      FROM sc2 s JOIN documents d ON s.doc_id = d.doc_id),
+           |w AS (SELECT doc_id, lang, nll,
+           |        ROW_NUMBER() OVER (PARTITION BY lang
+           |          ORDER BY nll, doc_id) AS rn,
+           |        COUNT(*) OVER (PARTITION BY lang) AS n FROM j)
+           |SELECT doc_id, lang, nll FROM w
+           |WHERE rn <= (n * 250) // 1000 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,43 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Score-based corpus pruning — "keep the best X‰ per stratum": the
+  * selection step pipelines run after quality scoring (DCLM/FineWeb keep
+  * the top slice by classifier or LM score; CCNet buckets by perplexity).
+  * Composes with any score column — UnigramLm.scoreDocs (t17 gate),
+  * QualityRules metrics, or an external model score.
+  *
+  * The cut is exact integer arithmetic: within each stratum, rows ranked
+  * by (score, id) keep rank ≤ (n·permille) div 1000 — no float
+  * thresholding, so the survivor set replays bitwise wherever the score
+  * itself does. One hash exchange on the stratum (rank and count share
+  * the partitioning); strata are independent, so the plan is
+  * embarrassingly parallel and skew follows the stratum sizes, which AQE
+  * rebalances.
+  */
+object QualityPrune {
+
+  /** Keeps the `permille` best rows per stratum; `ascending = true` means
+    * lower scores are better (NLL, perplexity), false means higher are
+    * better (classifier confidence). Ties break by `idCol` so the cut is
+    * deterministic. Strata smaller than 1000/permille rows keep zero rows
+    * (floor semantics — the cut never over-keeps).
+    */
+  def keepTopPermille(df: DataFrame, idCol: String, scoreCol: String,
+      strataCol: String, permille: Int,
+      ascending: Boolean = true): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille out of range: $permille")
+    val order =
+      if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val byStratum = Window.partitionBy(strataCol)
+    df.withColumn("__rn",
+        row_number().over(byStratum.orderBy(order, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .filter(expr(s"__rn <= (__n * $permille) div 1000"))
+      .drop("__rn", "__n")
+  }
+}
