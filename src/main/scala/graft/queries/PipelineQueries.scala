@@ -1039,6 +1039,46 @@ object PipelineQueries {
            |          ORDER BY nll, doc_id) AS rn,
            |        COUNT(*) OVER (PARTITION BY lang) AS n FROM j)
            |SELECT doc_id, lang, nll FROM w
-           |WHERE rn <= (n * 250) // 1000 ORDER BY doc_id""".stripMargin))
+           |WHERE rn <= (n * 250) // 1000 ORDER BY doc_id""".stripMargin)),
+
+    // Gopher duplicate-n-gram repetition with exact union coverage: a
+    // token counts once however many duplicated trigrams cover it, so the
+    // fraction stays in [0,1]; chars are token lengths. Pure integer
+    // counting + one division — bitwise in any engine.
+    GateQuery(
+      "t18_repetition",
+      (s, dir) =>
+        graft.text.QualityRules.dupNgramCoverage(
+            t(s, dir, "documents"), "doc_id", "text", n = 3)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokCte,
+           |tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS tokidx,
+           |         toks FROM tok WHERE len(toks) > 0),
+           |tl AS (SELECT doc_id, tokidx,
+           |         CAST(length(toks[tokidx + 1]) AS BIGINT) AS tok_chars
+           |       FROM tp),
+           |gp AS (SELECT doc_id, unnest(range(0, len(toks) - 2)) AS gpos,
+           |         toks FROM tok WHERE len(toks) >= 3),
+           |g AS (SELECT doc_id, gpos,
+           |        array_to_string(list_slice(toks, gpos + 1, gpos + 3),
+           |          ' ') AS gram FROM gp),
+           |dup AS (SELECT doc_id, gpos FROM (
+           |          SELECT doc_id, gpos,
+           |            COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt
+           |          FROM g) WHERE cnt >= 2),
+           |cov AS (SELECT DISTINCT doc_id,
+           |          unnest(range(gpos, gpos + 3)) AS tokidx FROM dup),
+           |dc AS (SELECT doc_id, CAST(SUM(tok_chars) AS BIGINT) AS dup_chars
+           |       FROM cov JOIN tl USING (doc_id, tokidx) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |          CAST(SUM(tok_chars) AS BIGINT) AS total_chars
+           |        FROM tl GROUP BY doc_id)
+           |SELECT tot.doc_id, n_tokens, total_chars,
+           |  COALESCE(dup_chars, 0) AS dup_chars,
+           |  CAST(COALESCE(dup_chars, 0) AS DOUBLE) /
+           |    CAST(total_chars AS DOUBLE) AS dup_ngram_char_frac
+           |FROM tot LEFT JOIN dc ON tot.doc_id = dc.doc_id
+           |ORDER BY tot.doc_id""".stripMargin))
   )
 }

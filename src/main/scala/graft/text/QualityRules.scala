@@ -19,6 +19,62 @@ import graft.functions.TextFunctions._
   */
 object QualityRules {
 
+  /** Gopher's duplicate-n-gram repetition rule with EXACT union-coverage
+    * semantics (Rae et al. 2021 §A1.1: "fraction of characters contained
+    * within duplicate n-grams"): a token position counts once no matter
+    * how many duplicated n-grams cover it, so the fraction is always in
+    * [0, 1] — the naive sum-of-duplicate-gram-lengths over-counts
+    * overlapping repeats. Characters are measured as token lengths
+    * (whitespace excluded).
+    *
+    * Output: (idCol, n_tokens, total_chars, dup_chars,
+    * dup_ngram_char_frac). Documents with zero tokens are dropped; docs
+    * shorter than n tokens report 0.0 (no n-gram can repeat).
+    *
+    * Shape: gram occurrence counts are a window over (doc, gram); covered
+    * positions fan out n× per duplicated gram and collapse through a
+    * distinct — every stage keys on the doc id, so the exchanges carry
+    * (id, gram/idx) rows, never full documents, and all ratios are single
+    * exact-integer divisions (the t18 oracle replays bitwise).
+    */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, s"duplicate-n-gram rule needs n >= 2: $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val tokPos = toks.select(col("id"),
+      posexplode(transform(col("__toks"), t => length(t).cast("long"))))
+      .withColumnRenamed("pos", "tokidx")
+      .withColumnRenamed("col", "tok_chars")
+    val grams = toks
+      .filter(size(col("__toks")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => struct(i.as("gpos"),
+          array_join(slice(col("__toks"), i + 1, lit(n)), " ")
+            .as("gram")))).as("g"))
+      .select(col("id"), col("g.gpos"), col("g.gram"))
+    val occurrences = Window.partitionBy("id", "gram")
+    val covered = grams
+      .withColumn("__cnt", count(lit(1)).over(occurrences))
+      .filter(col("__cnt") >= 2)
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("tokidx"))
+      .distinct()
+    val dupChars = covered.join(tokPos, Seq("id", "tokidx"))
+      .groupBy("id").agg(sum("tok_chars").as("dup_chars"))
+    tokPos.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("tok_chars").as("total_chars"))
+      .join(dupChars, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("total_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("total_chars").cast("double")).as("dup_ngram_char_frac"))
+  }
+
   /** English stopword markers (TextAnalysis.LangMarkers) — Gopher's
     * "contains ≥ 2 of a small stopword list" rule.
     */
