@@ -101,6 +101,11 @@ object Splits {
       halvings: Int = 1, salt: String = ""): DataFrame = {
     require(halvings >= 0 && halvings <= 10,
       s"halvings must be in [0, 10]: $halvings")
+    require(!df.columns.contains("__permille"),
+      "input already has a '__permille' column (reserved)")
+    // NOTE: rows with a NULL stratum are dropped (the rate join cannot
+    // match them) — map unknowns to a sentinel stratum upstream to keep
+    // them.
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
     val minCnt = counts.agg(min(col("__cnt")).as("__min"))
     val ratio = col("__min").cast("double") / col("__cnt").cast("double")

@@ -37,7 +37,10 @@ object PageRank {
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]: $iterations")
+    // null endpoints would silently strand rank mass (a null key matches
+    // no join) and register a phantom null node — drop them up front
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -28,6 +28,9 @@ object Transitions {
   def matrix(df: DataFrame, entityCol: String, stateCol: String,
       orderCols: String*): DataFrame = {
     require(orderCols.nonEmpty, "at least one ordering column is required")
+    // NOTE: a NULL state is a real group here (null→x / x→null transitions
+    // are only dropped when the FOLLOWING state is null, i.e. at stream
+    // end) — matching SQL GROUP BY semantics in any engine.
     val byEntity = Window.partitionBy(entityCol)
       .orderBy(orderCols.map(col): _*)
     val byFrom = Window.partitionBy("from_state")

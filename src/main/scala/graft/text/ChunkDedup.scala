@@ -42,6 +42,10 @@ object ChunkDedup {
   def dedupChunks(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 50): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val reserved = Set("chunk", "chunk_idx", "n_chunks", "n_kept",
+      "text_dedup", "__toks", "__rn")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with a dedup output column")
     val chunks = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       // zero-token docs carry no chunks (and sequence(0, -1) would DESCEND)

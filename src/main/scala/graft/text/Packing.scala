@@ -43,6 +43,10 @@ object Packing {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     require(nShards > 0 && nShards <= 1000,
       s"nShards must be in [1, 1000] (shards come from a permille bucket): $nShards")
+    val reserved =
+      Set("shard", "n_tokens", "off_start", "seq_start", "seq_end", "__start")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with a packing output column")
     val counted = df
       .select(
         col(idCol),

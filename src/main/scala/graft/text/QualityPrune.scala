@@ -31,6 +31,8 @@ object QualityPrune {
       ascending: Boolean = true): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille out of range: $permille")
+    Seq("__rn", "__n").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column (reserved by keepTopPermille)"))
     val order =
       if (ascending) col(scoreCol).asc else col(scoreCol).desc
     val byStratum = Window.partitionBy(strataCol)

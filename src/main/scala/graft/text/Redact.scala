@@ -34,6 +34,9 @@ object Redact {
   def scrub(df: DataFrame, textCol: String,
       rules: Seq[(String, String)] = DefaultRules): DataFrame = {
     require(rules.nonEmpty, "at least one redaction rule is required")
+    Seq("text_redacted", "n_redactions").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column (reserved by scrub)"))
     val (redacted, counts) =
       rules.foldLeft((col(textCol), Seq.empty[Column])) {
         case ((text, cs), (pattern, replacement)) =>

@@ -81,4 +81,10 @@ class PackingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Packing.concatChunk(docs, "doc_id", "text", 10, nShards = 1001)
   }
+
+  it should "reject an id column that collides with an output column" in {
+    an[IllegalArgumentException] should be thrownBy
+      Packing.concatChunk(docs.withColumnRenamed("doc_id", "shard"),
+        "shard", "text", 10)
+  }
 }

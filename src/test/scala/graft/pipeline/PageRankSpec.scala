@@ -45,6 +45,14 @@ class PageRankSpec extends SparkSpec {
     got("b") shouldBe base + (85L * (PageRank.Scale / 2)) / 100L
   }
 
+  it should "drop null edge endpoints instead of stranding mass" in {
+    val edges = Seq(("a", "b"), ("b", "a"), (null, "a"), ("b", null))
+      .toDF("src", "dst")
+    val got = PageRank.ranks(edges, "src", "dst", 1)
+      .as[(String, Long)].collect().toMap
+    got.keySet shouldBe Set("a", "b") // no phantom null node
+  }
+
   it should "be invariant under physical layout" in {
     val edges = (1L to 200L).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}"))
       .toDF("src", "dst").distinct()

@@ -43,4 +43,10 @@ class RedactSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Redact.scrub(Seq((1L, "x")).toDF("id", "text"), "text", Seq.empty)
   }
+
+  it should "reject inputs that already carry an output column" in {
+    an[IllegalArgumentException] should be thrownBy
+      Redact.scrub(Seq((1L, "x", 0L)).toDF("id", "text", "n_redactions"),
+        "text")
+  }
 }
