@@ -251,6 +251,22 @@ object EventStreams {
         col("m.match_type").as("match_type")): _*)
   }
 
+  /** Trending items per tumbling window: the heavy-hitter sketch
+    * (`TextFunctions.freqSketch`, a mergeable Misra-Gries
+    * TypedImperativeAggregate) as a streaming aggregation — per-window
+    * state is ≤ m counters per key however many distinct items flow
+    * through, which is the property that makes "top items this hour" a
+    * bounded-state query on an unbounded stream.
+    */
+  def trendingItems(events: DataFrame, itemCol: String,
+      windowLength: String, lateness: String, m: Int): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength).as("win"))
+      .agg(graft.functions.TextFunctions.freqSketch(col(itemCol), m)
+        .as("top_items"))
+      .select(col("win.start").as("window_start"), col("top_items"))
+
   case class TransState(lastState: String, lastTs: Long)
 
   case class Transition(user_id: Long, from_state: String, to_state: String,

@@ -280,6 +280,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "sketch trending items per window on a stream" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "item")
+    val query = EventStreams
+      .trendingItems(events, "item", "10 minutes", "5 minutes", m = 4)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (Seq.fill(5)((ts(1), "hot")) ++ Seq.fill(2)((ts(2), "warm")) ++
+          Seq((ts(3), "cold1"), (ts(4), "cold2"), (ts(12), "next"))): _*)
+      query.processAllAvailable()
+      val wins = spark.table("trending").collect()
+        .map(r => r.getAs[Timestamp](0) ->
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+            .map(x => (x.getString(0), x.getLong(1))))
+        .toMap
+      wins.size shouldBe 2
+      val first = wins(Timestamp.valueOf("2024-01-01 10:00:00"))
+      first.head shouldBe (("hot", 5L))    // est exact below capacity
+      first.map(_._1) should contain("warm")
+    } finally query.stop()
+  }
+
   it should "expire idle transition state past the TTL" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
