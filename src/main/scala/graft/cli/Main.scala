@@ -468,6 +468,23 @@ object Main {
           salt = o.getOrElse("salt", ""))
         write(packed, required("output"))
 
+      case "mix" =>
+        // temperature-rebalance a corpus, then (optionally) stamp
+        // train/val/test splits — curate → mix → pack is the pipeline
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val mixed = graft.core.Splits.temperatureSample(input, idCol,
+          o.getOrElse("strata-col", "lang"),
+          halvings = o.getOrElse("halvings", "1").toInt,
+          salt = o.getOrElse("salt", ""))
+        val out =
+          if (o.contains("val-permille") || o.contains("test-permille"))
+            graft.core.Splits.assign(mixed, idCol,
+              salt = o.getOrElse("salt", ""),
+              valPermille = o.getOrElse("val-permille", "10").toInt,
+              testPermille = o.getOrElse("test-permille", "10").toInt)
+          else mixed
+        write(out, required("output"))
+
       case "transitions" =>
         val m = graft.operators.Transitions.matrix(input,
           o.getOrElse("entity-col", "user_id"),

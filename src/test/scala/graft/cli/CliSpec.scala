@@ -240,6 +240,20 @@ class CliSpec extends SparkSpec {
       Seq(("a", "b", 2L))
   }
 
+  it should "dispatch mix with optional splits" in {
+    val in = tmp("mix-in"); val out = tmp("mix-out")
+    ((1L to 90L).map(i => (i, "en")) ++ (91L to 100L).map(i => (i, "de")))
+      .toDF("doc_id", "lang").write.mode("overwrite").parquet(in)
+    dispatch("mix", "input" -> in, "output" -> out,
+      "val-permille" -> "100", "test-permille" -> "100")
+    val mixed = spark.read.parquet(out)
+    mixed.columns should contain allOf ("split", "split_bucket")
+    val byLang = mixed.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    byLang("de") shouldBe 10L // rarest stratum kept whole
+    byLang("en").toDouble should be < 60.0 // damped toward sqrt(10/90)
+  }
+
   it should "reject unknown commands" in {
     a[RuntimeException] should be thrownBy dispatch("nope")
   }
