@@ -235,6 +235,41 @@ object JobsDemo {
     val splits = graft.core.Splits.assign(corpus, "doc_id", salt = "demo")
     show("dataset_split", splits.count(), splits.columns.length)
 
+    // --- wave-2 pipeline operators ---------------------------------------
+    val packed = graft.text.Packing.concatChunk(
+      corpus, "doc_id", "text", seqLen = 8, nShards = 2)
+    show("seq_pack", packed.count(), packed.columns.length)
+    val chunkDedup = graft.text.ChunkDedup.dedupChunks(
+      corpus, "doc_id", "text", chunkTokens = 4)
+    show("chunk_dedup", chunkDedup.count(), chunkDedup.columns.length)
+    val langCorpus = corpus.withColumn("lang",
+      when($"doc_id" <= 2, "en").otherwise("de"))
+    val mixed = graft.core.Splits.temperatureSample(
+      langCorpus, "doc_id", "lang")
+    show("temperature_mix", mixed.count(), mixed.columns.length)
+    val scrubbed = graft.text.Redact.scrub(
+      Seq((1L, "reach me at me@example.com or 10.0.0.1")).toDF("id", "text"),
+      "text")
+    show("pii_redact", scrubbed.count(), scrubbed.columns.length)
+    val corpusProfile = graft.text.CorpusStats.byStratum(
+      langCorpus.withColumn("source", lit("demo")), "text", "lang", "source")
+    show("corpus_stats", corpusProfile.count(), corpusProfile.columns.length)
+    val rep = graft.text.QualityRules.dupNgramCoverage(
+      corpus, "doc_id", "text", n = 2)
+    show("dup_ngram_coverage", rep.count(), rep.columns.length)
+    val trans = graft.operators.Transitions.matrix(
+      clicks, "user_id", "event_type", "ts")
+    show("markov_transitions", trans.count(), trans.columns.length)
+    val pr = graft.graph.PageRank.ranks(
+      Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("src", "dst"),
+      "src", "dst", 2)
+    show("pagerank", pr.count(), pr.columns.length)
+    val hh = corpus
+      .select(explode(graft.functions.TextFunctions.tokens($"text"))
+        .as("tok"))
+      .agg(graft.functions.TextFunctions.freqSketch($"tok", 5).as("top"))
+    show("freq_sketch", hh.count(), hh.columns.length)
+
     spark.stop()
   }
 
