@@ -33,6 +33,14 @@ object PageRank {
     * parallel edges should be pre-deduplicated by the caller if they are
     * not meant to weight the walk.
     */
+  /** Node-count threshold under which the rank side of the per-iteration
+    * join is BROADCAST: the cached edge list is then never re-shuffled
+    * (each iteration becomes a map-side join + one inflow exchange).
+    * Above it, both sides hash-exchange on the node key — the only plan
+    * that works when the node set itself is cluster-scale.
+    */
+  val MaxBroadcastNodes: Long = 1000000L
+
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
@@ -51,8 +59,9 @@ object PageRank {
     val base = (15L * (Scale / n)) / 100L
     var ranks = nodes.withColumn("r", lit(Scale / n))
     (1 to iterations).foreach { _ =>
+      val rankSide = if (n <= MaxBroadcastNodes) broadcast(ranks) else ranks
       val inflow = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
+        .join(rankSide, withDeg("src") === rankSide("node"))
         .select(col("dst").as("node"),
           expr("r div outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("inflow"))
