@@ -47,6 +47,19 @@ class GateContractSpec extends SparkSpec {
     }
   }
 
+  it should "end every oracle in a total ORDER BY" in {
+    // single-row global aggregates are deterministic without one; any
+    // other exception must be added HERE deliberately
+    val singleRow = Set("q19_countdistinct_multi")
+    SparkEntry.gateQueries.filterNot(q => singleRow(q.name)).foreach { q =>
+      q.oracle.foreach { sql =>
+        withClue(s"${q.name}: ") {
+          sql.toLowerCase should include("order by")
+        }
+      }
+    }
+  }
+
   it should "declare an oracle for every query or be a known replay-only op" in {
     // every gate currently ships a full DuckDB oracle; if a future
     // non-SQL-expressible op lands without one, it must be added HERE
