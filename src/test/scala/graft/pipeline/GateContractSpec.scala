@@ -50,7 +50,7 @@ class GateContractSpec extends SparkSpec {
   it should "end every oracle in a total ORDER BY" in {
     // single-row global aggregates are deterministic without one; any
     // other exception must be added HERE deliberately
-    val singleRow = Set("q19_countdistinct_multi")
+    val singleRow = Set("q19_countdistinct_multi", "q30_hash_sample")
     SparkEntry.gateQueries.filterNot(q => singleRow(q.name)).foreach { q =>
       q.oracle.foreach { sql =>
         withClue(s"${q.name}: ") {
