@@ -1079,6 +1079,41 @@ object PipelineQueries {
            |  CAST(COALESCE(dup_chars, 0) AS DOUBLE) /
            |    CAST(total_chars AS DOUBLE) AS dup_ngram_char_frac
            |FROM tot LEFT JOIN dc ON tot.doc_id = dc.doc_id
-           |ORDER BY tot.doc_id""".stripMargin))
+           |ORDER BY tot.doc_id""".stripMargin)),
+
+    // CCNet head/middle/tail perplexity buckets: NTILE(3) per language
+    // over the bitwise-portable unigram NLL, ties broken by doc_id —
+    // standard SQL NTILE integer distribution in both engines.
+    GateQuery(
+      "t19_ccnet_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = graft.text.UnigramLm
+          .scoreDocs(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        graft.text.QualityPrune
+          .scoreBuckets(scored, "doc_id", "nll", "lang", nBuckets = 3)
+          .select("doc_id", "lang", "nll", "bucket")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $tokLowerCte,
+           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           |tot AS (SELECT COUNT(*) AS total FROM occ),
+           |model AS (SELECT term,
+           |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+           |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
+           |          CROSS JOIN tot),
+           |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+           |              CAST(SUM(lp) AS BIGINT) AS sum_lp
+           |       FROM occ JOIN model USING (term) GROUP BY doc_id),
+           |sc2 AS (SELECT doc_id, CAST(-sum_lp AS DOUBLE) / 1000000.0
+           |          / CAST(n_tokens AS DOUBLE) AS nll FROM sc)
+           |SELECT s.doc_id, d.lang, s.nll,
+           |  CAST(NTILE(3) OVER (PARTITION BY d.lang
+           |    ORDER BY s.nll, s.doc_id) AS INT) AS bucket
+           |FROM sc2 s JOIN documents d ON s.doc_id = d.doc_id
+           |ORDER BY s.doc_id""".stripMargin))
   )
 }

@@ -42,4 +42,21 @@ object QualityPrune {
       .filter(expr(s"__rn <= (__n * $permille) div 1000"))
       .drop("__rn", "__n")
   }
+
+  /** CCNet-style score buckets (Wenzek et al. 2019 §4.3: split each
+    * language by perplexity tertiles into head/middle/tail, then sample
+    * per bucket): adds `bucket` ∈ [1, nBuckets], 1 = best. Standard SQL
+    * NTILE distribution (the first n mod b buckets take one extra row),
+    * identical integer logic in every engine, tie-broken by `idCol` —
+    * so the assignment replays bitwise wherever the score does.
+    */
+  def scoreBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      strataCol: String, nBuckets: Int = 3,
+      ascending: Boolean = true): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val order = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    df.withColumn("bucket",
+      ntile(nBuckets).over(Window.partitionBy(strataCol)
+        .orderBy(order, col(idCol).asc)))
+  }
 }

@@ -43,4 +43,13 @@ class QualityPruneSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       QualityPrune.keepTopPermille(docs, "id", "score", "lang", 1001)
   }
+
+  "scoreBuckets" should "assign NTILE buckets best-first per stratum" in {
+    // en has 4 rows → ntile(3) = sizes 2,1,1 by the standard distribution
+    val got = QualityPrune.scoreBuckets(docs, "id", "score", "lang", 3)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    got(1L) shouldBe 1; got(2L) shouldBe 1 // head takes the extra row
+    got(3L) shouldBe 2; got(4L) shouldBe 3
+    got(5L) shouldBe 1; got(6L) shouldBe 2 // de: 2 rows → buckets 1,2
+  }
 }
