@@ -18,7 +18,8 @@ object PlanAudit {
       "t04_fingerprint", "t06_bm25", "q40_gapfill", "q43_funnel",
       "q39_fuzzy_match", "d12_dedup_cluster",
       "t12_seq_pack", "t13_chunk_dedup", "t14_temperature_mix",
-      "q47_transitions", "t16_corpus_stats")
+      "q47_transitions", "t16_corpus_stats", "t17_quality_prune",
+      "t18_repetition", "t19_ccnet_buckets", "q48_pagerank")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
