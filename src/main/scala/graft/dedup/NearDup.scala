@@ -30,6 +30,28 @@ object NearDup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental-ingest dedup: drop incoming documents whose content
+    * fingerprint already exists in the seen corpus — the "new crawl vs
+    * training set so far" step of a continuously-fed pipeline, distinct
+    * from within-batch dedup (the incoming batch is NOT deduplicated
+    * against itself here; run exactDedup first if that is also wanted).
+    *
+    * A LEFT ANTI hash join on the 8-byte polynomial fingerprint (d08
+    * discipline): the seen side ships only distinct fingerprints, so at
+    * 100 TB the join carries one long per historical document, not the
+    * text — and the same frame is exactly what you would persist as the
+    * running "seen" table between ingests.
+    */
+  def incrementalDedup(incoming: DataFrame, idCol: String, textCol: String,
+      seen: DataFrame, seenTextCol: String): DataFrame = {
+    require(!incoming.columns.contains("__fp"),
+      "incoming already has a '__fp' column (reserved)")
+    incoming.withColumn("__fp", polyHash(col(textCol)))
+      .join(seen.select(polyHash(col(seenTextCol)).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** (id, shingle_set) — the unit table for Jaccard-style dedup.
     * Tokens are materialized in their own projection before shingling:
     * HOF lambdas re-evaluate inline argument expressions per element, so

@@ -1114,6 +1114,28 @@ object PipelineQueries {
            |  CAST(NTILE(3) OVER (PARTITION BY d.lang
            |    ORDER BY s.nll, s.doc_id) AS INT) AS bucket
            |FROM sc2 s JOIN documents d ON s.doc_id = d.doc_id
-           |ORDER BY s.doc_id""".stripMargin))
+           |ORDER BY s.doc_id""".stripMargin)),
+
+    // Incremental-ingest dedup: odd doc_ids are the incoming crawl, even
+    // ones the seen corpus; an incoming doc survives iff its content
+    // fingerprint is unseen — LEFT ANTI on the 8-byte key, replayed as a
+    // DuckDB ANTI JOIN over the same fingerprints.
+    GateQuery(
+      "d14_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.NearDup.incrementalDedup(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            docs.filter(col("doc_id") % 2 === 0), "text")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH inc AS (SELECT doc_id, lang, source,
+           |      ${polyHashSqlFp} AS fp FROM documents WHERE doc_id % 2 = 1),
+           |seen AS (SELECT DISTINCT ${polyHashSqlFp} AS fp
+           |         FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, lang, source FROM inc
+           |ANTI JOIN seen USING (fp) ORDER BY doc_id""".stripMargin))
   )
 }

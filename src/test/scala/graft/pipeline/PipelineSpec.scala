@@ -64,6 +64,15 @@ class PipelineSpec extends SparkSpec {
       Set(Seq(1L, 2L), Seq(2L, 1L))
   }
 
+  it should "drop incoming docs already seen by fingerprint" in {
+    val seen = docs(1L -> "old news", 2L -> "other old text")
+    val incoming = docs(10L -> "old news",      // seen → dropped
+      11L -> "fresh content", 12L -> "fresh content") // within-batch dup kept
+    val out = NearDup.incrementalDedup(
+      incoming, "doc_id", "text", seen, "text")
+    out.select("doc_id").as[Long].collect().sorted shouldBe Seq(11L, 12L)
+  }
+
   behavior of "Ann"
 
   it should "rank exact cosine neighbors correctly" in {
