@@ -478,8 +478,13 @@ object Main {
           salt = o.getOrElse("salt", ""))
         val out =
           if (o.contains("val-permille") || o.contains("test-permille"))
+            // a DISTINCT salt: with the same salt the split would reuse
+            // the exact hash bucket that decided sampling survival, so
+            // survivors of a damped stratum (bucket < rate) would land in
+            // val/test at rate/1000-inflated odds — independent hashes
+            // keep the split fractions honest per stratum
             graft.core.Splits.assign(mixed, idCol,
-              salt = o.getOrElse("salt", ""),
+              salt = o.getOrElse("salt", "") + "/split",
               valPermille = o.getOrElse("val-permille", "10").toInt,
               testPermille = o.getOrElse("test-permille", "10").toInt)
           else mixed

@@ -91,7 +91,9 @@ object Splits {
     * sqrt are CORRECTLY-ROUNDED IEEE-754 ops (pow is not), so the
     * permille rate — floor(1000 * sqrt^halvings(min/cnt)) — is the same
     * integer in every engine, which keeps the survivor set a pure
-    * function of (id, salt, data). The t14 oracle replays it bitwise.
+    * function of (id, salt, data). Rates clamp to >= 1‰ so extreme skew
+    * can never floor a stratum to zero and silently delete it. The t14
+    * oracle replays all of it bitwise.
     *
     * Plan: one map-side-combinable count over the strata, a 1-row min
     * broadcast onto it, and the resulting tiny rate table broadcast onto
@@ -110,10 +112,13 @@ object Splits {
     val minCnt = counts.agg(min(col("__cnt")).as("__min"))
     val ratio = col("__min").cast("double") / col("__cnt").cast("double")
     val damped = (0 until halvings).foldLeft(ratio)((c, _) => sqrt(c))
+    // clamp to >= 1‰: extreme skew (min/cnt below ~1e-6 at halvings=1)
+    // would otherwise floor a dominant stratum's rate to ZERO and silently
+    // delete the whole stratum — keep-at-least-a-sliver beats vanishing
     val rates = counts
       .crossJoin(broadcast(minCnt))
       .select(col(strataCol),
-        floor(lit(1000.0) * damped).as("__permille"))
+        greatest(lit(1L), floor(lit(1000.0) * damped)).as("__permille"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(bucket(col(idCol), salt) < col("__permille"))
       .drop("__permille")

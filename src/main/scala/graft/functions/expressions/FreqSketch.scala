@@ -95,7 +95,10 @@ case class FreqSketch(
     out.writeLong(buffer.decremented)
     out.writeInt(buffer.counts.size)
     buffer.counts.foreach { case (item, c) =>
-      out.writeUTF(item); out.writeLong(c)
+      // length-prefixed raw UTF-8, NOT writeUTF: items are arbitrary
+      // strings and writeUTF throws past 64 KB of encoded length
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush()
     bos.toByteArray
@@ -108,7 +111,11 @@ case class FreqSketch(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      buf.counts.put(in.readUTF(), in.readLong())
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.counts.put(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
       i += 1
     }
     buf

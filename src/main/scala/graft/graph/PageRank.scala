@@ -56,6 +56,8 @@ object PageRank {
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    require(n > 0, "PageRank needs at least one non-null edge " +
+      "(empty or all-null edge list yields no nodes)")
     val base = (15L * (Scale / n)) / 100L
     var ranks = nodes.withColumn("r", lit(Scale / n))
     (1 to iterations).foreach { _ =>

@@ -28,9 +28,11 @@ object Transitions {
   def matrix(df: DataFrame, entityCol: String, stateCol: String,
       orderCols: String*): DataFrame = {
     require(orderCols.nonEmpty, "at least one ordering column is required")
-    // NOTE: a NULL state is a real group here (null→x / x→null transitions
-    // are only dropped when the FOLLOWING state is null, i.e. at stream
-    // end) — matching SQL GROUP BY semantics in any engine.
+    // NOTE on NULL states: any pair whose FOLLOWING state is null is
+    // dropped (x→NULL mid-stream as well as the final x→end-of-stream —
+    // lead() cannot distinguish them), while NULL→y pairs are counted as
+    // a real null from-group — matching SQL GROUP BY + IS NOT NULL
+    // semantics in any engine (and the q47 oracle).
     val byEntity = Window.partitionBy(entityCol)
       .orderBy(orderCols.map(col): _*)
     val byFrom = Window.partitionBy("from_state")

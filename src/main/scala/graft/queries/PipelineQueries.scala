@@ -51,6 +51,28 @@ object PipelineQueries {
 
   private val polyHashSqlFp: String = polyHashSql("text")
 
+  /** Shared unigram-LM scoring chain (mirrors UnigramLm.scoreDocs) —
+    * `sc2` ends with (doc_id, n_tokens, sum_lp, nll). ONE copy on
+    * purpose: t10/t17/t19 all replay this model, and a drift in the 1e6
+    * quantization or rounding between hand-kept copies would silently
+    * desynchronize their oracles.
+    */
+  private val unigramNllCtes: String =
+    s"""$tokLowerCte,
+       |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       |tot AS (SELECT COUNT(*) AS total FROM occ),
+       |model AS (SELECT term,
+       |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
+       |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
+       |          CROSS JOIN tot),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |              CAST(SUM(lp) AS BIGINT) AS sum_lp
+       |       FROM occ JOIN model USING (term) GROUP BY doc_id),
+       |sc2 AS (SELECT doc_id, n_tokens, sum_lp,
+       |          CAST(-sum_lp AS DOUBLE) / 1000000.0
+       |            / CAST(n_tokens AS DOUBLE) AS nll FROM sc)""".stripMargin
+
   private val jaccardSql =
     """CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
       |  / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))""".stripMargin
@@ -812,21 +834,9 @@ object PipelineQueries {
           "doc_id", "text")
           .orderBy("doc_id"),
       Some(
-        s"""WITH $tokLowerCte,
-           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-           |tot AS (SELECT COUNT(*) AS total FROM occ),
-           |model AS (SELECT term,
-           |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-           |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
-           |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
-           |          CROSS JOIN tot),
-           |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-           |              CAST(SUM(lp) AS BIGINT) AS sum_lp
-           |       FROM occ JOIN model USING (term) GROUP BY doc_id)
-           |SELECT doc_id, n_tokens, sum_lp,
-           |       CAST(-sum_lp AS DOUBLE) / 1000000.0
-           |         / CAST(n_tokens AS DOUBLE) AS nll
-           |FROM sc ORDER BY doc_id""".stripMargin)),
+        s"""WITH $unigramNllCtes
+           |SELECT doc_id, n_tokens, sum_lp, nll
+           |FROM sc2 ORDER BY doc_id""".stripMargin)),
 
     // Stratified deterministic sampling: language-rebalancing rates
     // (downsample the dominant language, keep the rare ones whole) as a
@@ -929,9 +939,9 @@ object PipelineQueries {
         s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
            |           GROUP BY lang),
            |m AS (SELECT MIN(cnt) AS mn FROM c),
-           |r AS (SELECT lang, CAST(floor(1000.0 *
+           |r AS (SELECT lang, GREATEST(1, CAST(floor(1000.0 *
            |        sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)))
-           |        AS BIGINT) AS permille
+           |        AS BIGINT)) AS permille
            |      FROM c CROSS JOIN m)
            |SELECT doc_id, lang FROM documents JOIN r USING (lang)
            |WHERE $bucket < permille
@@ -1019,19 +1029,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH $tokLowerCte,
-           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-           |tot AS (SELECT COUNT(*) AS total FROM occ),
-           |model AS (SELECT term,
-           |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-           |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
-           |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
-           |          CROSS JOIN tot),
-           |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-           |              CAST(SUM(lp) AS BIGINT) AS sum_lp
-           |       FROM occ JOIN model USING (term) GROUP BY doc_id),
-           |sc2 AS (SELECT doc_id, CAST(-sum_lp AS DOUBLE) / 1000000.0
-           |          / CAST(n_tokens AS DOUBLE) AS nll FROM sc),
+        s"""WITH $unigramNllCtes,
            |j AS (SELECT s.doc_id, d.lang, s.nll
            |      FROM sc2 s JOIN documents d ON s.doc_id = d.doc_id),
            |w AS (SELECT doc_id, lang, nll,
@@ -1097,19 +1095,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""WITH $tokLowerCte,
-           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-           |tot AS (SELECT COUNT(*) AS total FROM occ),
-           |model AS (SELECT term,
-           |            CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-           |                       * 1000000.0 + 0.5) AS BIGINT) AS lp
-           |          FROM (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term)
-           |          CROSS JOIN tot),
-           |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-           |              CAST(SUM(lp) AS BIGINT) AS sum_lp
-           |       FROM occ JOIN model USING (term) GROUP BY doc_id),
-           |sc2 AS (SELECT doc_id, CAST(-sum_lp AS DOUBLE) / 1000000.0
-           |          / CAST(n_tokens AS DOUBLE) AS nll FROM sc)
+        s"""WITH $unigramNllCtes
            |SELECT s.doc_id, d.lang, s.nll,
            |  CAST(NTILE(3) OVER (PARTITION BY d.lang
            |    ORDER BY s.nll, s.doc_id) AS INT) AS bucket

@@ -25,7 +25,7 @@ import graft.functions.TextFunctions
   *
   * Everything is exact integer arithmetic (token counts, cumulative sums,
   * integer div/mod), so the mapping replays bitwise in any engine — the
-  * q47 oracle recomputes it in DuckDB from the same tokenization.
+  * t12 oracle recomputes it in DuckDB from the same tokenization.
   */
 object Packing {
 

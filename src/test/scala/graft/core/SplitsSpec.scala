@@ -76,4 +76,18 @@ class SplitsSpec extends SparkSpec {
       S.temperatureSample(docs, "id", "lang").select("id")
         .as[Long].collect().toSet
   }
+
+  it should "clamp extreme-skew rates to 1‰ instead of flooring to zero" in {
+    // halvings=0, counts 2000 vs 1: raw rate floor(1000/2000) = 0 → clamp 1
+    val docs = ((1L to 2000L).map(i => (i, "big")) :+ (9999L -> "tiny"))
+      .toDF("id", "lang")
+    val kept = S.temperatureSample(docs, "id", "lang", halvings = 0)
+      .select("id").as[Long].collect().toSet
+    // exactly the survivors a literal 1‰/1000‰ stratified sample keeps
+    val expect = S.stratifiedSample(docs, "id", "lang",
+        Map("big" -> 1), defaultPermille = 1000)
+      .select("id").as[Long].collect().toSet
+    kept shouldBe expect
+    kept should contain(9999L)
+  }
 }
