@@ -52,6 +52,91 @@ object NearDup {
       .drop("__fp")
   }
 
+  /** Cross-corpus LSH candidates for incremental ingest: (new_id, seen_id)
+    * pairs where an incoming document shares at least one LSH band bucket
+    * with a document of the seen corpus.
+    *
+    * The seen side is the PERSISTED signature table (id, mh0..mh{k-1}) — k
+    * longs per historical document, exactly what `minhashSignatures` emits
+    * and what a continuously-fed pipeline keeps between ingests. At 100 TB
+    * the daily re-cluster this replaces would recompute signatures for the
+    * whole corpus; here the only per-ingest work proportional to corpus
+    * size is one band-key explode over the signature table (k longs/doc in,
+    * bands (8+8)-byte rows out), and the join shuffles band keys, never
+    * text. `maxBucketSize` drops seen-side buckets larger than the cap
+    * (boilerplate that matches everything — the same quadratic-blowup
+    * guard as `minhashCandidates`; 0 disables).
+    */
+  def incrementalMinhashCandidates(incomingSig: DataFrame,
+      seenSig: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bkNew = bandKeys(incomingSig, numHashes, bands)
+    val bkSeen0 = bandKeys(seenSig, numHashes, bands)
+    val bkSeen =
+      if (maxBucketSize <= 0) bkSeen0
+      else {
+        val ok = bkSeen0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .drop("bucket_n")
+        bkSeen0.join(ok, Seq("band", "bkey"))
+      }
+    bkNew.select(col("band"), col("bkey"), col("id").as("new_id"))
+      .join(bkSeen.select(col("band"), col("bkey"), col("id").as("seen_id")),
+        Seq("band", "bkey"))
+      .select("new_id", "seen_id").distinct()
+  }
+
+  /** Incremental NEAR-dup (MinHash) ingest: the d14 exact-fingerprint
+    * discipline extended to the MinHash family. An incoming document is
+    * dropped iff
+    *  (a) it exact-Jaccard-verifies (≥ threshold) against a seen document
+    *      it shares an LSH bucket with, or
+    *  (b) it verifies against a SMALLER-id incoming document (greedy
+    *      keep-min within the batch — NOT the transitive closure; a chain
+    *      a~b, b~c drops both b and c even though a~c was never verified.
+    *      Use `Components.nearDupClusters` when closure semantics are
+    *      wanted; greedy is deterministic and oracle-replayable).
+    *
+    * `seenSignatures` is the persisted (id, mh0..mh{k-1}) table from the
+    * previous ingest, in `minhashSignatures` output shape (None recomputes
+    * it from `seen` text — a small-scale convenience that forfeits the
+    * incremental saving). Exact verification
+    * of cross pairs still needs seen TEXT, but only for candidate ids: the
+    * seen frame is semi-joined down to candidates before shingling, so the
+    * full corpus is never re-tokenized.
+    */
+  def incrementalMinhashDedup(incoming: DataFrame, idCol: String,
+      textCol: String, seen: DataFrame, seenIdCol: String,
+      seenTextCol: String, seenSignatures: Option[DataFrame] = None,
+      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+    val sigNew = minhashSignatures(incoming, idCol, textCol, n, numHashes)
+    val sigSeen = seenSignatures.getOrElse(
+      minhashSignatures(seen, seenIdCol, seenTextCol, n, numHashes))
+    val crossCand = incrementalMinhashCandidates(
+      sigNew, sigSeen, numHashes, bands, maxBucketSize)
+    val setsNew = shingleSets(incoming, idCol, textCol, n)
+    val candSeenIds = crossCand.select(col("seen_id").as(seenIdCol)).distinct()
+    val setsSeen = shingleSets(
+      seen.join(candSeenIds, Seq(seenIdCol), "left_semi"),
+      seenIdCol, seenTextCol, n)
+    val crossHit = crossCand
+      .join(setsNew.select(col("id").as("new_id"),
+        col("shingle_set").as("set_a")), "new_id")
+      .join(setsSeen.select(col("id").as("seen_id"),
+        col("shingle_set").as("set_b")), "seen_id")
+      .filter(jaccard(col("set_a"), col("set_b")) >= threshold)
+      .select("new_id").distinct()
+    val withinHit = verifyPairs(
+        minhashCandidates(sigNew, numHashes, bands, maxBucketSize),
+        setsNew, threshold)
+      .select(col("id_b").as("new_id")).distinct()
+    incoming.join(
+      crossHit.union(withinHit).distinct().withColumnRenamed("new_id", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** (id, shingle_set) — the unit table for Jaccard-style dedup.
     * Tokens are materialized in their own projection before shingling:
     * HOF lambdas re-evaluate inline argument expressions per element, so

@@ -77,6 +77,50 @@ object PipelineQueries {
     """CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
       |  / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))""".stripMargin
 
+  /** Shared d11/d16 oracle — IVF probe → int8 quantize → exact integer
+    * rerank, replayed stage by stage in DuckDB. ONE copy on purpose: d16
+    * is d11 routed through the cid-partitioned tinyint storage layout,
+    * which is lossless by construction, so the two gates MUST share the
+    * oracle or a drift between hand-kept copies would break the claim.
+    */
+  private val ivfQuantizedOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+      |                v AS cv, list_dot_product(v, v) AS cnorm
+      |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+      |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+      |asn AS (SELECT vec_id, v, cid FROM (
+      |          SELECT e.vec_id, e.v, cent.cid,
+      |                 row_number() OVER (PARTITION BY e.vec_id
+      |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+      |                            cent.cid) AS rn
+      |          FROM e, cent) WHERE rn = 1),
+      |qz AS (SELECT vec_id, cid,
+      |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+      |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
+      |         END AS qv
+      |       FROM (SELECT vec_id, cid, v,
+      |               list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+      |                 (acc, x) -> greatest(acc, x)) AS amax
+      |             FROM asn)),
+      |n AS (SELECT vec_id, cid, qv,
+      |        sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+      |prb AS (SELECT qid, cid FROM (
+      |          SELECT q.vec_id AS qid, cent.cid,
+      |                 row_number() OVER (PARTITION BY q.vec_id
+      |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+      |                            cent.cid) AS rn
+      |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+      |sc AS (SELECT prb.qid, a.vec_id AS nid,
+      |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
+      |       FROM prb JOIN n a ON prb.cid = a.cid
+      |                JOIN n qq ON qq.vec_id = prb.qid
+      |       WHERE prb.qid <> a.vec_id),
+      |r AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      |      FROM sc)
+      |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** Fixed probe query for the t06 BM25 gate (distinct lowercase tokens). */
   val Bm25QueryTerms: Seq[String] =
     Seq("query", "vector", "stream", "merge", "filter", "spark")
@@ -230,43 +274,35 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      Some(
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
-          |                v AS cv, list_dot_product(v, v) AS cnorm
-          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
-          |asn AS (SELECT vec_id, v, cid FROM (
-          |          SELECT e.vec_id, e.v, cent.cid,
-          |                 row_number() OVER (PARTITION BY e.vec_id
-          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
-          |                            cent.cid) AS rn
-          |          FROM e, cent) WHERE rn = 1),
-          |qz AS (SELECT vec_id, cid,
-          |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
-          |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
-          |         END AS qv
-          |       FROM (SELECT vec_id, cid, v,
-          |               list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
-          |                 (acc, x) -> greatest(acc, x)) AS amax
-          |             FROM asn)),
-          |n AS (SELECT vec_id, cid, qv,
-          |        sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
-          |prb AS (SELECT qid, cid FROM (
-          |          SELECT q.vec_id AS qid, cent.cid,
-          |                 row_number() OVER (PARTITION BY q.vec_id
-          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
-          |                            cent.cid) AS rn
-          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
-          |sc AS (SELECT prb.qid, a.vec_id AS nid,
-          |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
-          |       FROM prb JOIN n a ON prb.cid = a.cid
-          |                JOIN n qq ON qq.vec_id = prb.qid
-          |       WHERE prb.qid <> a.vec_id),
-          |r AS (SELECT qid, nid,
-          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
-          |      FROM sc)
-          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(ivfQuantizedOracle)),
+
+    // The SAME composed configuration as d11, but through the STORAGE
+    // path: writeIvfQuantized persists the corpus partitioned by cell id
+    // with array<tinyint> vectors, searchIvfQuantized reads back ONLY the
+    // probed cells (partition-pruned) and casts tinyint → the exact
+    // integral doubles the rerank expects. The roundtrip is lossless by
+    // construction, so the oracle is d11's verbatim — which is the point:
+    // the actual 100 TB read path (nprobe/nlist of the files at 1/4 the
+    // bytes) now has its own end-to-end oracle gate, not just
+    // QuantizeSpec's storage-parity assert.
+    GateQuery(
+      "d16_ann_ivf_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d16_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Quantize.writeIvfQuantized(assigned, path)
+        graft.similarity.Quantize.searchIvfQuantized(path,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracle)),
 
     // MinHash + banded LSH near-dup detection, LSH candidates verified by
     // exact shingle Jaccard — finds the corpus's planted near-dup pairs.
@@ -1122,6 +1158,80 @@ object PipelineQueries {
            |seen AS (SELECT DISTINCT ${polyHashSqlFp} AS fp
            |         FROM documents WHERE doc_id % 2 = 0)
            |SELECT doc_id, lang, source FROM inc
-           |ANTI JOIN seen USING (fp) ORDER BY doc_id""".stripMargin))
+           |ANTI JOIN seen USING (fp) ORDER BY doc_id""".stripMargin)),
+
+    // Incremental NEAR-dup ingest: the d14 split (odd = incoming crawl,
+    // even = seen corpus), but matching on MinHash band buckets verified by
+    // exact shingle Jaccard instead of exact fingerprints — the daily-
+    // ingest form of d02. An incoming doc survives iff it verifies against
+    // neither a seen doc nor a smaller-id incoming doc (greedy keep-min;
+    // the closure variant is d12). The oracle replays every stage —
+    // signatures, band keys, cross + within candidates, Jaccard verify —
+    // in DuckDB from the same hash constants.
+    GateQuery(
+      "d15_incremental_minhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.NearDup.incrementalMinhashDedup(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            n = 3, numHashes = 8, bands = 4, threshold = 0.8)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |ibk AS (SELECT * FROM bk WHERE doc_id % 2 = 1),
+           |sbk AS (SELECT * FROM bk WHERE doc_id % 2 = 0),
+           |xc AS (SELECT DISTINCT i.doc_id AS id_a, s.doc_id AS id_b
+           |       FROM ibk i JOIN sbk s ON i.band = s.band AND i.bkey = s.bkey),
+           |xh AS (SELECT DISTINCT id_a AS nid
+           |       FROM xc JOIN sets sa ON xc.id_a = sa.doc_id
+           |               JOIN sets sb ON xc.id_b = sb.doc_id
+           |       WHERE $jaccardSql >= 0.8),
+           |nc AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM ibk a JOIN ibk b ON a.band = b.band AND a.bkey = b.bkey
+           |            AND a.doc_id < b.doc_id),
+           |nh AS (SELECT DISTINCT id_b AS nid
+           |       FROM nc JOIN sets sa ON nc.id_a = sa.doc_id
+           |               JOIN sets sb ON nc.id_b = sb.doc_id
+           |       WHERE $jaccardSql >= 0.8)
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id % 2 = 1
+           |  AND doc_id NOT IN (SELECT nid FROM xh)
+           |  AND doc_id NOT IN (SELECT nid FROM nh)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Misra-Gries heavy-hitter sketch (graft_freq) in its EXACT regime:
+    // with distinct items ≤ m the summary never decrements, so every
+    // estimate is the true count and err = 0 — deterministically, for any
+    // partitioning / merge order. The gate groups by source so each group
+    // runs its own partial buffers through map-side combine + merge, and a
+    // plain DuckDB GROUP BY is the oracle. FreqSketchSpec pins the
+    // approximate regime (bounds, merge, 1/4/13 partitions).
+    GateQuery(
+      "t20_freq_sketch",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(expr("graft_freq(lang, 64)").as("fs"))
+          .select(col("source"), explode(col("fs")).as("f"))
+          .select(col("source"), col("f.item").as("item"),
+            col("f.est").as("est"), col("f.err").as("err"))
+          .orderBy(col("source"), desc("est"), col("item")),
+      Some(
+        """SELECT source, lang AS item, COUNT(*) AS est,
+          |       CAST(0 AS BIGINT) AS err
+          |FROM documents GROUP BY source, lang
+          |ORDER BY source, est DESC, item""".stripMargin))
   )
 }

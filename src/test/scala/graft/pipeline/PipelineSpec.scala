@@ -73,6 +73,27 @@ class PipelineSpec extends SparkSpec {
     out.select("doc_id").as[Long].collect().sorted shouldBe Seq(11L, 12L)
   }
 
+  it should "drop incoming near-dups of seen docs and within-batch (greedy)" in {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val seen = docs(2L -> base, 4L -> "seen corpus text unlike anything else")
+    val incoming = docs(
+      11L -> (base + " extra"),                      // near-dup of seen 2
+      13L -> "genuinely fresh incoming document with new words entirely",
+      15L -> "genuinely fresh incoming document with new words entirely yes",
+      17L -> "totally distinct third incoming doc nothing shared with others")
+    def run(sig: Option[org.apache.spark.sql.DataFrame]) =
+      NearDup.incrementalMinhashDedup(incoming, "doc_id", "text",
+          seen, "doc_id", "text", seenSignatures = sig, threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val recomputed = run(None)
+    // 11 drops (cross hit vs seen 2); 15 drops (within-batch vs 13, greedy
+    // keep-min); 13 and 17 survive.
+    recomputed shouldBe Seq(13L, 17L)
+    // the persisted-signature path (what a real ingest uses) is identical
+    val persisted = NearDup.minhashSignatures(seen, "doc_id", "text")
+    run(Some(persisted)) shouldBe recomputed
+  }
+
   behavior of "Ann"
 
   it should "rank exact cosine neighbors correctly" in {
