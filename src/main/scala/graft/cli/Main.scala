@@ -478,13 +478,12 @@ object Main {
           salt = o.getOrElse("salt", ""))
         val out =
           if (o.contains("val-permille") || o.contains("test-permille"))
-            // a DISTINCT salt: with the same salt the split would reuse
-            // the exact hash bucket that decided sampling survival, so
-            // survivors of a damped stratum (bucket < rate) would land in
-            // val/test at rate/1000-inflated odds — independent hashes
-            // keep the split fractions honest per stratum
+            // assign domain-separates its hash from temperatureSample's
+            // internally (Splits.SplitDomain), so passing the same salt
+            // here is safe — survivors of a damped stratum still split
+            // at honest per-stratum fractions
             graft.core.Splits.assign(mixed, idCol,
-              salt = o.getOrElse("salt", "") + "/split",
+              salt = o.getOrElse("salt", ""),
               valPermille = o.getOrElse("val-permille", "10").toInt,
               testPermille = o.getOrElse("test-permille", "10").toInt)
           else mixed

@@ -17,6 +17,12 @@ import graft.functions.TextFunctions.polyHash
   */
 object Splits {
 
+  /** Internal salt suffix that separates `assign`'s hash domain from the
+    * sampling functions' (see `assign` scaladoc). Public so external
+    * replays (oracles, other engines) can reproduce the split.
+    */
+  val SplitDomain: String = "/split"
+
   /** Permille bucket in [0, 1000) from the rolling hash of the id
     * rendered as a string plus the salt (change the salt → an independent
     * re-split). The rolling hash is passed through one LCG permute step
@@ -32,13 +38,22 @@ object Splits {
   /** Adds `split_bucket` (permille) and `split` ∈ {train, val, test}.
     * test takes buckets [0, testPermille), val the next valPermille
     * buckets, train the rest.
+    *
+    * The hash is DOMAIN-SEPARATED from the sampling functions: assign
+    * internally suffixes the salt with [[SplitDomain]], so sampling with
+    * `stratifiedSample`/`temperatureSample` and then splitting with the
+    * SAME salt (the natural call) draws two independent hashes. Without
+    * the separation, survivors of a stratum damped to rate r all have
+    * bucket < r, so any stratum with r ≤ testPermille+valPermille would
+    * land entirely in val/test with zero train rows. An engine replaying
+    * the split (the t09 oracle) must append the same suffix.
     */
   def assign(df: DataFrame, idCol: String, salt: String = "",
       valPermille: Int = 10, testPermille: Int = 10): DataFrame = {
     require(valPermille >= 0 && testPermille >= 0 &&
       valPermille + testPermille <= 1000,
       "val/test permille must be non-negative and sum to at most 1000")
-    val b = bucket(col(idCol), salt)
+    val b = bucket(col(idCol), salt + SplitDomain)
     df.withColumn("split_bucket", b)
       .withColumn("split",
         when(col("split_bucket") < testPermille, "test")

@@ -164,14 +164,72 @@ object Components {
         (col(idCol) === col("cluster_id")).cast("int").as("keep"))
   }
 
+  /** Deterministic dense long ids for an ARBITRARY id column — the
+    * documented remedy for `connectedComponents`' integral-id requirement
+    * (string doc ids are the norm in crawl data), also usable ahead of
+    * [[graft.graph.PageRank]]. Output: (idCol, nid) with nid = 0..n−1 in
+    * the id column's natural sort order.
+    *
+    * Distributed and deterministic: range-repartition + sort-within-
+    * partitions gives a total order, and zipWithIndex numbers it without
+    * ever collecting or single-partitioning (the naive row_number over a
+    * global ORDER BY window funnels every id through ONE task). Because
+    * the numbering is monotone in the id's natural order, min-nid
+    * semantics downstream (cluster keep-ids) translate back to "minimum
+    * original id".
+    */
+  def denseIdMap(df: DataFrame, idCol: String,
+      outCol: String = "nid"): DataFrame = {
+    require(idCol != outCol, s"idCol and outCol are both '$idCol'")
+    val spark = df.sparkSession
+    val distinct = df.select(col(idCol)).filter(col(idCol).isNotNull)
+      .distinct()
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      distinct.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = distinct.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Full near-dup cluster assignment for a document frame: MinHash LSH
     * pairs → connected components → keep-one labelling (labelClusters).
+    *
+    * Non-integral id columns (string doc ids) are handled transparently:
+    * ids pass through `denseIdMap`, the clustering runs on dense longs,
+    * and the output carries the ORIGINAL ids — cluster_id is the
+    * cluster's minimum original id (numbering is monotone in the id's
+    * natural order), so `keep` marks the same rows a pre-mapped caller
+    * would get.
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
-    val pairs = NearDup.minhashNearDuplicates(df, idCol, textCol, n,
-      numHashes, bands, threshold, maxBucketSize)
-    labelClusters(df, idCol, connectedComponents(pairs, "id_a", "id_b"))
+    import org.apache.spark.sql.types._
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(df.schema(idCol).dataType)
+    if (integral) {
+      val pairs = NearDup.minhashNearDuplicates(df, idCol, textCol, n,
+        numHashes, bands, threshold, maxBucketSize)
+      labelClusters(df, idCol, connectedComponents(pairs, "id_a", "id_b"))
+    } else {
+      require(!df.columns.contains("__nid"),
+        "input already has a '__nid' column (reserved)")
+      val idMap = denseIdMap(df, idCol, "__nid")
+      val remapped = df.join(idMap, Seq(idCol))
+      val pairs = NearDup.minhashNearDuplicates(remapped, "__nid", textCol,
+        n, numHashes, bands, threshold, maxBucketSize)
+      val labelled = labelClusters(remapped.select(col("__nid")), "__nid",
+        connectedComponents(pairs, "id_a", "id_b"))
+      labelled
+        .join(idMap, Seq("__nid"))
+        .join(idMap.select(col(idCol).as("__cluster_orig"),
+          col("__nid").as("cluster_id")), Seq("cluster_id"))
+        .select(col(idCol), col("__cluster_orig").as("cluster_id"),
+          col("cluster_size"), col("keep"))
+    }
   }
 }

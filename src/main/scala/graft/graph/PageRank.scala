@@ -22,7 +22,9 @@ import org.apache.spark.storage.StorageLevel
   * out-degree-annotated edge list plus one map-side-combinable inflow
   * aggregation — both shuffle on the node key, so AQE reuses the
   * partitioning; the iteration count is fixed and small. Nodes with no
-  * out-edges simply leak their mass (documented dangling policy).
+  * out-edges leak their mass by default; `redistributeDangling = true`
+  * shares it uniformly instead (the standard formulation), at the cost
+  * of one scalar aggregate per iteration.
   */
 object PageRank {
 
@@ -41,8 +43,16 @@ object PageRank {
     */
   val MaxBroadcastNodes: Long = 1000000L
 
+  /** @param redistributeDangling when true, each iteration adds one
+    *   scalar aggregate (the total rank of nodes with no out-edges,
+    *   broadcast as a 1-row frame) and shares it equally across all
+    *   nodes — the standard formulation, making ranks comparable across
+    *   graphs with different dangling fractions. Default false: mass
+    *   simply leaks (cheaper; ranking ORDER within a graph is identical
+    *   when dangling mass is shared uniformly anyway).
+    */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int, redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]: $iterations")
     // null endpoints would silently strand rank mass (a null key matches
@@ -59,6 +69,8 @@ object PageRank {
     require(n > 0, "PageRank needs at least one non-null edge " +
       "(empty or all-null edge list yields no nodes)")
     val base = (15L * (Scale / n)) / 100L
+    // nodes that source at least one edge — dangling = NOT IN this set
+    val srcNodes = withDeg.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(Scale / n))
     (1 to iterations).foreach { _ =>
       val rankSide = if (n <= MaxBroadcastNodes) broadcast(ranks) else ranks
@@ -67,15 +79,35 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("r div outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr("85 * coalesce(inflow, 0L) div 100")).as("r"))
+      ranks =
+        if (redistributeDangling) {
+          // total dangling rank as a 1-row broadcast; each node receives
+          // the same integer share (div n — the remainder vanishes
+          // deterministically, like every other fixed-point rounding here)
+          val dangling = ranks.join(srcNodes, Seq("node"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).as("__dang"))
+          nodes
+            .join(inflow, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + expr(
+                s"85 * (coalesce(inflow, 0L) + __dang div $n) div 100"))
+                .as("r"))
+        } else nodes
+          .join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr("85 * coalesce(inflow, 0L) div 100")).as("r"))
     }
-    // nodes/withDeg stay cached: the returned plan re-reads both (the
-    // caller's single action materializes everything once, then the
-    // session's cache lifecycle — Verify.clearCache — releases them)
-    ranks.select(col("node"), col("r").as("rank_micro"))
+    // Materialize the result OFF the cached frames (localCheckpoint
+    // truncates lineage eagerly), then release them: a long-lived
+    // application calling the library repeatedly must not accumulate
+    // cached edge lists across calls (sized for the caller's graph, they
+    // can be large).
+    val out = ranks.select(col("node"), col("r").as("rank_micro"))
+      .localCheckpoint(true)
+    nodes.unpersist(false)
+    withDeg.unpersist(false)
+    out
   }
 }

@@ -34,7 +34,10 @@ object Anomaly {
       .orderBy(ordCols.map(col): _*)
       .rowsBetween(-lookback, -1)
     val xDec = col(valueCol).cast(DecimalType(18, 2))
-    val n = count(lit(1)).over(w)
+    // count the VALUE column, not rows: the Σx/Σx² sums skip NULLs, so a
+    // row count would deflate mean/variance (divide by too-large n) and
+    // bias z toward 0, silently suppressing anomalies after gaps
+    val n = count(xDec).over(w)
     val sx = sum(xDec).over(w)
     val sx2 = sum(xDec * xDec).over(w)
     val nD = col("__n").cast("double")

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * blocks stay small; a skewed block behaves like any skewed join key and
   * AQE's skew-join splitting applies). Standard recall trade-off of
   * prefix blocking: pairs that differ inside the first blockLen
-  * characters are not candidates — choose the block from a stable region
-  * of the key, or union several blocking passes (e.g. prefix + suffix)
-  * for higher recall, exactly as in classical record-linkage practice.
+  * characters are not candidates — `blockedMultiPass` unions several
+  * blocking passes (default prefix + suffix, deduplicated before
+  * verification) for higher recall, exactly as in classical
+  * record-linkage practice.
   */
 object FuzzyJoin {
 
@@ -33,9 +34,33 @@ object FuzzyJoin {
     */
   def blockedByPrefix(left: DataFrame, leftCol: String,
       right: DataFrame, rightCol: String,
-      maxDist: Int, blockLen: Int): DataFrame = {
+      maxDist: Int, blockLen: Int): DataFrame =
+    blockedMultiPass(left, leftCol, right, rightCol, maxDist, blockLen,
+      passes = Seq(prefixBlock(blockLen)))
+
+  /** Higher-recall variant: candidates from the UNION of several blocking
+    * passes (default prefix + suffix — the classical record-linkage
+    * remedy), deduplicated BEFORE the levenshtein verification so each
+    * candidate pair pays the edit distance once no matter how many passes
+    * surface it. A pair is still missed only if it disagrees within the
+    * first `blockLen` characters AND the last `blockLen` characters —
+    * with maxDist edits total, choosing blockLen > maxDist guarantees at
+    * least one untouched block for single-sided edit clusters; truly
+    * adversarial pairs need a domain-stable key instead.
+    *
+    * Each pass is one hash equi-join; P passes = P joins + one distinct —
+    * still linear in corpus size, P× the shuffle of the single pass.
+    */
+  def blockedMultiPass(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String,
+      maxDist: Int, blockLen: Int,
+      passes: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq.empty)
+      : DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(blockLen > 0, "blockLen must be positive")
+    val blocks =
+      if (passes.nonEmpty) passes
+      else Seq(prefixBlock(blockLen), suffixBlock(blockLen))
     val rightOut =
       if (rightCol == leftCol || left.columns.contains(rightCol))
         rightCol + "_right"
@@ -45,11 +70,24 @@ object FuzzyJoin {
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} exist on both sides — " +
         "rename before joining (only the match column is auto-renamed)")
-    val l = left.withColumn("__blk", substring(col(leftCol), 1, blockLen))
-    val r = r0.withColumn("__blk", substring(col(rightOut), 1, blockLen))
-    l.join(r, Seq("__blk"))
+    val candidates = blocks.map { blk =>
+      val l = left.withColumn("__blk", blk(col(leftCol)))
+      val r = r0.withColumn("__blk", blk(col(rightOut)))
+      l.join(r, Seq("__blk")).drop("__blk")
+    }.reduce(_ unionByName _)
+    val deduped =
+      if (blocks.size == 1) candidates // single pass can't duplicate
+      else candidates.distinct()
+    deduped
       .withColumn("edit_dist", levenshtein(col(leftCol), col(rightOut)))
       .filter(col("edit_dist") <= maxDist)
-      .drop("__blk")
   }
+
+  private def prefixBlock(blockLen: Int)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => substring(c, 1, blockLen)
+
+  private def suffixBlock(blockLen: Int)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => substring(c, -blockLen, blockLen)
 }

@@ -847,7 +847,9 @@ object PipelineQueries {
             salt = "r7", valPermille = 100, testPermille = 100)
           .orderBy("doc_id"),
       Some {
-        val bkt = s"((${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7'")}" +
+        // 'r7/split': assign domain-separates its hash from the sampling
+        // functions by suffixing Splits.SplitDomain internally
+        val bkt = s"((${polyHashSql("CAST(doc_id AS VARCHAR) || 'r7/split'")}" +
           s" * 1103515245 + 12345) % $HashMod) % 1000"
         s"""SELECT doc_id,
            |  $bkt AS split_bucket,
@@ -1210,6 +1212,55 @@ object PipelineQueries {
            |  AND doc_id NOT IN (SELECT nid FROM nh)
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // Incremental SEMANTIC ingest — d14 (exact) and d15 (MinHash)
+    // completed for the embedding family: even vec_ids are the seen
+    // corpus, odd the incoming batch; the IVF model is trained on the
+    // SEEN side only (the persisted-index setup), incoming vectors are
+    // dropped on a within-cell cosine hit against a seen vector or a
+    // smaller-id incoming one (greedy, as d15). The oracle replays
+    // centroids, both assignments, and both hit sets.
+    GateQuery(
+      "d17_incremental_semdedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val seen = e.filter(col("vec_id") % 2 === 0)
+        val model = graft.similarity.Ivf.sampleCentroids(
+          seen, "vec_id", "embedding", nlist = 8)
+        graft.similarity.SemDedup.incrementalSemanticDedup(
+            e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+            seen, "vec_id", "embedding", model, threshold = 0.4)
+          .select("vec_id")
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e WHERE vec_id % 2 = 0 ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, v, cid,
+          |               sqrt(list_dot_product(v, v)) AS nrm FROM (
+          |          SELECT e.vec_id, e.v, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |inc AS (SELECT * FROM asn WHERE vec_id % 2 = 1),
+          |sn  AS (SELECT * FROM asn WHERE vec_id % 2 = 0),
+          |xh AS (SELECT DISTINCT i.vec_id AS nid
+          |       FROM inc i JOIN sn s ON i.cid = s.cid
+          |       WHERE i.nrm * s.nrm > 0
+          |         AND list_dot_product(i.v, s.v) / (i.nrm * s.nrm) >= 0.4),
+          |nh AS (SELECT DISTINCT b.vec_id AS nid
+          |       FROM inc a JOIN inc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |       WHERE a.nrm * b.nrm > 0
+          |         AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+          |SELECT vec_id FROM e
+          |WHERE vec_id % 2 = 1
+          |  AND vec_id NOT IN (SELECT nid FROM xh)
+          |  AND vec_id NOT IN (SELECT nid FROM nh)
+          |ORDER BY vec_id""".stripMargin)),
 
     // Misra-Gries heavy-hitter sketch (graft_freq) in its EXACT regime:
     // with distinct items ≤ m the summary never decrements, so every

@@ -488,7 +488,7 @@ object RelationalExt {
         WITH ev AS (SELECT event_type, ts, event_id, value FROM events
                     WHERE event_id % 37 = 0),
         wn AS (SELECT event_type, ts, value,
-                 COUNT(*) OVER w AS n,
+                 COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS n,
                  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
                  CAST(SUM(CAST(value AS DECIMAL(18,2))
                           * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx2
@@ -530,6 +530,90 @@ object RelationalExt {
                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS rolling_median
         FROM events WHERE event_id % 37 = 0
         ORDER BY event_type, ts_us""")),
+
+    // q42's smoothing through the CHUNKED fold — Ewma.latestChunked is
+    // the unbounded-series form (fixed-size chunks, level carried across
+    // chunks by the same recurrence). Bit-identical to latest by
+    // construction (the op sequence is the same stepwise one), so the
+    // oracle is q42's shape verbatim; chunkSize = 256 makes the ~700-point
+    // gap-filled series genuinely span multiple chunks at every SF.
+    GateQuery(
+      "q49_ewma_chunked",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+        val filled = graft.operators.GapFill.carryForwardResample(
+          ev, "event_type", "ts", "value", unit = "hour")
+        graft.operators.Ewma.latestChunked(filled, "event_type", "bucket",
+            "value_sum", alpha = 0.2, chunkSize = 256)
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, date_trunc('hour', ts) AS b, value
+          FROM events WHERE event_id % 37 = 0),
+        agg AS (
+          SELECT event_type, b, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+          FROM ev GROUP BY event_type, b),
+        rng AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+                FROM agg GROUP BY event_type),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                 FROM rng),
+        j AS (SELECT g.event_type, g.b, a.vs
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.b = a.b),
+        f AS (SELECT event_type, b,
+                     last_value(vs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_sum
+              FROM j)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               list_reduce(list(value_sum ORDER BY b),
+                 (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                             + CAST(0.8 AS DOUBLE) * acc) AS ewma
+        FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // q39's blocking with the multi-pass (prefix ∪ suffix) candidate
+    // union: probes corrupt the FIRST character — invisible to prefix
+    // blocking, recovered by the suffix pass — while remaining matchable
+    // by edit distance 1. The oracle replays both blocked joins, the
+    // candidate dedup, and the levenshtein verification.
+    GateQuery(
+      "q50_fuzzy_multipass",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val probes = c.filter(col("c_custkey") % 10 === 0)
+          .select(concat(lit("X"),
+            substring(col("c_name"), 2, 100)).as("probe"))
+        graft.operators.FuzzyJoin.blockedMultiPass(
+            probes, "probe", c.select(col("c_name")), "c_name",
+            maxDist = 1, blockLen = 8)
+          .groupBy("probe")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("c_name")).as("first_match"))
+          .orderBy("probe")
+      },
+      Some("""
+        WITH probes AS (
+          SELECT 'X' || substr(c_name, 2) AS probe FROM customer
+          WHERE c_custkey % 10 = 0),
+        cand AS (
+          SELECT p.probe, c.c_name
+          FROM probes p JOIN customer c
+            ON substr(p.probe, 1, 8) = substr(c.c_name, 1, 8)
+          UNION
+          SELECT p.probe, c.c_name
+          FROM probes p JOIN customer c
+            ON right(p.probe, 8) = right(c.c_name, 8)),
+        v AS (SELECT probe, c_name,
+                     levenshtein(probe, c_name) AS edit_dist
+              FROM cand)
+        SELECT probe, COUNT(*) AS n_matches, MIN(c_name) AS first_match
+        FROM v WHERE edit_dist <= 1
+        GROUP BY probe ORDER BY probe""")),
 
     // First-order Markov transition matrix: one lead window per user
     // (single exchange, no rank self-join), tiny (from,to) count matrix,

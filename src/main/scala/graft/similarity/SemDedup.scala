@@ -73,4 +73,62 @@ object SemDedup {
     Components.labelClusters(df, idCol,
       Components.connectedComponents(pairs, "id_a", "id_b"))
   }
+
+  /** Incremental-ingest SEMANTIC dedup — the d14/d15 discipline for the
+    * embedding family, completing the set (exact d14, MinHash d15,
+    * semantic here): an incoming document is dropped iff
+    *  (a) its vector is cosine-similar (≥ threshold) to a SEEN vector in
+    *      the same IVF cell of the seen corpus' persisted `model`, or
+    *  (b) it is similar to a SMALLER-id incoming vector within a cell
+    *      (greedy keep-min within the batch, exactly d15's rule — NOT the
+    *      transitive closure; `semanticDedup` is the closure form).
+    *
+    * The model is the PERSISTED index trained on the seen corpus — cell
+    * assignment of the incoming batch is map-only over broadcast
+    * centroids, and the seen side is first cell-pruned to the cells the
+    * batch actually occupies (a tiny distinct-cid broadcast), so a small
+    * ingest against a 100 TB corpus touches only the matching cells'
+    * vectors — the same partition-pruning story as the d16 storage path.
+    * `maxCellSize` caps a hot SEEN cell (skipped, not exploded), as in
+    * `semanticPairs`.
+    */
+  def incrementalSemanticDedup(incoming: DataFrame, idCol: String,
+      vecCol: String, seen: DataFrame, seenIdCol: String,
+      seenVecCol: String, model: Ivf.Model, threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
+    val inc = Ivf.assign(incoming, idCol, vecCol, model)
+      .withColumn("nrm", Ann.l2norm(col("vec")))
+    val incCells = inc.select("cid").distinct()
+    val seenAsn0 = Ivf.assign(seen, seenIdCol, seenVecCol, model)
+      .join(broadcast(incCells), Seq("cid"))
+      .withColumn("nrm", Ann.l2norm(col("vec")))
+    val seenAsn =
+      if (maxCellSize <= 0) seenAsn0
+      else {
+        val ok = seenAsn0.groupBy("cid").agg(count(lit(1)).as("cell_n"))
+          .filter(col("cell_n") <= maxCellSize).drop("cell_n")
+        seenAsn0.join(ok, Seq("cid"))
+      }
+    def sim(na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column,
+        va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =
+      when(na * nb > 0, Ann.dot(va, vb) / (na * nb))
+    val crossHit = inc.select(col("cid"), col("id").as("new_id"),
+        col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      .join(seenAsn.select(col("cid"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("cid"))
+      .filter(sim(col("nrm_a"), col("nrm_b"),
+        col("vec_a"), col("vec_b")) >= threshold)
+      .select("new_id").distinct()
+    val withinHit = inc.select(col("cid"), col("id").as("id_a"),
+        col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+      .join(inc.select(col("cid"), col("id").as("id_b"),
+        col("vec").as("vec_b"), col("nrm").as("nrm_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        sim(col("nrm_a"), col("nrm_b"),
+          col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("new_id")).distinct()
+    incoming.join(
+      crossHit.union(withinHit).distinct().withColumnRenamed("new_id", idCol),
+      Seq(idCol), "left_anti")
+  }
 }

@@ -30,22 +30,37 @@ object Redact {
   /** Adds `text_redacted` (all rules applied in order) and `n_redactions`
     * (total match count across rules, counted BEFORE that rule's
     * replacement so placeholder tokens are never re-counted).
+    *
+    * Each stage is MATERIALIZED as its own intermediate column: building
+    * one nested expression instead (rule k's count referencing the
+    * accumulated replace chain) re-runs k−1 replaces per count — O(rules²)
+    * regex passes over every row. With named stages each text byte sees
+    * each rule's regex exactly once; CollapseProject leaves the chain
+    * alone because every stage is non-cheap and consumed twice (next
+    * count + next replace). RedactSpec pins the plan to `rules.size`
+    * regexp_replace expressions.
     */
   def scrub(df: DataFrame, textCol: String,
       rules: Seq[(String, String)] = DefaultRules): DataFrame = {
     require(rules.nonEmpty, "at least one redaction rule is required")
-    Seq("text_redacted", "n_redactions").foreach(c =>
-      require(!df.columns.contains(c),
-        s"input already has a '$c' column (reserved by scrub)"))
-    val (redacted, counts) =
-      rules.foldLeft((col(textCol), Seq.empty[Column])) {
-        case ((text, cs), (pattern, replacement)) =>
-          val n = size(matches(text, pattern))
-          (regexp_replace(text, pattern, replacement), cs :+ n)
-      }
-    df.withColumn("text_redacted", redacted)
+    val clash = df.columns.filter(c =>
+      c == "text_redacted" || c == "n_redactions" || c.startsWith("__redact_"))
+    require(clash.isEmpty,
+      s"input columns reserved by scrub: ${clash.mkString(",")}")
+    val staged = rules.zipWithIndex.foldLeft(df) {
+      case (acc, ((pattern, replacement), i)) =>
+        val prev = if (i == 0) col(textCol) else col(s"__redact_${i - 1}")
+        acc.withColumn(s"__redact_cnt_$i", size(matches(prev, pattern)))
+          .withColumn(s"__redact_$i",
+            regexp_replace(prev, pattern, replacement))
+    }
+    staged
+      .withColumn("text_redacted", col(s"__redact_${rules.size - 1}"))
       .withColumn("n_redactions",
-        counts.reduce(_ + _).cast("long"))
+        rules.indices.map(i => col(s"__redact_cnt_$i")).reduce(_ + _)
+          .cast("long"))
+      .drop(rules.indices.flatMap(i =>
+        Seq(s"__redact_$i", s"__redact_cnt_$i")): _*)
   }
 
   private def matches(text: Column, pattern: String): Column =

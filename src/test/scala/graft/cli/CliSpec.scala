@@ -220,6 +220,21 @@ class CliSpec extends SparkSpec {
       Seq(1L)
   }
 
+  it should "curate a corpus with STRING doc ids (crawl-data norm)" in {
+    val in = tmp("curate-str-in"); val out = tmp("curate-str-out")
+    val healthy = "the quick brown fox jumps over a lazy dog " +
+      "while the cat naps in a warm sunny window near the door"
+    Seq(
+      ("crawl/0001", healthy),
+      ("crawl/0002", healthy + " extra"), // near-dup → keep-one drops it
+      ("crawl/0003", "too short a doc")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    dispatch("curate", "input" -> in, "output" -> out,
+      "min-words" -> "10", "jaccard" -> "0.5", "bands" -> "8")
+    spark.read.parquet(out).select("doc_id").as[String].collect().toSeq shouldBe
+      Seq("crawl/0001")
+  }
+
   it should "dispatch pack and transitions" in {
     val in = tmp("pack-in"); val out = tmp("pack-out")
     Seq((1L, "a b c d e"), (2L, "f g h"))

@@ -31,11 +31,31 @@ class SplitsSpec extends SparkSpec {
   }
 
   it should "re-split independently under a different salt" in {
-    val a = S.assign(ids, "id", salt = "a").select("id", "split")
-      .as[(Long, String)].collect().toMap
-    val b = S.assign(ids, "id", salt = "b").select("id", "split")
-      .as[(Long, String)].collect().toMap
+    // compare the full permille buckets, not the coarse 3-way label: with
+    // ~10 expected val/test rows per salt, two salts can (and did, after
+    // the domain-separation suffix shifted the hashes) coincide on the
+    // 3-way map by chance while the underlying buckets are independent
+    val a = S.assign(ids, "id", salt = "a").select("id", "split_bucket")
+      .as[(Long, Long)].collect().toMap
+    val b = S.assign(ids, "id", salt = "b").select("id", "split_bucket")
+      .as[(Long, Long)].collect().toMap
     a should not be b
+  }
+
+  it should "domain-separate assign's hash from the sampling hash" in {
+    // the natural call: sample, then split with the SAME salt. Without
+    // domain separation every survivor of a damped stratum has
+    // bucket < rate, so rate <= test+val permille would leave train EMPTY.
+    val docs = (1L to 2000L).map(i => (i, "big")).toDF("id", "lang")
+    val sampled = S.stratifiedSample(docs, "id", "lang",
+      Map("big" -> 100), defaultPermille = 1000, salt = "s")
+    val splits = S.assign(sampled, "id", salt = "s",
+      valPermille = 50, testPermille = 50)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // survivors (~200) must be dominated by train, not val/test
+    splits.getOrElse("train", 0L) should be > 0L
+    splits.getOrElse("train", 0L).toDouble /
+      splits.values.sum should be > 0.8
   }
 
   it should "sample strata at their own deterministic rates" in {

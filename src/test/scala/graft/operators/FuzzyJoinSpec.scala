@@ -51,6 +51,39 @@ class FuzzyJoinSpec extends SparkSpec {
     ex.getMessage should include("extra")
   }
 
+  "blockedMultiPass" should "recall prefix-divergent pairs via the suffix pass" in {
+    // Xlpha-001 differs from alpha-001 in the first character: invisible
+    // to prefix blocking (the case documented above), caught by suffix
+    val probes = Seq("Xlpha-001", "alpha-00X").toDF("probe")
+    val got = FuzzyJoin.blockedMultiPass(probes, "probe", names, "name",
+      maxDist = 1, blockLen = 6)
+      .select("probe", "name").as[(String, String)].collect().toSet
+    got should contain(("Xlpha-001", "alpha-001"))
+    // and the prefix pass still contributes its pairs
+    got should contain(("alpha-00X", "alpha-001"))
+  }
+
+  it should "match brute force for single-end edits, with deduped candidates" in {
+    // every planted pair differs at ONE end only, so prefix+suffix union
+    // must equal the unblocked brute-force join exactly
+    val l = Seq("grafting-9", "Xrafting-0", "grafting-0").toDF("probe")
+    val r = Seq("grafting-0", "grafting-X").toDF("name")
+    val multi = FuzzyJoin.blockedMultiPass(l, "probe", r, "name",
+      maxDist = 1, blockLen = 4)
+      .select("probe", "name", "edit_dist")
+      .as[(String, String, Int)].collect()
+    val brute = l.crossJoin(r)
+      .withColumn("edit_dist",
+        org.apache.spark.sql.functions.levenshtein(
+          org.apache.spark.sql.functions.col("probe"),
+          org.apache.spark.sql.functions.col("name")))
+      .filter("edit_dist <= 1")
+      .as[(String, String, Int)].collect()
+    // exact-match pairs share BOTH blocks — surfaced twice, verified once
+    multi.length shouldBe multi.toSet.size
+    multi.toSet shouldBe brute.toSet
+  }
+
   it should "emit the edit distance and honor maxDist 0" in {
     val probes = Seq("alpha-001").toDF("probe")
     val got = FuzzyJoin.blockedByPrefix(probes, "probe", names, "name",

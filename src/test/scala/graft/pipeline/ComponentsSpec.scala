@@ -115,4 +115,34 @@ class ComponentsSpec extends SparkSpec {
     got(102L) shouldBe ((100L, 3L, 0))
     got(200L) shouldBe ((200L, 1L, 1))
   }
+
+  it should "cluster STRING doc ids transparently via the dense-id map" in {
+    // same fixture as above, ids as strings (the crawl-data norm the
+    // integral-id require used to push back onto every caller)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      ("crawl/a", base),
+      ("crawl/b", base.replace("tok7", "tokX")),
+      ("crawl/c", base.replace("tok7", "tokX").replace("tok23", "tokY")),
+      ("crawl/z", (1 to 30).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Components.nearDupClusters(docs, "doc_id", "text",
+      bands = 8, threshold = 0.5)
+      .as[(String, String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // cluster_id is the minimum ORIGINAL id (numbering is order-monotone)
+    got("crawl/a") shouldBe (("crawl/a", 3L, 1))
+    got("crawl/b") shouldBe (("crawl/a", 3L, 0))
+    got("crawl/c") shouldBe (("crawl/a", 3L, 0))
+    got("crawl/z") shouldBe (("crawl/z", 1L, 1))
+  }
+
+  behavior of "Components.denseIdMap"
+
+  it should "number distinct ids densely in natural order" in {
+    val df = Seq("m", "a", "z", "a", "m").toDF("k")
+    val got = Components.denseIdMap(df, "k")
+      .as[(String, Long)].collect().sortBy(_._2).toSeq
+    got shouldBe Seq(("a", 0L), ("m", 1L), ("z", 2L))
+  }
 }

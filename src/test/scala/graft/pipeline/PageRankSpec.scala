@@ -53,6 +53,33 @@ class PageRankSpec extends SparkSpec {
     got.keySet shouldBe Set("a", "b") // no phantom null node
   }
 
+  it should "redistribute dangling mass uniformly when asked" in {
+    // a → b, b dangling: with redistribution, b's mass returns split
+    // evenly — hand-compute one iteration of the fixed-point arithmetic
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val S = PageRank.Scale
+    val r0 = S / 2
+    val base = (15L * (S / 2)) / 100L
+    val share = r0 / 2 // b's whole rank, div n = 2
+    val got = PageRank.ranks(edges, "src", "dst", 1,
+      redistributeDangling = true).as[(String, Long)].collect().toMap
+    got("a") shouldBe base + (85L * share) / 100L
+    got("b") shouldBe base + (85L * (r0 + share)) / 100L
+    // total mass is conserved up to integer-div remainders (< 100 units
+    // per node per iteration), unlike the leaking default
+    (S - got.values.sum) should be < 200L
+  }
+
+  it should "make redistribution a no-op on a graph with no dangling nodes" in {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val off = PageRank.ranks(edges, "src", "dst", 3)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    val on = PageRank.ranks(edges, "src", "dst", 3,
+      redistributeDangling = true)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    on shouldBe off
+  }
+
   it should "be invariant under physical layout" in {
     val edges = (1L to 200L).map(i => (s"n${i % 20}", s"n${(i * 7) % 20}"))
       .toDF("src", "dst").distinct()

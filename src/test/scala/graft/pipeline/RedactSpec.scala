@@ -39,6 +39,28 @@ class RedactSpec extends SparkSpec {
     out shouldBe (("<A> <B>", 2L))
   }
 
+  it should "run each rule's regex exactly once over the text (linear plan)" in {
+    // over a parquet source (a LocalRelation constant-folds away), the
+    // optimized plan must hold exactly rules.size regexp_replace and
+    // rules.size regexp_extract_all expressions — the nested-expression
+    // formulation duplicates the replace chain into every count, O(rules²)
+    val dir = s"${sys.props("java.io.tmpdir")}/redact_plan_spec"
+    Seq((1L, "a 1 b 2")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val out = Redact.scrub(spark.read.parquet(dir), "text")
+    def exprCount(name: String): Int = {
+      var n = 0
+      out.queryExecution.optimizedPlan.foreach { p =>
+        p.expressions.foreach { root =>
+          n += root.collect { case e if e.prettyName == name => e }.size
+        }
+      }
+      n
+    }
+    exprCount("regexp_replace") shouldBe Redact.DefaultRules.size
+    exprCount("regexp_extract_all") shouldBe Redact.DefaultRules.size
+  }
+
   it should "reject an empty rule list" in {
     an[IllegalArgumentException] should be thrownBy
       Redact.scrub(Seq((1L, "x")).toDF("id", "text"), "text", Seq.empty)
