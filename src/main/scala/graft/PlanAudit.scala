@@ -19,7 +19,10 @@ object PlanAudit {
       "q39_fuzzy_match", "d12_dedup_cluster",
       "t12_seq_pack", "t13_chunk_dedup", "t14_temperature_mix",
       "q47_transitions", "t16_corpus_stats", "t17_quality_prune",
-      "t18_repetition", "t19_ccnet_buckets", "q48_pagerank")
+      "t18_repetition", "t19_ccnet_buckets", "q48_pagerank",
+      "d15_incremental_minhash", "d16_ann_ivf_stored",
+      "d17_incremental_semdedup", "t20_freq_sketch", "q49_ewma_chunked",
+      "q50_fuzzy_multipass", "t15_redact")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

@@ -94,6 +94,46 @@ object Splits {
     df.filter(bucket(col(idCol), salt) < rate)
   }
 
+  /** Token-budget sampling: keep documents per stratum, in deterministic
+    * hash order, until the stratum's WEIGHT budget is exhausted — the
+    * mixture-in-tokens counterpart of `stratifiedSample` (which fixes a
+    * keep RATE): real training mixtures are specified as token counts per
+    * source/language, and rate-based sampling only hits a token target in
+    * expectation. A document survives iff the cumulative weight up to and
+    * including it (ordered by (bucket(id, salt), id) within its stratum)
+    * is ≤ the stratum's budget, so the survivor set is a pure function of
+    * (data, salt, budgets): reproducible and engine-replayable (exact
+    * long sums). These are PREFIX-cut semantics: the running sum includes
+    * every earlier document in hash order, kept or not, so an overweight
+    * document also shadows its successors (the survivors are "the longest
+    * prefix that fits", not a greedy knapsack — the greedy variant's
+    * running sum over only-kept rows is sequential state no window
+    * expresses, and its survivor set would not be growth-stable).
+    *
+    * Plan: one window exchange on the stratum key (the cumulative sum),
+    * with the budget table compiled to a literal CASE — no joins, no
+    * second pass over the data.
+    */
+  def budgetSample(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, budgetByStratum: Map[String, Long],
+      defaultBudget: Long, salt: String = ""): DataFrame = {
+    (budgetByStratum.values.toSeq :+ defaultBudget).foreach(b =>
+      require(b >= 0, s"negative budget: $b"))
+    require(!df.columns.contains("__cum"),
+      "input already has a '__cum' column (reserved)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = budgetByStratum.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Temperature-weighted rebalancing: per-stratum keep rates computed
     * FROM the data — rate_s = (min_count / count_s)^(1/2^halvings), so
     * the rarest stratum is kept whole and dominant strata are damped

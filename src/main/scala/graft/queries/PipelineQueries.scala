@@ -1262,6 +1262,45 @@ object PipelineQueries {
           |  AND vec_id NOT IN (SELECT nid FROM nh)
           |ORDER BY vec_id""".stripMargin)),
 
+    // Token-budget mixing: per-language token budgets consumed in
+    // deterministic hash order — the mixture-in-TOKENS counterpart of the
+    // rate-based t11/t14 (real training mixtures are token targets, and a
+    // rate only hits one in expectation). Weights are the t03 whitespace
+    // token counts; the cumulative cut is exact long arithmetic, so the
+    // oracle replays the whole thing (hash order included) bitwise.
+    GateQuery(
+      "t21_token_budget",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val weighted = docs.join(
+          graft.text.TextAnalysis.tokenCounts(docs, "doc_id", "text")
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", "ws_tokens"),
+          Seq("doc_id"))
+        graft.core.Splits.budgetSample(weighted, "doc_id", "lang",
+            "ws_tokens", Map("en" -> 5000L), defaultBudget = 2000L,
+            salt = "t21")
+          .select("doc_id", "lang", "ws_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val bkt = s"((${polyHashSql("CAST(d.doc_id AS VARCHAR) || 't21'")}" +
+          s" * 1103515245 + 12345) % $HashMod) % 1000"
+        s"""WITH $tokCte,
+           |w AS (SELECT d.doc_id, d.lang,
+           |             CAST(len(toks) AS BIGINT) AS ws_tokens,
+           |             $bkt AS bkt
+           |      FROM documents d JOIN tok ON d.doc_id = tok.doc_id),
+           |c AS (SELECT doc_id, lang, ws_tokens,
+           |             SUM(ws_tokens) OVER (PARTITION BY lang
+           |               ORDER BY bkt, doc_id
+           |               ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM w)
+           |SELECT doc_id, lang, ws_tokens FROM c
+           |WHERE cum <= CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Misra-Gries heavy-hitter sketch (graft_freq) in its EXACT regime:
     // with distinct items ≤ m the summary never decrements, so every
     // estimate is the true count and err = 0 — deterministically, for any

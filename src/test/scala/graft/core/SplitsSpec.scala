@@ -58,6 +58,29 @@ class SplitsSpec extends SparkSpec {
       splits.values.sum should be > 0.8
   }
 
+  it should "consume per-stratum budgets in deterministic hash order" in {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "b", 100L), (5L, "b", 1L)).toDF("id", "lang", "wt")
+    val kept = S.budgetSample(docs, "id", "lang", "wt",
+      Map("a" -> 20L), defaultBudget = 50L, salt = "x")
+    // stratum a: budget 20 keeps exactly the first two docs in hash
+    // order; stratum b: PREFIX-cut semantics — the overweight doc's 100
+    // stays in the running sum even though it is dropped, so whether b
+    // keeps doc 5 depends only on the hash order; total kept weight ≤ 50
+    // either way
+    val a = kept.filter("lang = 'a'").count()
+    a shouldBe 2L
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val bw = kept.filter("lang = 'b'")
+      .agg(coalesce(sum("wt"), lit(0L))).as[Long].collect().head
+    bw should be <= 50L
+    // deterministic: identical survivors on a re-run
+    kept.select("id").as[Long].collect().toSet shouldBe
+      S.budgetSample(docs, "id", "lang", "wt", Map("a" -> 20L), 50L, "x")
+        .select("id").as[Long].collect().toSet
+  }
+
   it should "sample strata at their own deterministic rates" in {
     val docs = (1L to 1000L).map(i =>
       (i, if (i % 2 == 0) "common" else "rare")).toDF("id", "lang")

@@ -74,4 +74,24 @@ class SemDedupSpec extends SparkSpec {
     all(got.map(r => r._3)) shouldBe 1L
     all(got.map(r => r._4)) shouldBe 1
   }
+
+  behavior of "SemDedup.incrementalSemanticDedup"
+
+  it should "drop incoming vectors similar to seen or smaller-id incoming ones" in {
+    // seen corpus: 1 (e1-ish), 10 (e2-ish). incoming: 21 ≈ seen 1 (cross
+    // hit), 23 fresh diagonal, 25 ≈ 23 (within-batch, greedy drops the
+    // larger id), 27 orthogonal to everything in its cell
+    val seen = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (21L, Seq(0.99f, 0.05f, 0.0f, 0.0f)),
+      (23L, Seq(0.7f, 0.0f, 0.7f, 0.0f)),
+      (25L, Seq(0.69f, 0.0f, 0.71f, 0.0f)),
+      (27L, Seq(0.0f, 0.1f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SemDedup.incrementalSemanticDedup(incoming, "vec_id",
+        "embedding", seen, "vec_id", "embedding", model, threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    out shouldBe Seq(23L, 27L)
+  }
 }
