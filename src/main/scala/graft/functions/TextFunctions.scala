@@ -53,6 +53,23 @@ object TextFunctions {
     when(size(toks) >= n, shingled).otherwise(toks)
   }
 
+  /** ALL sliding n-token windows (start positions 0..len−n), joined by
+    * single spaces — the span-dedup primitive (see text.SpanDedup). Unlike
+    * [[shinglesFromTokens]] there is no short-input fallback: inputs with
+    * fewer than n tokens yield an EMPTY array (a span shorter than the
+    * span length is not a span). Same zip_with-over-shifted-slices
+    * formulation (see the O(len²) note above for why not the indexing
+    * form); the window count is clamped at 0 so short inputs never reach
+    * `slice` with a negative length (an ANSI runtime error).
+    */
+  def slidingFromTokens(toks: Column, n: Int): Column = {
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), m),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
   /** Convenience single-expression form — fine for small frames, but
     * prefer projecting tokens + shinglesFromTokens on large corpora (see
     * note above).

@@ -1322,6 +1322,46 @@ object PipelineQueries {
         """SELECT source, lang AS item, COUNT(*) AS est,
           |       CAST(0 AS BIGINT) AS err
           |FROM documents GROUP BY source, lang
-          |ORDER BY source, est DESC, item""".stripMargin))
+          |ORDER BY source, est DESC, item""".stripMargin)),
+
+    // ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022): every
+    // token covered by a 20-token sliding window whose content already
+    // occurred at an earlier (doc, position) is dropped; maximal
+    // duplicate runs vanish wherever they start (phase-invariant, unlike
+    // t13's fixed chunks). Decision key is the window's polynomial
+    // fingerprint — text never shuffles; the oracle replays windows,
+    // first-occurrence ranks, coverage and the rebuild bitwise.
+    GateQuery(
+      "t22_span_dedup",
+      (s, dir) =>
+        graft.text.SpanDedup.dedupSpans(t(s, dir, "documents"),
+            "doc_id", "text", spanTokens = 20)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokCte,
+           |ix AS (SELECT doc_id, toks,
+           |         unnest(range(0, len(toks) - 19)) AS p
+           |       FROM tok WHERE len(toks) >= 20),
+           |w2 AS (SELECT doc_id, p,
+           |         ${polyHashSql("array_to_string(toks[p+1:p+20], ' ')")}
+           |           AS h FROM ix),
+           |rn AS (SELECT doc_id, p, ROW_NUMBER() OVER
+           |         (PARTITION BY h ORDER BY doc_id, p) AS rn FROM w2),
+           |cov AS (SELECT doc_id,
+           |          list_distinct(flatten(list_transform(
+           |            list_sort(list(p)), q -> range(q, q + 20)))) AS cv
+           |        FROM rn WHERE rn > 1 GROUP BY doc_id),
+           |k AS (SELECT t.doc_id,
+           |        CAST(len(toks) AS BIGINT) AS n_tokens,
+           |        list_transform(
+           |          list_filter(range(0, len(toks)),
+           |            i -> NOT list_contains(
+           |              coalesce(cv, CAST([] AS BIGINT[])), i)),
+           |          i -> toks[i+1]) AS kept
+           |      FROM tok t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+           |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+           |       array_to_string(kept, ' ') AS text_dedup
+           |FROM k WHERE len(kept) > 0
+           |ORDER BY doc_id""".stripMargin))
   )
 }
