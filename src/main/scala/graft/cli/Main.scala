@@ -21,7 +21,8 @@ import graft.jobs._
   * hardware_report, bhr_collection. `search_dashboard` aliases
   * search_aggregates (cli.py:49). Beyond the reference set: `curate`
   * (quality rules → decontamination → near-dup keep-one over a document
-  * corpus).
+  * corpus), `spandedup` (ExactSubstr duplicate-span removal), `pack`,
+  * `mix`, `transitions`.
   */
 object Main {
 
@@ -495,6 +496,15 @@ object Main {
           o.getOrElse("state-col", "event_type"),
           o.getOrElse("order-cols", "ts").split(','): _*)
         write(m.orderBy("from_state", "to_state"), required("output"), 1)
+
+      case "spandedup" =>
+        // ExactSubstr duplicate-span removal — the sub-document
+        // complement to curate's whole-document keep-one: run BEFORE
+        // curate so shared boilerplate doesn't inflate near-dup scores
+        write(graft.text.SpanDedup.dedupSpans(input,
+          o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text"),
+          spanTokens = o.getOrElse("span-tokens", "20").toInt),
+          required("output"))
 
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")

@@ -255,6 +255,21 @@ class CliSpec extends SparkSpec {
       Seq(("a", "b", 2L))
   }
 
+  it should "dispatch spandedup" in {
+    val in = tmp("span-in"); val out = tmp("span-out")
+    Seq(
+      (1L, "terms of use apply alpha beta gamma"),
+      (2L, "prefix terms of use apply epsilon zeta"), // span at offset 1
+      (3L, "terms of use apply")                      // fully covered
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    dispatch("spandedup", "input" -> in, "output" -> out,
+      "span-tokens" -> "4")
+    spark.read.parquet(out).select("doc_id", "text_dedup")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq shouldBe Seq(
+      (1L, "terms of use apply alpha beta gamma"),
+      (2L, "prefix epsilon zeta"))
+  }
+
   it should "dispatch mix with optional splits" in {
     val in = tmp("mix-in"); val out = tmp("mix-out")
     ((1L to 90L).map(i => (i, "en")) ++ (91L to 100L).map(i => (i, "de")))
