@@ -56,21 +56,42 @@ object PageRank {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]: $iterations")
     // null endpoints would silently strand rank mass (a null key matches
-    // no join) and register a phantom null node — drop them up front
+    // no join) and register a phantom null node — drop them up front.
+    // The edge list is scanned twice below (the node/degree aggregation
+    // and the degree join) — persist it so an expensive upstream (a
+    // join+distinct in q48's trade graph) computes once, not per scan.
+    // The cache fills during the nodeDeg job's single pass; released
+    // after the result materializes.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    // ONE exchange computes both the node set and the out-degrees:
+    // explode each edge into (src, 1) and (dst, 0) and sum per node —
+    // replaces the union+distinct node pass plus a separate degree
+    // groupBy+join pass of the naive formulation (2 shuffles + a join
+    // shuffle → 1 shuffle + a broadcastable join).
+    val nodeDeg = e
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("c")),
+        struct(col("dst").as("node"), lit(0L).as("c")))).as("x"))
+      .select(col("x.node").as("node"), col("x.c").as("c"))
+      .groupBy("node").agg(sum("c").as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    val n = nodeDeg.count()
     require(n > 0, "PageRank needs at least one non-null edge " +
       "(empty or all-null edge list yields no nodes)")
+    val nodes = nodeDeg.select("node")
+    // degree side has exactly n rows — broadcast it under the same
+    // threshold as the rank side, so annotating the edges is map-side
+    val degSide = nodeDeg.filter(col("outdeg") > 0)
+    val withDeg = e
+      .join(if (n <= MaxBroadcastNodes) broadcast(degSide) else degSide,
+        e("src") === degSide("node"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (15L * (Scale / n)) / 100L
     // nodes that source at least one edge — dangling = NOT IN this set
-    val srcNodes = withDeg.select(col("src").as("node")).distinct()
+    val srcNodes = degSide.select("node")
     var ranks = nodes.withColumn("r", lit(Scale / n))
     (1 to iterations).foreach { _ =>
       val rankSide = if (n <= MaxBroadcastNodes) broadcast(ranks) else ranks
@@ -110,7 +131,8 @@ object PageRank {
     val out = ranks.select(col("node"), col("r").as("rank_micro"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    nodes.unpersist(false)
+    e.unpersist(false)
+    nodeDeg.unpersist(false)
     withDeg.unpersist(false)
     out
   }

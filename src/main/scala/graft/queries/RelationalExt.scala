@@ -642,19 +642,35 @@ object RelationalExt {
     // arithmetic is scaled-integer (contrib = rank div outdeg, exact long
     // inflow sums, damping in exact div) so three unrolled iterations
     // replay bitwise in DuckDB — a float PageRank would diverge with
-    // shuffle summation order.
+    // shuffle summation order. The heavy graph work runs over LONG node
+    // ids (cust→2k, supp→2k+1): ranks depend only on structure, so the
+    // "c…"/"s…" labels the oracle compares against attach at output —
+    // string-keyed joins/distincts measured ~2× slower end-to-end.
+    // `pairs` is persisted so the symmetric union's two branches don't
+    // each recompute the orders⋈lineitem join (ranks() is eager, so the
+    // cache is consumed before the unpersist).
     GateQuery(
       "q48_pagerank",
       (s, dir) => {
         val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val edges = pairs
           .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        graft.graph.PageRank.ranks(edges, "src", "dst", 3).orderBy("node")
+        val r = graft.graph.PageRank.ranks(edges, "src", "dst", 3)
+        pairs.unpersist(false)
+        r.select(
+            when(col("node") % 2 === 0,
+              concat(lit("c"), expr("node div 2").cast("string")))
+              .otherwise(
+                concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+              .as("node"),
+            col("rank_micro"))
+          .orderBy("node")
       },
       Some {
         val S = graft.graph.PageRank.Scale
