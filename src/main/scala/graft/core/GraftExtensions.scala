@@ -78,6 +78,16 @@ object GraftExtensions {
           require(args.length == 2, "graft_freq takes two arguments")
           graft.functions.expressions.FreqSketch(args(0), args(1))
         }),
+      ("graft_sample",
+        info("graft_sample",
+          "graft_sample(item, k) - mergeable bottom-k/KMV sketch " +
+            "aggregate: struct<sample array<string> (polyhash order), " +
+            "est_distinct bigint>; deterministic uniform distinct-sample " +
+            "+ distinct-count estimate, exact below k"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_sample takes two arguments")
+          graft.functions.expressions.KmvSketch(args(0), args(1))
+        }),
       ("graft_hamming",
         info("graft_hamming",
           "graft_hamming(a, b) - hamming distance between two integral " +

@@ -124,4 +124,15 @@ object TextFunctions {
     graft.core.Graft.column(
       graft.functions.expressions.FreqSketch(
         graft.core.Graft.expression(items), m).toAggregateExpression())
+
+  /** Bottom-k/KMV sketch aggregate: struct<sample array<string>,
+    * est_distinct bigint> — a deterministic uniform sample of the
+    * group's distinct items (bottom-k of the polyhash permutation) plus
+    * a distinct-count estimate, exact below k. Bounded mergeable state —
+    * see expressions.KmvSketch.
+    */
+  def kmvSample(items: Column, k: Int): Column =
+    graft.core.Graft.column(
+      graft.functions.expressions.KmvSketch(
+        graft.core.Graft.expression(items), k).toAggregateExpression())
 }

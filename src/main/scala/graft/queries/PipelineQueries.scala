@@ -1362,6 +1362,42 @@ object PipelineQueries {
            |SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
            |       array_to_string(kept, ' ') AS text_dedup
            |FROM k WHERE len(kept) > 0
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Bottom-k/KMV sketch (graft_sample): deterministic distinct-sample
+    // + distinct-count estimate per language. k=32 < the per-language
+    // doc count, so this gates the APPROXIMATE regime — possible only
+    // because the priority is the engine-portable polyhash, so DuckDB
+    // replays the exact bottom-k permutation and the integer KMV
+    // estimate (k−1)·M // h_k bit-for-bit.
+    GateQuery(
+      "t23_kmv_sample",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(expr("graft_sample(cast(doc_id as string), 32)").as("s"))
+          .select(col("lang"), col("s.est_distinct").as("est_distinct"),
+            posexplode(col("s.sample")).as(Seq("pos", "item")))
+          .select(col("lang"), col("pos"), col("item"), col("est_distinct"))
+          .orderBy(col("lang"), col("pos")),
+      Some(
+        s"""WITH d AS (SELECT DISTINCT lang,
+           |             CAST(doc_id AS VARCHAR) AS item FROM documents),
+           |h AS (SELECT lang, item, ${polyHashSql("item")} AS h FROM d),
+           |r AS (SELECT lang, item, h,
+           |        ROW_NUMBER() OVER (PARTITION BY lang
+           |          ORDER BY h, item) AS rn,
+           |        COUNT(*) OVER (PARTITION BY lang) AS nd
+           |      FROM h),
+           |kth AS (SELECT lang, MAX(h) AS hk, MAX(nd) AS nd
+           |        FROM r WHERE rn <= 32 GROUP BY lang)
+           |SELECT r.lang, CAST(r.rn - 1 AS INTEGER) AS pos, r.item,
+           |       CAST(CASE WHEN k.nd < 32 THEN k.nd
+           |                 WHEN k.hk = 0 THEN 32
+           |                 ELSE (31 * CAST(1000000007 AS BIGINT)) // k.hk
+           |            END AS BIGINT) AS est_distinct
+           |FROM r JOIN kth k ON r.lang = k.lang
+           |WHERE r.rn <= 32
+           |ORDER BY r.lang, r.rn""".stripMargin))
   )
 }
