@@ -1398,6 +1398,55 @@ object PipelineQueries {
            |            END AS BIGINT) AS est_distinct
            |FROM r JOIN kth k ON r.lang = k.lang
            |WHERE r.rn <= 32
-           |ORDER BY r.lang, r.rn""".stripMargin))
+           |ORDER BY r.lang, r.rn""".stripMargin)),
+
+    // Large-probe decontamination (Contamination.ngramOverlapJoin): the
+    // benchmark arrives as a DataFrame (docs with id % 97 = 0 simulate
+    // an eval set), both sides hash their trigram shingles to polyhash
+    // keys, probe keys broadcast into the corpus join, fraction
+    // threshold 5%. The t08 literal-array form can't scale past a few
+    // thousand probe n-grams; this is the path that can.
+    GateQuery(
+      "t24_contam_join",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.text.Contamination.ngramOverlapJoin(
+            d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+            d.filter(col("doc_id") % 97 === 0), "text",
+            n = 3, maxOverlapFrac = 0.05)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH tokall AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'),
+           |      t -> t <> '') AS toks FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+           |    THEN list_transform(range(1, len(toks)-1),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |    ELSE toks END) AS ss FROM tokall),
+           |pr AS (SELECT DISTINCT ${polyHashSql("s")} AS hp
+           |       FROM (SELECT unnest(ss) AS s FROM sh
+           |             WHERE doc_id % 97 = 0)),
+           |base AS (SELECT doc_id, ss FROM sh WHERE doc_id % 97 <> 0),
+           |ch AS (SELECT doc_id, ${polyHashSql("s")} AS h
+           |       FROM (SELECT doc_id, unnest(ss) AS s FROM base)),
+           |j AS (SELECT ch.doc_id,
+           |        CASE WHEN pr.hp IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |      FROM ch LEFT JOIN pr ON ch.h = pr.hp),
+           |a AS (SELECT doc_id, COUNT(*) AS n_shingles,
+           |        SUM(hit) AS overlap_cnt FROM j GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+           |  CAST(COALESCE(a.overlap_cnt, 0) AS BIGINT) AS overlap_cnt,
+           |  CASE WHEN COALESCE(a.n_shingles, 0) > 0
+           |       THEN CAST(a.overlap_cnt AS DOUBLE) /
+           |            CAST(a.n_shingles AS DOUBLE)
+           |       ELSE 0.0 END AS overlap_frac,
+           |  CASE WHEN COALESCE(a.n_shingles, 0) > 0 AND
+           |            CAST(a.overlap_cnt AS DOUBLE) >
+           |            CAST(a.n_shingles AS DOUBLE) * 0.05
+           |       THEN 1 ELSE 0 END AS contaminated
+           |FROM base b LEFT JOIN a ON b.doc_id = a.doc_id
+           |ORDER BY b.doc_id""".stripMargin))
   )
 }

@@ -52,4 +52,70 @@ object Contamination {
       .filter(col("contaminated") === 0 || col("contaminated").isNull)
       .drop("contaminated")
   }
+
+  /** Large-probe decontamination — the scale path the literal-array form
+    * can't take: the probe set arrives as a DATAFRAME of benchmark
+    * documents (millions of n-grams), both sides hash their shingles to
+    * 8-byte polyhash keys, and the probe keys broadcast into a left join
+    * against the exploded corpus shingles. One exchange (the per-doc
+    * regroup); the corpus text itself never shuffles.
+    *
+    * `maxOverlapFrac` makes this the fraction-threshold variant used by
+    * open-eval decontamination (drop a document only when MORE than that
+    * fraction of its distinct n-grams hit the benchmark; 0.0 = any hit).
+    *
+    * Overlap equality is on the 8-byte fingerprint, not the raw shingle
+    * string — the d08 fingerprint-as-identity contract (a collision
+    * counts as overlap; at 1e9+7 hash space and benchmark-sized probes
+    * the false-contamination rate is negligible, and the t24 oracle
+    * replays the same hashes bitwise).
+    *
+    * Output: (idCol, n_shingles, overlap_cnt, overlap_frac,
+    * contaminated ∈ {0,1}), one row per input document (empty docs get
+    * n_shingles = 0, contaminated = 0).
+    */
+  def ngramOverlapJoin(df: DataFrame, idCol: String, textCol: String,
+      probe: DataFrame, probeTextCol: String, n: Int = 3,
+      maxOverlapFrac: Double = 0.0): DataFrame = {
+    require(maxOverlapFrac >= 0.0 && maxOverlapFrac < 1.0,
+      s"maxOverlapFrac must be in [0, 1): $maxOverlapFrac")
+    val probeKeys = probe
+      .select(explode(shingleSetFromTokens(
+        tokens(col(probeTextCol)), n)).as("__s"))
+      .select(polyHash(col("__s")).as("__ph"))
+      .distinct()
+    val docShingles = df
+      // explode_outer: zero-shingle documents must still report a row
+      .select(col(idCol), explode_outer(shingleSetFromTokens(
+        tokens(col(textCol)), n)).as("__s"))
+      .select(col(idCol), polyHash(col("__s")).as("__h"))
+    docShingles
+      .join(broadcast(probeKeys), col("__h") === col("__ph"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__h")).as("n_shingles"),
+        count(col("__ph")).as("overlap_cnt"))
+      .select(col(idCol), col("n_shingles"), col("overlap_cnt"),
+        when(col("n_shingles") > 0,
+          col("overlap_cnt").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("overlap_frac"),
+        when(col("n_shingles") > 0,
+          (col("overlap_cnt").cast("double") >
+            col("n_shingles").cast("double") * maxOverlapFrac).cast("int"))
+          .otherwise(lit(0)).as("contaminated"))
+  }
+
+  /** Keep only documents below the overlap threshold (all original
+    * columns) — [[ngramOverlapJoin]]'s filtering form.
+    */
+  def decontaminateJoin(df: DataFrame, idCol: String, textCol: String,
+      probe: DataFrame, probeTextCol: String, n: Int = 3,
+      maxOverlapFrac: Double = 0.0): DataFrame = {
+    val flagged =
+      ngramOverlapJoin(df, idCol, textCol, probe, probeTextCol, n,
+        maxOverlapFrac)
+        .filter(col("contaminated") === 1)
+        .select(col(idCol))
+    df.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -70,4 +70,44 @@ class CurationSpec extends SparkSpec {
     kept.select("doc_id").as[Long].collect().toSet shouldBe
       Set(2L, 3L, 4L, 5L)
   }
+
+  it should "match the literal-probe path through the hashed join " +
+      "(large-probe scale form)" in {
+    val probeDoc = Seq((100L, "the quick brown fox says hello"))
+      .toDF("pid", "ptext")
+    val probeGrams = Seq("the quick brown", "quick brown fox",
+      "brown fox says", "fox says hello")
+    val viaJoin = Contamination
+      .ngramOverlapJoin(docs, "doc_id", "text", probeDoc, "ptext")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val viaLiteral = Contamination
+      .ngramOverlap(docs, "doc_id", "text", probeGrams)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    viaJoin shouldBe viaLiteral
+    viaJoin(1L)(2) shouldBe 2L // "the quick brown", "quick brown fox"
+  }
+
+  it should "report zero-shingle documents and apply the fraction " +
+      "threshold" in {
+    val probeDoc = Seq((100L, "the quick brown fox says hello"))
+      .toDF("pid", "ptext")
+    val withEmpty = docs.union(Seq((6L, "")).toDF("doc_id", "text"))
+    val flagged = Contamination
+      .ngramOverlapJoin(withEmpty, "doc_id", "text", probeDoc, "ptext",
+        maxOverlapFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    flagged(6L).getLong(1) shouldBe 0L // n_shingles
+    flagged(6L).getInt(4) shouldBe 0
+    // doc 1 overlaps 2/7 ≈ 0.29 < 0.5 → below threshold, not contaminated
+    flagged(1L).getInt(4) shouldBe 0
+    Contamination.decontaminateJoin(withEmpty, "doc_id", "text",
+        probeDoc, "ptext", maxOverlapFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L, 3L, 4L, 5L, 6L)
+    // default threshold (any hit) drops doc 1
+    Contamination.decontaminateJoin(withEmpty, "doc_id", "text",
+        probeDoc, "ptext")
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      Set(2L, 3L, 4L, 5L, 6L)
+  }
 }
