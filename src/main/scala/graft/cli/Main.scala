@@ -405,9 +405,13 @@ object Main {
       //   cluster resolution keeping one doc per cluster.
       // --input/--output parquet; --id-col/--text-col (defaults doc_id/
       // text); --probe-path: newline-delimited n-grams to decontaminate
-      // against (skipped when absent); --min-words / --jaccard tune the
-      // two main knobs. Writes the surviving documents plus a JSON stats
-      // artifact (--stats-output) recording per-stage survivor counts.
+      // against (skipped when absent); --probe-input: a PARQUET of
+      // benchmark documents instead (the large-probe hashed-join path;
+      // --probe-text-col defaults to text, --max-overlap sets the
+      // fraction threshold, default 0 = any hit); --min-words /
+      // --jaccard tune the two main knobs. Writes the surviving
+      // documents plus a JSON stats artifact (--stats-output) recording
+      // per-stage survivor counts.
       case "curate" =>
         import org.apache.spark.sql.functions.col
         val idCol = o.getOrElse("id-col", "doc_id")
@@ -418,8 +422,18 @@ object Main {
             textCol, minWords = o.getOrElse("min-words", "40").toLong)
           .filter(col("keep") === 1).select(col(idCol))
         val qualified = docs.join(quality, Seq(idCol))
-        val decontaminated = o.get("probe-path") match {
-          case Some(p) =>
+        val decontaminated = (o.get("probe-input"), o.get("probe-path")) match {
+          case (Some(pp), _) =>
+            // large-probe path: benchmark docs as parquet, shingles
+            // hashed on both sides, broadcast join (see Contamination
+            // .decontaminateJoin) — --probe-path is ignored when both
+            // are given
+            graft.text.Contamination.decontaminateJoin(
+              qualified, idCol, textCol,
+              spark.read.parquet(pp),
+              o.getOrElse("probe-text-col", "text"), n = ngram,
+              maxOverlapFrac = o.getOrElse("max-overlap", "0.0").toDouble)
+          case (None, Some(p)) =>
             val probe = scala.io.Source.fromFile(p)
             val grams =
               try probe.getLines().map(_.trim).filter(_.nonEmpty).toSeq
@@ -434,7 +448,7 @@ object Main {
                 s"(first: '${offSize.head}'); pass --ngram to align")
             graft.text.Contamination.decontaminate(
               qualified, idCol, textCol, grams, n = ngram)
-          case None => qualified
+          case (None, None) => qualified
         }
         // materialize the survivor frame: the dedup stage, the write, and
         // the stats counts would each re-run the quality/contamination

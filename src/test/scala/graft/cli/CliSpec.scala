@@ -220,6 +220,28 @@ class CliSpec extends SparkSpec {
       Seq(1L)
   }
 
+  it should "curate against a parquet benchmark (--probe-input joined " +
+      "path)" in {
+    val in = tmp("curate-pi-in"); val out = tmp("curate-pi-out")
+    val probeIn = tmp("curate-pi-probe")
+    val healthy = "the quick brown fox jumps over a lazy dog " +
+      "while the cat naps in a warm sunny window near the door"
+    Seq(
+      (1L, healthy),
+      (3L, "too short a doc"), // fails min-words
+      (4L, healthy.replace("quick brown fox", "slow green turtle") +
+        " entirely different tail with many more of the varied words here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    // the benchmark document shares 4's "slow green turtle" trigram
+    Seq((100L, "a slow green turtle crossed the road"))
+      .toDF("bench_id", "text").write.mode("overwrite").parquet(probeIn)
+    dispatch("curate", "input" -> in, "output" -> out,
+      "min-words" -> "10", "jaccard" -> "0.5", "bands" -> "8",
+      "probe-input" -> probeIn)
+    spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq shouldBe
+      Seq(1L)
+  }
+
   it should "curate a corpus with STRING doc ids (crawl-data norm)" in {
     val in = tmp("curate-str-in"); val out = tmp("curate-str-out")
     val healthy = "the quick brown fox jumps over a lazy dog " +
