@@ -267,6 +267,25 @@ object EventStreams {
         .as("top_items"))
       .select(col("win.start").as("window_start"), col("top_items"))
 
+  /** Streaming twin of the bottom-k/KMV sketch (X50): per-window
+    * distinct-count estimate plus a deterministic sample of the distinct
+    * items, with ≤ k entries of state per window however many items flow
+    * through — "how many distinct users this hour" as a bounded-state
+    * query. Same mergeable `TextFunctions.kmvSample` aggregate as batch,
+    * so a replayed stream lands on bit-identical samples and estimates
+    * (the sketch has no RNG and no encounter-order dependence).
+    */
+  def windowedDistincts(events: DataFrame, itemCol: String,
+      windowLength: String, lateness: String, k: Int): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength).as("win"))
+      .agg(graft.functions.TextFunctions.kmvSample(col(itemCol), k)
+        .as("s"))
+      .select(col("win.start").as("window_start"),
+        col("s.sample").as("sample"),
+        col("s.est_distinct").as("est_distinct"))
+
   case class TransState(lastState: String, lastTs: Long)
 
   case class Transition(user_id: Long, from_state: String, to_state: String,

@@ -305,6 +305,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "estimate windowed distincts with the KMV sketch, matching " +
+      "the batch aggregate" in {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "item")
+    val query = EventStreams
+      .windowedDistincts(events, "item", "10 minutes", "5 minutes", k = 8)
+      .writeStream.format("memory").queryName("distincts")
+      .outputMode("complete").start()
+    try {
+      val firstWin = (1 to 20).map(i => (ts(i % 9), s"u${i % 12}"))
+      input.addData(firstWin :+ ((ts(12), "late-user")): _*)
+      query.processAllAvailable()
+      val got = spark.table("distincts").collect()
+        .map(r => r.getAs[Timestamp](0) ->
+          ((r.getAs[scala.collection.Seq[String]](1).toSeq, r.getLong(2))))
+        .toMap
+      got.size shouldBe 2
+      // batch parity: the same aggregate over the same rows
+      val batch = firstWin.toDF("ts", "item")
+        .agg(graft.functions.TextFunctions.kmvSample(col("item"), 8).as("s"))
+        .select(col("s.sample"), col("s.est_distinct"))
+        .collect().head
+      got(Timestamp.valueOf("2024-01-01 10:00:00")) shouldBe
+        ((batch.getAs[scala.collection.Seq[String]](0).toSeq,
+          batch.getLong(1)))
+      got(Timestamp.valueOf("2024-01-01 10:10:00")) shouldBe
+        ((Seq("late-user"), 1L))
+    } finally query.stop()
+  }
+
   it should "expire idle transition state past the TTL" in {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
