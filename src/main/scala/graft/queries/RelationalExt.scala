@@ -699,6 +699,47 @@ object RelationalExt {
            |$iters
            |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
            |ORDER BY node""".stripMargin
+      }),
+
+    // Z-order (Morton) layout math over the part↔supplier key space:
+    // min/max scaling to 8 bits, bit interleave, equal-volume bucket
+    // slices — all exact integer arithmetic (div + shifts/masks), so
+    // the layout an OPTIMIZE-ZORDER-style rewrite would produce replays
+    // bitwise in SQL. The physical form (repartition + sortWithin) is
+    // LayoutSpec's job; the gate pins the curve itself.
+    GateQuery(
+      "q51_zorder",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        graft.core.Layout.zvalues(li, "l_partkey", "l_suppkey",
+            bits = 8, nBuckets = 16)
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("__zx").as("zx"), col("__zy").as("zy"),
+            col("__z").as("zval"), col("__zbucket").as("zbucket"))
+          .orderBy("l_partkey", "l_suppkey")
+      },
+      Some {
+        val interleave = (0 until 8).map(i =>
+          s"(((zx >> $i) & 1) << ${2 * i}) | " +
+            s"(((zy >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+        s"""WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+           |s AS (SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
+           |             MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax
+           |      FROM d),
+           |z AS (SELECT l_partkey, l_suppkey,
+           |  CAST(CASE WHEN amax > amin
+           |    THEN ((l_partkey - amin) * 255) // (amax - amin)
+           |    ELSE 0 END AS BIGINT) AS zx,
+           |  CAST(CASE WHEN bmax > bmin
+           |    THEN ((l_suppkey - bmin) * 255) // (bmax - bmin)
+           |    ELSE 0 END AS BIGINT) AS zy
+           |  FROM d CROSS JOIN s),
+           |zz AS (SELECT l_partkey, l_suppkey, zx, zy,
+           |         CAST($interleave AS BIGINT) AS zval FROM z)
+           |SELECT l_partkey, l_suppkey, zx, zy, zval,
+           |       CAST(LEAST(zval // 4096, 15) AS BIGINT) AS zbucket
+           |FROM zz ORDER BY l_partkey, l_suppkey""".stripMargin
       })
   )
 }
