@@ -474,6 +474,28 @@ object Main {
           }
         } finally survivors.unpersist()
 
+      case "profile" =>
+        // dataset card: one-pass per-column counts/nulls/cardinality/top
+        // value (core/Profile). --cols=a,b,c limits the column set;
+        // --output parquet; --stats-output also renders the card as JSON
+        val cols = o.get("cols")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val card = graft.core.Profile.profile(input, cols,
+            k = o.getOrElse("k", "256").toInt,
+            m = o.getOrElse("m", "256").toInt)
+          .orderBy("column")
+        write(card, required("output"))
+        o.get("stats-output").foreach { sp =>
+          writeJson(sp, spark.read.parquet(required("output")).collect()
+            .map(r => r.getString(0) -> Map(
+              "n_rows" -> r.getLong(1), "n_null" -> r.getLong(2),
+              "est_distinct" -> r.getLong(3),
+              "top_value" -> (if (r.isNullAt(4)) null else r.getString(4)),
+              "top_count" -> r.getLong(5))).toMap)
+          println(s"[graft] profile wrote $sp")
+        }
+
       case "pack" =>
         // curate → pack: the corpus-to-training-sequences step
         val packed = graft.text.Packing.concatChunk(input,

@@ -1447,6 +1447,46 @@ object PipelineQueries {
            |            CAST(a.n_shingles AS DOUBLE) * 0.05
            |       THEN 1 ELSE 0 END AS contaminated
            |FROM base b LEFT JOIN a ON b.doc_id = a.doc_id
-           |ORDER BY b.doc_id""".stripMargin))
+           |ORDER BY b.doc_id""".stripMargin)),
+
+    // Single-pass dataset profile ("dataset card"): per column, row/null
+    // counts + KMV cardinality + Misra-Gries top value, all sketches
+    // riding ONE scan. m=1024 puts every column of the sf corpus in the
+    // heavy-hitter sketch's exact regime; k=64 leaves doc_id/text in the
+    // KMV APPROXIMATE regime, replayed in SQL like t23.
+    GateQuery(
+      "t25_profile",
+      (s, dir) =>
+        graft.core.Profile.profile(t(s, dir, "documents"),
+            k = 64, m = 1024)
+          .orderBy("column"),
+      Some {
+        def branch(c: String): String = {
+          val distinctV =
+            s"(SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM documents " +
+              s"WHERE $c IS NOT NULL)"
+          val topQ =
+            s"(SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS c " +
+              s"FROM documents WHERE $c IS NOT NULL " +
+              s"GROUP BY 1 ORDER BY c DESC, v LIMIT 1)"
+          s"""SELECT '$c' AS "column",
+             |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows,
+             |  CAST((SELECT COUNT(*) - COUNT($c) FROM documents)
+             |    AS BIGINT) AS n_null,
+             |  CAST((SELECT CASE WHEN MAX(rn) < 64 THEN MAX(rn)
+             |          WHEN MAX(CASE WHEN rn = 64 THEN h END) = 0 THEN 64
+             |          ELSE (63 * CAST(1000000007 AS BIGINT)) //
+             |               MAX(CASE WHEN rn = 64 THEN h END) END
+             |        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h, v)
+             |                AS rn
+             |              FROM (SELECT v, ${polyHashSql("v")} AS h
+             |                    FROM $distinctV dv) hh) rr
+             |        WHERE rn <= 64) AS BIGINT) AS est_distinct,
+             |  (SELECT v FROM $topQ tv) AS top_value,
+             |  CAST((SELECT c FROM $topQ tc) AS BIGINT) AS top_count""".stripMargin
+        }
+        Seq("doc_id", "text", "lang", "source", "n_chars")
+          .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      })
   )
 }

@@ -257,6 +257,23 @@ class CliSpec extends SparkSpec {
       Seq("crawl/0001")
   }
 
+  it should "dispatch profile into a dataset-card parquet + JSON" in {
+    val in = tmp("profile-in"); val out = tmp("profile-out")
+    val stats = tmp("profile-stats") + "/card.json"
+    Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "v").write.mode("overwrite").parquet(in)
+    dispatch("profile", "input" -> in, "output" -> out,
+      "stats-output" -> stats)
+    val card = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r).toMap
+    card("v").getLong(2) shouldBe 1L // n_null
+    card("v").getString(4) shouldBe "a"
+    card("id").getLong(3) shouldBe 3L // est_distinct exact below k
+    val txt = Files.readString(java.nio.file.Paths.get(stats))
+    txt should include("\"top_value\":\"a\"")
+    txt should include("\"est_distinct\":3")
+  }
+
   it should "dispatch pack and transitions" in {
     val in = tmp("pack-in"); val out = tmp("pack-out")
     Seq((1L, "a b c d e"), (2L, "f g h"))
