@@ -22,7 +22,8 @@ object PlanAudit {
       "t18_repetition", "t19_ccnet_buckets", "q48_pagerank",
       "d15_incremental_minhash", "d16_ann_ivf_stored",
       "d17_incremental_semdedup", "t20_freq_sketch", "q49_ewma_chunked",
-      "q50_fuzzy_multipass", "t15_redact", "t22_span_dedup")
+      "q50_fuzzy_multipass", "t15_redact", "t22_span_dedup",
+      "t23_kmv_sample", "t24_contam_join", "t25_profile", "q51_zorder")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

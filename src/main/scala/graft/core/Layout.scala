@@ -28,19 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of the low `bits` bits of two non-negative longs:
-    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. A fold of
-    * 2·bits shift/mask/OR built-ins — whole-stage-codegen friendly.
+  /** Morton interleave of the low `bits` bits of N ≥ 2 non-negative
+    * longs: bit i of column j lands at position i·N + j (dims cycle). A
+    * fold of N·bits shift/mask/OR built-ins — whole-stage-codegen
+    * friendly.
     */
-  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
+  def interleaveBitsN(cs: Seq[Column], bits: Int): Column = {
+    require(cs.size >= 2, s"interleave needs >= 2 columns: ${cs.size}")
+    require(bits >= 1 && cs.size * bits <= 62,
+      s"${cs.size} cols x $bits bits exceeds the 62-bit z budget")
+    val n = cs.size
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
-          2 * i + 1))
+      cs.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
     }
   }
+
+  /** Two-column form: bit i of `a` lands at position 2i, of `b` at
+    * 2i+1.
+    */
+  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column =
+    interleaveBitsN(Seq(a, b), bits)
 
   /** Adds `__zx`, `__zy` (the columns linearly min/max-scaled onto
     * [0, 2^bits) with exact long arithmetic — ((x − min)·(2^bits − 1))
@@ -50,34 +60,50 @@ object Layout {
     * is computed in-plan and broadcast — no driver round-trip.
     */
   def zvalues(df: DataFrame, colA: String, colB: String, bits: Int = 8,
+      nBuckets: Int = 16): DataFrame =
+    zvaluesN(df, Seq(colA, colB), bits, nBuckets)
+      .withColumnRenamed("__zc0", "__zx")
+      .withColumnRenamed("__zc1", "__zy")
+
+  /** N-dimensional form (ZORDER BY (a, b, c, …)): adds `__zc0..N-1`
+    * scaled coordinates plus `__z`/`__zbucket`. N·bits must fit the
+    * 62-bit z budget.
+    */
+  def zvaluesN(df: DataFrame, cols: Seq[String], bits: Int = 8,
       nBuckets: Int = 16): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
-    val zSpace = 1L << (2 * bits) // 4^bits distinct z-values
+    val n = cols.size
+    require(n >= 2 && bits >= 1 && n * bits <= 62,
+      s"$n cols x $bits bits outside the 62-bit z budget")
+    val zSpace = 1L << (n * bits) // 2^(n·bits) distinct z-values
     require(nBuckets <= zSpace,
       s"nBuckets $nBuckets exceeds z-space $zSpace (raise bits)")
     val maxV = (1L << bits) - 1
     val bucketWidth = zSpace / nBuckets // ≥ 1 by the require above
     val stats = df.agg(
-      min(col(colA).cast("long")).as("__amin"),
-      max(col(colA).cast("long")).as("__amax"),
-      min(col(colB).cast("long")).as("__bmin"),
-      max(col(colB).cast("long")).as("__bmax"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("__a", col(colA).cast("long"))
-      .withColumn("__b", col(colB).cast("long"))
-      .withColumn("__zx", when(col("__amax") > col("__amin"),
-          expr(s"((__a - __amin) * $maxV) div (__amax - __amin)"))
-        .otherwise(lit(0L)))
-      .withColumn("__zy", when(col("__bmax") > col("__bmin"),
-          expr(s"((__b - __bmin) * $maxV) div (__bmax - __bmin)"))
-        .otherwise(lit(0L)))
-      .withColumn("__z", interleaveBits(col("__zx"), col("__zy"), bits))
+      min(col(cols.head).cast("long")).as("__min0"),
+      cols.zipWithIndex.flatMap { case (c, j) =>
+        val mn = if (j == 0) Nil
+          else Seq(min(col(c).cast("long")).as(s"__min$j"))
+        mn :+ max(col(c).cast("long")).as(s"__max$j")
+      }: _*)
+    val scaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
+      case (acc, (c, j)) =>
+        acc
+          .withColumn(s"__v$j", col(c).cast("long"))
+          .withColumn(s"__zc$j", when(col(s"__max$j") > col(s"__min$j"),
+              expr(s"((__v$j - __min$j) * $maxV) div (__max$j - __min$j)"))
+            .otherwise(lit(0L)))
+    }
+    scaled
+      .withColumn("__z",
+        interleaveBitsN(cols.indices.map(j => col(s"__zc$j")), bits))
       // last bucket absorbs the remainder when nBuckets doesn't divide
       // the z-space
       .withColumn("__zbucket",
         least(expr(s"__z div $bucketWidth"), lit(nBuckets - 1L)))
-      .drop("__a", "__b", "__amin", "__amax", "__bmin", "__bmax")
+      .drop(cols.indices.flatMap(j =>
+        Seq(s"__v$j", s"__min$j", s"__max$j")): _*)
   }
 
   /** The layout form: rows clustered into `nBuckets` z-range slices and

@@ -49,6 +49,34 @@ class LayoutSpec extends SparkSpec {
     got.select(countDistinct("__zx")).as[Long].collect().head shouldBe 3L
   }
 
+  "zvaluesN" should "bound every dimension within every bucket in 3-D" in {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val boxes = Layout
+      .zvaluesN(grid, Seq("x", "y", "z"), bits = 2, nBuckets = 64)
+      .groupBy("__zbucket")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"),
+        (max("z") - min("z")).as("zs"), count(lit(1)).as("n"))
+      .collect()
+    boxes.length shouldBe 64
+    boxes.foreach { r =>
+      r.getAs[Int]("xs") should be <= 5
+      r.getAs[Int]("ys") should be <= 5
+      r.getAs[Int]("zs") should be <= 5
+    }
+    boxes.map(_.getAs[Long]("n")).sum shouldBe 4096L
+  }
+
+  it should "cycle bits across dimensions (3-col Morton pin)" in {
+    // bits=1, three dims: z = x<<0 | y<<1 | z<<2 over the low bit
+    val got = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L))
+      .toDF("a", "b", "c")
+      .select(Layout.interleaveBitsN(
+        Seq(col("a"), col("b"), col("c")), bits = 1).as("m"))
+      .as[Long].collect().toSeq
+    got shouldBe Seq(1L, 2L, 4L, 7L)
+  }
+
   "zorderLayout" should "preserve rows and lay the curve out " +
       "deterministically" in {
     val grid = (for (x <- 0 until 32; y <- 0 until 32)
