@@ -270,6 +270,22 @@ object JobsDemo {
       .agg(graft.functions.TextFunctions.freqSketch($"tok", 5).as("top"))
     show("freq_sketch", hh.count(), hh.columns.length)
 
+    // --- round-8 second wave ---------------------------------------------
+    val kmv = corpus
+      .agg(graft.functions.TextFunctions.kmvSample($"text", 8).as("s"))
+      .select($"s.est_distinct")
+    show("kmv_sample", kmv.count(), kmv.columns.length)
+    val benchDocs = corpus.limit(1).select($"doc_id", $"text")
+    val decon = graft.text.Contamination.ngramOverlapJoin(
+      corpus, "doc_id", "text", benchDocs, "text", n = 2)
+    show("contam_join", decon.count(), decon.columns.length)
+    val card = graft.core.Profile.profile(corpus)
+    show("dataset_profile", card.count(), card.columns.length)
+    val zo = graft.core.Layout.zorderLayout(
+      clicks.select($"user_id", $"value"), "user_id", "value",
+      bits = 4, nBuckets = 4)
+    show("zorder_layout", zo.count(), zo.columns.length)
+
     spark.stop()
   }
 
