@@ -50,5 +50,9 @@ class TokenMaterializationSpec extends SparkSpec {
     val grams = graft.text.QualityRules.dupNgramCoverage(docs, "doc_id", "text")
     splitInsideLambda(grams) shouldBe 0
     grams.count() should be > 0L
+
+    val spans = graft.text.SpanDedup.dedupSpans(docs, "doc_id", "text", 50)
+    splitInsideLambda(spans) shouldBe 0
+    spans.count() should be > 0L
   }
 }
