@@ -88,6 +88,24 @@ object GraftExtensions {
           require(args.length == 2, "graft_sample takes two arguments")
           graft.functions.expressions.KmvSketch(args(0), args(1))
         }),
+      ("graft_bloom",
+        info("graft_bloom",
+          "graft_bloom(fp, bits, hashes) - mergeable Bloom-filter " +
+            "aggregate over a bigint fingerprint column: binary bitset, " +
+            "no false negatives; bits a power of two in [64, 2^30]"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_bloom takes three arguments")
+          graft.functions.expressions.BloomAgg(args(0), args(1), args(2))
+        }),
+      ("graft_bloom_contains",
+        info("graft_bloom_contains",
+          "graft_bloom_contains(bloom, fp) - probe a graft_bloom bitset: " +
+            "false = definitely absent, true = present or false positive"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_bloom_contains takes two arguments")
+          graft.functions.expressions.BloomContains(args(0), args(1))
+        }),
       ("graft_hamming",
         info("graft_hamming",
           "graft_hamming(a, b) - hamming distance between two integral " +

@@ -52,6 +52,49 @@ object NearDup {
       .drop("__fp")
   }
 
+  /** [[incrementalDedup]] with a Bloom-filter runtime filter in front of
+    * the anti-join — the shape that survives a 100 TB seen corpus.
+    *
+    * The plain anti-join shuffles EVERY incoming fingerprint to meet the
+    * seen side. Here the seen fingerprints are first folded into one
+    * broadcastable bitset (`numBits`/8 bytes regardless of corpus size,
+    * built by a map-side-combinable aggregate); incoming rows probe it
+    * map-side, and only the rows the filter flags as possibly-seen — the
+    * true duplicates plus the ~1% false positives — continue into the
+    * exact anti-join shuffle. Rows the probe rejects are DEFINITELY new
+    * (Bloom filters have no false negatives), so they bypass the
+    * exchange entirely and the result is bit-identical to
+    * [[incrementalDedup]]: the filter changes the plan, never the
+    * answer.
+    *
+    * Branch economics: the incoming scan runs twice (once per branch of
+    * the union) — at scale a columnar scan is far cheaper than the
+    * shuffle it saves; persist `incoming` first if the source is
+    * recomputed. Size `numBits` at ~10 bits per distinct seen key (cap
+    * 2^30 bits = 128 MB ≈ 100M keys); past the cap, shard the seen
+    * corpus by fingerprint range and chain one pass per shard.
+    */
+  def incrementalDedupBloom(incoming: DataFrame, idCol: String,
+      textCol: String, seen: DataFrame, seenTextCol: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val reserved = Seq("__fp", "__bloom", "__maybe")
+    val clash = incoming.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"incoming has columns reserved by incrementalDedupBloom: $clash")
+    val seenFp = seen.select(polyHash(col(seenTextCol)).as("__fp"))
+    val bloom = seenFp.agg(
+      bloomFilter(col("__fp"), numBits, numHashes).as("__bloom"))
+    val probed = incoming
+      .withColumn("__fp", polyHash(col(textCol)))
+      .crossJoin(broadcast(bloom))
+      .withColumn("__maybe", bloomContains(col("__bloom"), col("__fp")))
+    val definitelyNew = probed.filter(!col("__maybe"))
+    val verified = probed.filter(col("__maybe"))
+      .join(seenFp.distinct(), Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(verified)
+      .drop("__fp", "__bloom", "__maybe")
+  }
+
   /** Cross-corpus LSH candidates for incremental ingest: (new_id, seen_id)
     * pairs where an incoming document shares at least one LSH band bucket
     * with a document of the seen corpus.

@@ -135,4 +135,25 @@ object TextFunctions {
     graft.core.Graft.column(
       graft.functions.expressions.KmvSketch(
         graft.core.Graft.expression(items), k).toAggregateExpression())
+
+  /** Bloom-filter aggregate over a bigint fingerprint column: a binary
+    * bitset with no false negatives — the broadcastable runtime filter
+    * behind [[graft.dedup.NearDup.incrementalDedupBloom]]. numBits must
+    * be a power of two in [64, 2^30]; ~10 bits/key + 5-7 hashes gives
+    * <1% false positives. See expressions.BloomAgg.
+    */
+  def bloomFilter(fp: Column, numBits: Int, numHashes: Int): Column =
+    graft.core.Graft.column(
+      graft.functions.expressions.BloomAgg(
+        graft.core.Graft.expression(fp), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilter]] bitset (codegen'd):
+    * false = definitely absent, true = present or false positive.
+    */
+  def bloomContains(bloom: Column, fp: Column): Column =
+    graft.core.Graft.column(
+      graft.functions.expressions.BloomContains(
+        graft.core.Graft.expression(bloom),
+        graft.core.Graft.expression(fp)))
 }

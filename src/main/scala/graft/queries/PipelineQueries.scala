@@ -1262,6 +1262,31 @@ object PipelineQueries {
           |  AND vec_id NOT IN (SELECT nid FROM nh)
           |ORDER BY vec_id""".stripMargin)),
 
+    // Bloom-filtered incremental ingest: the d14 anti-join with a Bloom
+    // runtime filter in front — definitely-new rows (probe false) bypass
+    // the exchange, possibly-seen rows verify exactly. Bloom filters have
+    // no false negatives, so the RESULT is identical to d14 whatever bits
+    // the hash sets; the oracle is therefore the same plain ANTI JOIN —
+    // the gate checks the fast path changed the plan, not the answer.
+    GateQuery(
+      "d18_incremental_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.NearDup.incrementalDedupBloom(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            docs.filter(col("doc_id") % 2 === 0), "text",
+            numBits = 1 << 14, numHashes = 5)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH inc AS (SELECT doc_id, lang, source,
+           |      ${polyHashSqlFp} AS fp FROM documents WHERE doc_id % 2 = 1),
+           |seen AS (SELECT DISTINCT ${polyHashSqlFp} AS fp
+           |         FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, lang, source FROM inc
+           |ANTI JOIN seen USING (fp) ORDER BY doc_id""".stripMargin)),
+
     // Token-budget mixing: per-language token budgets consumed in
     // deterministic hash order — the mixture-in-TOKENS counterpart of the
     // rate-based t11/t14 (real training mixtures are token targets, and a
