@@ -191,6 +191,39 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq(idCol))
 
+  /** Streaming ingest dedup — the streaming twin of
+    * `NearDup.incrementalDedup` composed with within-stream exact dedup:
+    * a continuously-arriving document stream is dropped against (a) the
+    * static seen corpus and (b) its own earlier arrivals.
+    *
+    * Stages, both narrow for the streaming side:
+    *  1. `dropDuplicatesWithinWatermark` on the content fingerprint —
+    *     within-stream dedup keeping the FIRST ARRIVAL (streaming has no
+    *     global min-id: later micro-batches cannot retract an emitted
+    *     row; the batch `exactDedup` is the keep-min operator).
+    *  2. stream-static LEFT ANTI join against the seen corpus's distinct
+    *     fingerprints — the seen side is the same one-long-per-document
+    *     frame d14 ships, re-read per micro-batch and broadcastable.
+    *
+    * State is one fingerprint per unexpired document (8 bytes + key
+    * overhead), bounded by the watermark horizon — the streaming
+    * equivalent of d18's "only possibly-seen rows reach the join".
+    */
+  def ingestDedup(docs: DataFrame, tsCol: String, textCol: String,
+      lateness: String, seen: DataFrame, seenTextCol: String): DataFrame = {
+    require(!docs.columns.contains("__fp"),
+      "docs already has a '__fp' column (reserved)")
+    docs.withColumn("__fp",
+        graft.functions.TextFunctions.polyHash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .join(
+        seen.select(graft.functions.TextFunctions.polyHash(col(seenTextCol))
+          .as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Stream-stream interval join: each left event joined to every right
     * event for the same user within the trailing `horizonSec` window
     * (`rts ∈ [lts - horizon, lts]`) — the streaming analogue of

@@ -357,4 +357,40 @@ class EventStreamsSpec extends SparkSpec {
       spark.table("transitions_ttl").count() shouldBe 0L
     } finally query.stop()
   }
+
+  it should "dedup a document stream against itself and the seen corpus" in {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq((100L, "seen text one"), (101L, "seen text two"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams
+      .ingestDedup(docs, "ts", "text", "10 minutes", seen, "text")
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(1), "fresh crawl page"),
+        (2L, ts(2), "seen text one"), // dup of static corpus — dropped
+        (3L, ts(3), "fresh crawl page")) // within-stream dup — dropped
+      query.processAllAvailable()
+      // a later micro-batch redelivers doc 1's content — still dropped
+      input.addData((4L, ts(5), "fresh crawl page"),
+        (5L, ts(6), "another new page"))
+      query.processAllAvailable()
+      rowsOf(spark.table("ingest_dedup"), "doc_id") shouldBe
+        Set(Seq(1L), Seq(5L))
+      // parity with the batch operators on the replayed fixture:
+      // exactDedup keep-min ∘ incrementalDedup gives the same survivors
+      // (arrival order here is id order, so first-arrival = min id)
+      val replay = Seq((1L, "fresh crawl page"), (2L, "seen text one"),
+        (3L, "fresh crawl page"), (4L, "fresh crawl page"),
+        (5L, "another new page")).toDF("doc_id", "text")
+      val batchNew = graft.dedup.NearDup.incrementalDedup(
+        replay, "doc_id", "text", seen, "text")
+      val batchKept = graft.dedup.NearDup.exactDedup(
+        batchNew, "doc_id", "text")
+      rowsOf(batchKept, "keep_id") shouldBe Set(Seq(1L), Seq(5L))
+    } finally query.stop()
+  }
 }
