@@ -285,6 +285,10 @@ object JobsDemo {
       clicks.select($"user_id", $"value"), "user_id", "value",
       bits = 4, nBuckets = 4)
     show("zorder_layout", zo.count(), zo.columns.length)
+    val bloomed = graft.dedup.NearDup.incrementalDedupBloom(
+      corpus, "doc_id", "text",
+      corpus.limit(2), "text", numBits = 1 << 10)
+    show("bloom_ingest", bloomed.count(), bloomed.columns.length)
 
     spark.stop()
   }
