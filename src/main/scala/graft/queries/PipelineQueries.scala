@@ -1287,6 +1287,50 @@ object PipelineQueries {
            |SELECT doc_id, lang, source FROM inc
            |ANTI JOIN seen USING (fp) ORDER BY doc_id""".stripMargin)),
 
+    // JL random-projection ANN: 64-d embeddings projected to 16-d against
+    // a deterministic ±1 sign matrix, candidate top-K' by projected
+    // cosine, exact rerank of the survivors on the full vectors. The
+    // oracle replays the WHOLE pipeline — sign parity, projected dots
+    // (list_dot_product == DotProduct, the d05 contract), both rank
+    // windows — so candidate selection and rerank reproduce bitwise.
+    GateQuery(
+      "d19_ann_projected",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.similarity.Projection.projectedTopK(
+            e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, inDim = 64, outDim = 16, oversample = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT vec_id, v,
+                list_transform(range(0, 16), j ->
+                  list_dot_product(v, list_transform(range(0, 64), i ->
+                    CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+              FROM e),
+        n AS (SELECT vec_id, v, pv,
+                sqrt(list_dot_product(pv, pv)) AS pnrm,
+                sqrt(list_dot_product(v, v)) AS nrm FROM p),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        cand AS (SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.pv, c.pv) / (q.pnrm * c.pnrm)
+                       DESC, c.vec_id) AS crnk
+            FROM q JOIN n c ON q.vec_id <> c.vec_id)
+          WHERE crnk <= 20),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                    DESC, nid) AS rnk
+              FROM cand JOIN q ON cand.qid = q.vec_id
+                        JOIN n c ON cand.nid = c.vec_id)
+        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // Token-budget mixing: per-language token budgets consumed in
     // deterministic hash order — the mixture-in-TOKENS counterpart of the
     // rate-based t11/t14 (real training mixtures are token targets, and a
