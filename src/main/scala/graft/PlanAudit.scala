@@ -24,7 +24,7 @@ object PlanAudit {
       "d17_incremental_semdedup", "t20_freq_sketch", "q49_ewma_chunked",
       "q50_fuzzy_multipass", "t15_redact", "t22_span_dedup",
       "t23_kmv_sample", "t24_contam_join", "t25_profile", "q51_zorder",
-      "d18_incremental_bloom")
+      "d18_incremental_bloom", "d19_ann_projected")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

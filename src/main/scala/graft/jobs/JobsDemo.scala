@@ -289,6 +289,14 @@ object JobsDemo {
       corpus, "doc_id", "text",
       corpus.limit(2), "text", numBits = 1 << 10)
     show("bloom_ingest", bloomed.count(), bloomed.columns.length)
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, (0 until 16).map(d =>
+        (if (d % 3 == i % 3) 1.0f else 0.1f) + d * 0.01f))).toDF(
+      "vec_id", "embedding")
+    val projected = graft.similarity.Projection.projectedTopK(
+      vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding",
+      k = 3, inDim = 16, outDim = 4)
+    show("ann_projected", projected.count(), projected.columns.length)
 
     spark.stop()
   }
