@@ -1556,6 +1556,55 @@ object PipelineQueries {
         }
         Seq("doc_id", "text", "lang", "source", "n_chars")
           .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-      })
+      }),
+
+    // Naive Bayes hashed-feature classifier: training is ONE grouped
+    // count (the Spark-native member of the fastText-supervised family),
+    // scoring a broadcast-model join; log-weights in integer micro-nats
+    // (the t10 pattern) make document scores order-free long sums. The
+    // oracle replays train → score → argmax bitwise: same tokenize,
+    // same polyhash buckets, same Laplace-α=1 quantized weights.
+    GateQuery(
+      "t26_nb_classifier",
+      (s, dir) =>
+        graft.text.NbClassifier.trainScore(t(s, dir, "documents"),
+            "doc_id", "lang", "text", numBuckets = 1024)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokLowerCte,
+           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           |b AS (SELECT doc_id, ${polyHashSql("term")} % 1024 AS bucket
+           |      FROM occ),
+           |lb AS (SELECT b.doc_id, d.lang, b.bucket
+           |       FROM b JOIN documents d USING (doc_id)),
+           |cnt AS (SELECT lang, bucket, COUNT(*) AS cnt FROM lb
+           |        GROUP BY 1, 2),
+           |tot AS (SELECT lang, SUM(cnt) AS tot FROM cnt GROUP BY 1),
+           |nd AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY 1),
+           |nt AS (SELECT COUNT(*) AS n FROM documents),
+           |meta AS (SELECT lang,
+           |    CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS lpr,
+           |    CAST(floor(ln(1.0 / CAST(tot + 1024 AS DOUBLE))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS lw0
+           |  FROM nd CROSS JOIN nt JOIN tot USING (lang)),
+           |w AS (SELECT lang, bucket,
+           |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+           |                  / CAST(tot + 1024 AS DOUBLE))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS lw
+           |  FROM cnt JOIN tot USING (lang)),
+           |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b
+           |       GROUP BY 1, 2),
+           |sc AS (SELECT tf.doc_id, m.lang,
+           |         m.lpr + CAST(SUM(tf.tf * COALESCE(w.lw, m.lw0))
+           |                      AS BIGINT) AS score_lw
+           |       FROM tf CROSS JOIN meta m
+           |       LEFT JOIN w ON w.lang = m.lang AND w.bucket = tf.bucket
+           |       GROUP BY 1, 2, m.lpr),
+           |best AS (SELECT doc_id, lang, score_lw, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY score_lw DESC, lang) AS rn
+           |  FROM sc)
+           |SELECT doc_id, lang AS pred, score_lw FROM best
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }
