@@ -740,6 +740,38 @@ object RelationalExt {
            |SELECT l_partkey, l_suppkey, zx, zy, zval,
            |       CAST(LEAST(zval // 4096, 15) AS BIGINT) AS zbucket
            |FROM zz ORDER BY l_partkey, l_suppkey""".stripMargin
-      })
+      }),
+
+    // ROC-AUC by grouped per-score counts + one cumulative window over
+    // the COMPRESSED score table (never a global row rank): does a
+    // document's length predict lang='en', per source. Exact half-unit
+    // integer numerator; the single float division replays bitwise.
+    GateQuery(
+      "q52_auc",
+      (s, dir) =>
+        graft.operators.Auc.auc(
+            t(s, dir, "documents")
+              .withColumn("__is_en", col("lang") === "en"),
+            scoreCol = "n_chars",
+            labelCol = "__is_en", groupCols = Seq("source"))
+          .orderBy("source"),
+      Some(
+        """WITH ps AS (SELECT source, n_chars AS s,
+          |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+          |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n
+          |  FROM documents GROUP BY 1, 2),
+          |c AS (SELECT source, s, p, n,
+          |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cumn
+          |  FROM ps),
+          |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+          |    CAST(SUM(n) AS BIGINT) AS n_neg,
+          |    CAST(SUM(p * (2 * cumn + n)) AS BIGINT) AS u2
+          |  FROM c GROUP BY 1)
+          |SELECT source, n_pos, n_neg, u2,
+          |  CASE WHEN n_pos > 0 AND n_neg > 0
+          |    THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+          |FROM a ORDER BY source""".stripMargin))
   )
 }
