@@ -772,6 +772,81 @@ object RelationalExt {
           |SELECT source, n_pos, n_neg, u2,
           |  CASE WHEN n_pos > 0 AND n_neg > 0
           |    THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
-          |FROM a ORDER BY source""".stripMargin))
+          |FROM a ORDER BY source""".stripMargin)),
+
+    // SCD2 merge: a customer-dimension history (some rows pre-closed)
+    // receives a snapshot with changed balances, unchanged rows, and
+    // brand-new keys. Every branch — pass-through, close-at-asOf,
+    // replacement, insert — is deterministic column algebra over the
+    // full-outer key join, so the merged history replays bitwise.
+    GateQuery(
+      "q53_scd2_merge",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val hist = c.select(col("c_custkey").as("k"),
+            col("c_nationkey").as("nation"), col("c_acctbal").as("bal"),
+            lit("2020-01-01").as("valid_from"),
+            lit(null).cast("string").as("valid_to"))
+          .unionByName(c.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey").as("k"),
+              col("c_nationkey").as("nation"),
+              (col("c_acctbal") - 50).as("bal"),
+              lit("2019-01-01").as("valid_from"),
+              lit("2020-01-01").as("valid_to")))
+        val upd = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"),
+            col("c_nationkey").as("nation"),
+            (col("c_acctbal") + 100).as("bal"))
+          .unionByName(c.filter(col("c_custkey") % 3 === 1)
+            .select(col("c_custkey").as("k"),
+              col("c_nationkey").as("nation"), col("c_acctbal").as("bal")))
+          .unionByName(c.filter(col("c_custkey") % 5 === 0)
+            .select((col("c_custkey") + 10000000).as("k"),
+              lit(99).as("nation"), lit(0.0).as("bal")))
+        graft.operators.Scd.merge2(hist, upd, Seq("k"),
+            Seq("nation", "bal"), "2024-06-01")
+          .orderBy("k", "valid_from")
+      },
+      Some(
+        """WITH hist AS (
+          |  SELECT c_custkey AS k, c_nationkey AS nation,
+          |         c_acctbal AS bal, '2020-01-01' AS valid_from,
+          |         CAST(NULL AS VARCHAR) AS valid_to FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey, c_nationkey, c_acctbal - 50,
+          |         '2019-01-01', '2020-01-01'
+          |  FROM customer WHERE c_custkey % 7 = 0),
+          |upd AS (
+          |  SELECT c_custkey AS k, c_nationkey AS nation,
+          |         c_acctbal + 100 AS bal
+          |  FROM customer WHERE c_custkey % 3 = 0
+          |  UNION ALL
+          |  SELECT c_custkey, c_nationkey, c_acctbal
+          |  FROM customer WHERE c_custkey % 3 = 1
+          |  UNION ALL
+          |  SELECT c_custkey + 10000000, 99, 0.0
+          |  FROM customer WHERE c_custkey % 5 = 0),
+          |closedh AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+          |op AS (SELECT * FROM hist WHERE valid_to IS NULL),
+          |j AS (SELECT COALESCE(o.k, u.k) AS k, o.nation AS onation,
+          |        o.bal AS obal, o.valid_from AS ovf,
+          |        u.nation AS unation, u.bal AS ubal,
+          |        o.k IS NOT NULL AS has_o, u.k IS NOT NULL AS has_u,
+          |        (o.nation IS NOT DISTINCT FROM u.nation
+          |         AND o.bal IS NOT DISTINCT FROM u.bal) AS same
+          |      FROM op o FULL JOIN upd u ON o.k = u.k),
+          |keep AS (SELECT k, onation AS nation, obal AS bal,
+          |           ovf AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+          |         FROM j WHERE has_o AND ((has_u AND same) OR NOT has_u)),
+          |closenow AS (SELECT k, onation, obal, ovf, '2024-06-01'
+          |             FROM j WHERE has_o AND has_u AND NOT same),
+          |newrows AS (SELECT k, unation, ubal, '2024-06-01',
+          |              CAST(NULL AS VARCHAR)
+          |            FROM j WHERE has_u AND (NOT has_o OR NOT same)),
+          |res AS (SELECT * FROM closedh UNION ALL SELECT * FROM keep
+          |        UNION ALL SELECT * FROM closenow
+          |        UNION ALL SELECT * FROM newrows)
+          |SELECT k, nation, bal, valid_from, valid_to FROM res
+          |ORDER BY k, valid_from""".stripMargin))
   )
 }
