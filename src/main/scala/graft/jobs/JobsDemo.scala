@@ -297,6 +297,21 @@ object JobsDemo {
       vecs, vecs.filter($"vec_id" < 3), "vec_id", "embedding",
       k = 3, inDim = 16, outDim = 4)
     show("ann_projected", projected.count(), projected.columns.length)
+    val labeled = langCorpus.withColumn("source", lit("demo"))
+    val nbPred = graft.text.NbClassifier.trainScore(
+      labeled, "doc_id", "lang", "text", numBuckets = 64)
+    show("nb_classifier", nbPred.count(), nbPred.columns.length)
+    val aucRow = graft.operators.Auc.auc(
+      nbPred.withColumn("hit", $"pred" === "en"),
+      "score_lw", "hit")
+    show("auc", aucRow.count(), aucRow.columns.length)
+    val dimHist = Seq((1L, "bronze", "2020-01-01", null: String),
+      (2L, "gold", "2020-01-01", null: String))
+      .toDF("k", "tier", "valid_from", "valid_to")
+    val dimUpd = Seq((2L, "silver"), (3L, "bronze")).toDF("k", "tier")
+    val dim = graft.operators.Scd.merge2(
+      dimHist, dimUpd, Seq("k"), Seq("tier"), "2024-06-01")
+    show("scd2_merge", dim.count(), dim.columns.length)
 
     spark.stop()
   }
