@@ -1605,6 +1605,57 @@ object PipelineQueries {
            |    PARTITION BY doc_id ORDER BY score_lw DESC, lang) AS rn
            |  FROM sc)
            |SELECT doc_id, lang AS pred, score_lw FROM best
-           |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Spearman rank correlation of two document measures (chars vs
+    // tokens) per source: average ranks from COMPRESSED per-value
+    // counts (no global row sort), ties exact in half-unit integer
+    // ranks, Decimal(38,0) moment sums, Σrank2 = n(n+1) eliminating
+    // any sum-times-sum product. The handful of closing IEEE ops
+    // replays bitwise.
+    GateQuery(
+      "q54_spearman",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__ntok",
+            size(graft.functions.TextFunctions.tokens(
+              lower(col("text")))).cast("long"))
+        graft.operators.RankCorr.spearman(d, "n_chars", "__ntok",
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH $tokLowerCte,
+           |d AS (SELECT dd.doc_id, dd.source, dd.n_chars,
+           |        CAST(len(toks) AS BIGINT) AS ntok
+           |      FROM tok JOIN documents dd USING (doc_id)),
+           |cx AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM d
+           |       GROUP BY 1, 2),
+           |rx AS (SELECT source, v,
+           |    2 * COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      + c + 1 AS r2 FROM cx),
+           |cy AS (SELECT source, ntok AS v, COUNT(*) AS c FROM d
+           |       GROUP BY 1, 2),
+           |ry AS (SELECT source, v,
+           |    2 * COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      + c + 1 AS r2 FROM cy),
+           |j AS (SELECT d.source, rx.r2 AS rx2, ry.r2 AS ry2
+           |      FROM d
+           |      JOIN rx ON d.source = rx.source AND d.n_chars = rx.v
+           |      JOIN ry ON d.source = ry.source AND d.ntok = ry.v),
+           |sums AS (SELECT source, COUNT(*) AS n,
+           |           SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+           |           SUM(rx2 * ry2) AS sxy
+           |         FROM j GROUP BY 1),
+           |fin AS (SELECT source, n, sxx, syy, sxy,
+           |          n * (n + 1) * (n + 1) AS ctr FROM sums)
+           |SELECT source, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN sxx <> ctr AND syy <> ctr THEN
+           |    CAST(sxy - ctr AS DOUBLE)
+           |      / (sqrt(CAST(sxx - ctr AS DOUBLE))
+           |         * sqrt(CAST(syy - ctr AS DOUBLE))) END AS rho
+           |FROM fin ORDER BY source""".stripMargin))
   )
 }
