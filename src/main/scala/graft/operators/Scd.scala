@@ -89,4 +89,15 @@ object Scd {
 
     closed.unionByName(keepOpen).unionByName(closeNow).unionByName(opened)
   }
+
+  /** Time-travel read: the dimension as it was on `date` — rows whose
+    * validity range covers it (valid_from ≤ date < valid_to, open rows
+    * unbounded). A pure filter: partition/file pruning applies when the
+    * history is stored partitioned or z-ordered on the bounds.
+    */
+  def asOf(history: DataFrame, date: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame =
+    history.filter(col(validFrom) <= date &&
+      (col(validTo).isNull || col(validTo) > date))
 }

@@ -109,4 +109,69 @@ object NbClassifier {
     val m = train(df, labelCol, textCol, numBuckets)
     score(df, idCol, textCol, m, numBuckets)
   }
+
+  /** A trained model collected into plan literals: per-label bucket→lw
+    * maps plus (label, lpr, lw0) in ascending label order.
+    */
+  final case class Compiled(labels: Seq[(String, Long, Long)],
+      weights: Map[String, Map[Long, Long]], numBuckets: Int)
+
+  /** Collect a trained model into a [[Compiled]] artifact — the serving
+    * form: the model becomes broadcast plan literals, so scoring is a
+    * pure per-row expression with NO join and NO shuffle. This is the
+    * shape a streaming quality filter needs (no stateful aggregation —
+    * works in append mode on any stream) and the right batch shape when
+    * the scored side dwarfs the model. Bounded by construction: the
+    * collected model is ≤ labels × numBuckets entries — size B for the
+    * driver's heap, not for correctness.
+    */
+  def compile(m: Model, numBuckets: Int): Compiled = {
+    val w = m.tokenWeights.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (l, rows) =>
+        l -> rows.map(r => r._2 -> r._3).toMap
+      }
+    val meta = m.labelMeta.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    Compiled(meta.toSeq, w, numBuckets)
+  }
+
+  /** Map-only scoring against a [[Compiled]] model: identical output to
+    * [[score]] (same micro-nat scores, same score-desc/label-asc
+    * tie-break, token-less documents omitted), but zero exchanges —
+    * usable verbatim on a streaming DataFrame.
+    */
+  def scoreCompiled(docs: DataFrame, idCol: String, textCol: String,
+      c: Compiled): DataFrame = {
+    // buckets materialized in their own projection — HOFs get no CSE,
+    // so an inline tokens(text) would re-tokenize once per label
+    // (the languageId trap, TextAnalysis.scala:32-36)
+    val bucketed = docs
+      .select(col(idCol).as("id"),
+        transform(tokens(lower(col(textCol))),
+          t => polyHash(t) % c.numBuckets).as("__buckets"))
+      .filter(size(col("__buckets")) > 0)
+    val cands = array(c.labels.map { case (l, lpr, lw0) =>
+      val m = c.weights.getOrElse(l, Map.empty)
+      val perTok =
+        if (m.isEmpty) (b: org.apache.spark.sql.Column) => lit(lw0)
+        else (b: org.apache.spark.sql.Column) =>
+          coalesce(element_at(typedlit(m), b), lit(lw0))
+      struct(
+        (lit(lpr) + aggregate(col("__buckets"), lit(0L),
+          (acc, b) => acc + perTok(b))).as("score_lw"),
+        lit(l).as("pred"))
+    }: _*)
+    // strict > keeps the earlier (smaller) label on ties — the same
+    // rule as score()'s score-desc/label-asc window
+    val best = aggregate(cands,
+      struct(lit(Long.MinValue).as("score_lw"), lit("").as("pred")),
+      (acc, s) => when(s.getField("score_lw") > acc.getField("score_lw"),
+        s).otherwise(acc))
+    bucketed.select(col("id").as(idCol),
+      best.getField("pred").as("pred"),
+      best.getField("score_lw").as("score_lw"))
+  }
 }

@@ -72,6 +72,40 @@ class NbClassifierSpec extends SparkSpec {
       "id", "text", m, B).count() shouldBe 0L
   }
 
+  it should "score identically through the compiled map-only path" in {
+    val m = NbClassifier.train(corpus, "label", "text", B)
+    val c = NbClassifier.compile(m, B)
+    val docs = corpus.select($"id", $"text")
+      .unionByName(Seq((12L, "apple kernel zebra")).toDF("id", "text"))
+    val viaJoin = NbClassifier.score(docs, "id", "text", m, B)
+      .orderBy("id").collect()
+    val compiled = NbClassifier.scoreCompiled(docs, "id", "text", c)
+    compiled.orderBy("id").collect() shouldBe viaJoin
+    // serving shape: no join, no exchange — pure per-row expressions
+    compiled.queryExecution.executedPlan.toString should
+      not include "Exchange"
+  }
+
+  it should "score a stream with the compiled model in append mode" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val m = NbClassifier.train(corpus, "label", "text", B)
+    val c = NbClassifier.compile(m, B)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val scored = NbClassifier.scoreCompiled(
+      source.toDF().toDF("id", "text"), "id", "text", c)
+    val q = scored.writeStream.format("memory")
+      .queryName("nb_stream").outputMode("append").start()
+    try {
+      source.addData((100L, "banana mango cherry"),
+        (101L, "socket kernel thread"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT id, pred FROM nb_stream")
+        .as[(Long, String)].collect().toMap
+      out shouldBe Map(100L -> "food", 101L -> "tech")
+    } finally q.stop()
+  }
+
   it should "reject a degenerate bucket count" in {
     an[IllegalArgumentException] should be thrownBy
       NbClassifier.train(corpus, "label", "text", 1)

@@ -77,6 +77,28 @@ class ScdSpec extends SparkSpec {
     a shouldBe merged()
   }
 
+  it should "time-travel with asOf across the merged history" in {
+    val h2 = Scd.merge2(history, updates, Seq("k"), Seq("tier"), D)
+    // before the merge date: the pre-merge open rows
+    Scd.asOf(h2, "2022-01-01")
+      .as[(Long, String, String, Option[String])].collect().toSet shouldBe
+      Set((1L, "silver", "2020-01-01", None),
+        (2L, "bronze", "2020-01-01", Some(D)),
+        (3L, "gold", "2020-01-01", None))
+    // on/after the merge date: the new versions win
+    Scd.asOf(h2, D).as[(Long, String, String, Option[String])]
+      .collect().toSet shouldBe
+      Set((1L, "silver", "2020-01-01", None),
+        (2L, "gold", D, None),
+        (3L, "gold", "2020-01-01", None),
+        (4L, "bronze", D, None))
+    // far past: only the earliest closed version existed
+    Scd.asOf(h2, "2019-06-01")
+      .as[(Long, String, String, Option[String])]
+      .collect().toSet shouldBe
+      Set((1L, "bronze", "2019-01-01", Some("2020-01-01")))
+  }
+
   it should "reject empty key or tracked lists" in {
     an[IllegalArgumentException] should be thrownBy
       Scd.merge2(history, updates, Seq.empty, Seq("tier"), D)
