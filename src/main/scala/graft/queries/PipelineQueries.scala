@@ -1656,6 +1656,51 @@ object PipelineQueries {
            |    CAST(sxy - ctr AS DOUBLE)
            |      / (sqrt(CAST(sxx - ctr AS DOUBLE))
            |         * sqrt(CAST(syy - ctr AS DOUBLE))) END AS rho
-           |FROM fin ORDER BY source""".stripMargin))
+           |FROM fin ORDER BY source""".stripMargin)),
+
+    // χ² feature selection: top document-level-presence terms per
+    // language. A/B/C/D are exact longs off ONE corpus aggregation
+    // (term doc-frequencies derive from it); the χ² value is a fixed
+    // IEEE op sequence over their double casts, so scores AND the
+    // top-k cut replay bitwise.
+    GateQuery(
+      "t27_chi2_features",
+      (s, dir) =>
+        graft.text.FeatureSelect.chiSquareTopTerms(
+            t(s, dir, "documents"), "lang", "text", k = 5)
+          .withColumnRenamed("label", "lang")
+          .orderBy("lang", "rank"),
+      Some(
+        s"""WITH $tokLowerCte,
+           |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term
+           |       FROM tok),
+           |ld AS (SELECT dt.term, d.lang FROM dt
+           |       JOIN documents d USING (doc_id)),
+           |a AS (SELECT lang, term, COUNT(*) AS a FROM ld GROUP BY 1, 2),
+           |tdf AS (SELECT term, SUM(a) AS df FROM a GROUP BY 1),
+           |nl AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+           |nt AS (SELECT COUNT(*) AS n FROM documents),
+           |j AS (SELECT a.lang, a.term, a.a, tdf.df - a.a AS b,
+           |        nl.nl - a.a AS c,
+           |        nt.n - nl.nl - (tdf.df - a.a) AS d, nt.n AS n
+           |      FROM a JOIN tdf USING (term) JOIN nl USING (lang)
+           |      CROSS JOIN nt),
+           |s AS (SELECT lang, term,
+           |        CASE WHEN (c + d) > 0 AND (b + d) > 0 THEN
+           |          (CAST(n AS DOUBLE)
+           |           * ((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           |               - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+           |              * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           |                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))
+           |          / ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+           |             * (CAST(a + c AS DOUBLE)
+           |                * CAST(b + d AS DOUBLE)))
+           |        END AS chi2
+           |      FROM j),
+           |r AS (SELECT lang, term, chi2, row_number() OVER (
+           |        PARTITION BY lang ORDER BY chi2 DESC, term) AS rank
+           |      FROM s WHERE chi2 IS NOT NULL)
+           |SELECT lang, term, chi2, rank FROM r WHERE rank <= 5
+           |ORDER BY lang, rank""".stripMargin))
   )
 }
