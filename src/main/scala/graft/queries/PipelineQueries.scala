@@ -1701,6 +1701,40 @@ object PipelineQueries {
            |        PARTITION BY lang ORDER BY chi2 DESC, term) AS rank
            |      FROM s WHERE chi2 IS NOT NULL)
            |SELECT lang, term, chi2, rank FROM r WHERE rank <= 5
-           |ORDER BY lang, rank""".stripMargin))
+           |ORDER BY lang, rank""".stripMargin)),
+
+    // Poisson bootstrap: 16 deterministic resamples of mean document
+    // length per source, weights dealt by inverse-CDF lookup of a hash
+    // against precomputed integer thresholds (single source of truth:
+    // Bootstrap.Thresholds feeds BOTH the Spark plan and this SQL). No
+    // row replication — all resamples ride one grouped aggregation.
+    GateQuery(
+      "q55_bootstrap",
+      (s, dir) =>
+        graft.operators.Bootstrap.poissonMeans(t(s, dir, "documents"),
+            "doc_id", "n_chars", nResamples = 16, salt = "q55",
+            groupCols = Seq("source"))
+          .orderBy("source", "b"),
+      Some {
+        val cases = graft.operators.Bootstrap.Thresholds.zipWithIndex
+          .map { case (t, k) => s"WHEN hb < $t THEN $k" }
+          .mkString(" ")
+        s"""WITH h AS (SELECT source, n_chars AS v,
+           |    ${polyHashSql("CAST(doc_id AS VARCHAR) || 'q55'")} AS h0
+           |  FROM documents),
+           |r AS (SELECT source, v, b,
+           |    (h0 * 1103515245 + b * 2654435761) % 1000000007 AS hb
+           |  FROM h CROSS JOIN (SELECT unnest(range(1, 17)) AS b) rb),
+           |w AS (SELECT source, b, v,
+           |        CASE $cases ELSE 9 END AS w FROM r),
+           |s AS (SELECT source, b, CAST(SUM(w) AS BIGINT) AS wsum,
+           |        CAST(SUM(w * v) AS BIGINT) AS vsum
+           |      FROM w GROUP BY 1, 2)
+           |SELECT source, b, wsum, vsum,
+           |  CASE WHEN wsum > 0
+           |    THEN CAST(vsum AS DOUBLE) / CAST(wsum AS DOUBLE)
+           |  END AS mean
+           |FROM s ORDER BY source, b""".stripMargin
+      })
   )
 }
