@@ -25,7 +25,8 @@ object PlanAudit {
       "q50_fuzzy_multipass", "t15_redact", "t22_span_dedup",
       "t23_kmv_sample", "t24_contam_join", "t25_profile", "q51_zorder",
       "d18_incremental_bloom", "d19_ann_projected", "t26_nb_classifier",
-      "q52_auc", "q53_scd2_merge")
+      "q52_auc", "q53_scd2_merge", "q54_spearman", "t27_chi2_features",
+      "q55_bootstrap")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

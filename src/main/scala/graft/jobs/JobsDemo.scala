@@ -312,6 +312,23 @@ object JobsDemo {
     val dim = graft.operators.Scd.merge2(
       dimHist, dimUpd, Seq("k"), Seq("tier"), "2024-06-01")
     show("scd2_merge", dim.count(), dim.columns.length)
+    val dimThen = graft.operators.Scd.asOf(dim, "2022-01-01")
+    show("scd2_asof", dimThen.count(), dimThen.columns.length)
+    val rho = graft.operators.RankCorr.spearman(
+      clicks.withColumn("v2", $"value" * 2 + $"user_id"), "value", "v2")
+    show("spearman", rho.count(), rho.columns.length)
+    val feats = graft.text.FeatureSelect.chiSquareTopTerms(
+      labeled, "lang", "text", k = 3)
+    show("chi2_features", feats.count(), feats.columns.length)
+    val ci = graft.operators.Bootstrap.poissonMeans(
+      clicks.withColumn("vi", ($"value" * 1000).cast("long")),
+      "user_id", "vi", nResamples = 8, salt = "demo")
+    show("bootstrap", ci.count(), ci.columns.length)
+    val nbModel = graft.text.NbClassifier.train(labeled, "lang", "text", 64)
+    val compiled = graft.text.NbClassifier.compile(nbModel, 64)
+    val served = graft.text.NbClassifier.scoreCompiled(
+      labeled.select($"doc_id", $"text"), "doc_id", "text", compiled)
+    show("nb_compiled", served.count(), served.columns.length)
 
     spark.stop()
   }
