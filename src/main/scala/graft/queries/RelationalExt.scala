@@ -847,6 +847,40 @@ object RelationalExt {
           |        UNION ALL SELECT * FROM closenow
           |        UNION ALL SELECT * FROM newrows)
           |SELECT k, nation, bal, valid_from, valid_to FROM res
-          |ORDER BY k, valid_from""".stripMargin))
+          |ORDER BY k, valid_from""".stripMargin)),
+
+    // Average precision (step PR-curve area), q52's rare-positive
+    // companion: per-threshold precision quantized to exact integer
+    // micro-units BEFORE the multiply, so the total is an order-free
+    // exact sum and only the closing division is float.
+    GateQuery(
+      "q56_avg_precision",
+      (s, dir) =>
+        graft.operators.Auc.averagePrecision(
+            t(s, dir, "documents")
+              .withColumn("__is_en", col("lang") === "en"),
+            scoreCol = "n_chars",
+            labelCol = "__is_en", groupCols = Seq("source"))
+          .orderBy("source"),
+      Some(
+        """WITH ps AS (SELECT source, n_chars AS s,
+          |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+          |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n
+          |  FROM documents GROUP BY 1, 2),
+          |c AS (SELECT source, s, p, n,
+          |    SUM(p) OVER (PARTITION BY source ORDER BY s DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+          |    SUM(n) OVER (PARTITION BY source ORDER BY s DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+          |  FROM ps),
+          |c2 AS (SELECT source, p, n,
+          |         (cump * 1000000) // (cump + cumn) AS prec FROM c),
+          |a AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+          |        CAST(SUM(n) AS BIGINT) AS n_neg,
+          |        SUM(p * prec) AS apsum FROM c2 GROUP BY 1)
+          |SELECT source, n_pos, n_neg,
+          |  CASE WHEN n_pos > 0 THEN CAST(apsum AS DOUBLE)
+          |    / (1000000.0 * CAST(n_pos AS DOUBLE)) END AS ap
+          |FROM a ORDER BY source""".stripMargin))
   )
 }
