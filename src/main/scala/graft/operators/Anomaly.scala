@@ -53,4 +53,42 @@ object Anomaly {
         (coalesce(abs(col("z")), lit(0.0)) > threshold).cast("int"))
       .drop("__n", "__sx", "__sx2")
   }
+
+  /** Φ⁻¹(3/4): scales MAD to estimate σ for Gaussian data, making
+    * robust_z comparable with an ordinary z-score.
+    */
+  val MadScale: Double = 0.6745
+
+  /** Robust per-group z-scores: median/MAD instead of mean/σ, so up to
+    * half the group can be wild without distorting the score of the
+    * rest (mean/σ z-scores suffer masking: one huge outlier inflates σ
+    * and hides every other one).
+    *
+    * robust_z = MadScale · (x − median) / MAD, NULL when MAD = 0 (at
+    * least half the group sits exactly on the median — no scale to
+    * judge against).
+    *
+    * Two exact interpolated percentile aggregations (the q38 oracle
+    * contract) + two joins of the ≤|groups|-row stats back onto rows —
+    * AQE broadcasts them below the threshold. Same scale caveat as
+    * q38: exact percentile holds a per-group value map; for
+    * billion-distinct-value groups switch to approx_percentile and
+    * lose the oracle, not the API.
+    */
+  def robustZ(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "robustZ needs at least one key column")
+    val g = keyCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(med, keyCols)
+    val mad = dev.groupBy(g: _*)
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    dev.join(mad, keyCols)
+      .withColumn("robust_z",
+        when(col("__mad") > 0,
+          lit(MadScale) * (col(valueCol) - col("__med")) / col("__mad")))
+      .withColumnRenamed("__med", "grp_median")
+      .withColumnRenamed("__mad", "grp_mad")
+  }
 }

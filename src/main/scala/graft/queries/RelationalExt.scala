@@ -881,6 +881,38 @@ object RelationalExt {
           |SELECT source, n_pos, n_neg,
           |  CASE WHEN n_pos > 0 THEN CAST(apsum AS DOUBLE)
           |    / (1000000.0 * CAST(n_pos AS DOUBLE)) END AS ap
-          |FROM a ORDER BY source""".stripMargin))
+          |FROM a ORDER BY source""".stripMargin)),
+
+    // Robust (median/MAD) z-scores per return flag: immune to the
+    // masking that inflates sigma in plain z-scores. Two exact
+    // interpolated percentile aggregations (the q38 replay contract)
+    // + two small-side joins; the score itself is a fixed IEEE op
+    // sequence over values both engines computed identically.
+    GateQuery(
+      "q57_robust_z",
+      (s, dir) =>
+        graft.operators.Anomaly.robustZ(
+            t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+              "l_returnflag", "l_extendedprice"),
+            Seq("l_returnflag"), "l_extendedprice")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice"),
+            col("grp_median"), col("grp_mad"), col("robust_z"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        """WITH med AS (SELECT l_returnflag AS f,
+          |    quantile_cont(l_extendedprice, 0.5) AS med
+          |  FROM lineitem GROUP BY 1),
+          |dev AS (SELECT l_orderkey, l_linenumber, l_returnflag AS f,
+          |    l_extendedprice AS v, med
+          |  FROM lineitem JOIN med ON l_returnflag = med.f),
+          |mad AS (SELECT f, quantile_cont(abs(v - med), 0.5) AS mad
+          |        FROM dev GROUP BY 1)
+          |SELECT l_orderkey, l_linenumber, f AS l_returnflag,
+          |  v AS l_extendedprice, med AS grp_median, mad AS grp_mad,
+          |  CASE WHEN mad > 0 THEN 0.6745 * (v - med) / mad
+          |  END AS robust_z
+          |FROM dev JOIN mad USING (f)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }

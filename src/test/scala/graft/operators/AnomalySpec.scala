@@ -38,4 +38,41 @@ class AnomalySpec extends SparkSpec {
       Anomaly.trailingZScore(series, "k", Seq("o"), "v",
         lookback = 4, minN = 10)
   }
+
+  behavior of "Anomaly.robustZ"
+
+  it should "match the hand-computed median/MAD score" in {
+    // values 1..5: median 3, |dev| = {2,1,0,1,2}, MAD = 1
+    // robust_z(5) = 0.6745 * (5-3) / 1 = 1.349
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val z = Anomaly.robustZ(df, Seq("g"), "v")
+      .filter($"v" === 5.0).select("robust_z").as[Double].head()
+    z shouldBe (0.6745 * 2.0) +- 1e-12
+  }
+
+  it should "resist masking by a huge outlier" in {
+    // classic z: the 1000 inflates sigma so much its own z stays < 3 and
+    // nothing else flags; robust z still scores it enormous
+    val df = ((1 to 20).map(i => ("g", 10.0 + (i % 3))) :+ (("g", 1000.0)))
+      .toDF("g", "v")
+    val rz = Anomaly.robustZ(df, Seq("g"), "v")
+      .filter($"v" === 1000.0).select("robust_z").as[Double].head()
+    rz should be > 100.0
+  }
+
+  it should "emit NULL when at least half the group sits on the median" in {
+    val df = (Seq.fill(6)(("g", 5.0)) :+ (("g", 9.0))).toDF("g", "v")
+    val out = Anomaly.robustZ(df, Seq("g"), "v")
+      .filter($"v" === 9.0).select("robust_z")
+    out.collect()(0).isNullAt(0) shouldBe true
+  }
+
+  it should "scope medians per group" in {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 100.0), ("b", 200.0), ("b", 300.0)).toDF("g", "v")
+    val out = Anomaly.robustZ(df, Seq("g"), "v")
+      .select("g", "grp_median").distinct()
+      .as[(String, Double)].collect().toMap
+    out shouldBe Map("a" -> 2.0, "b" -> 200.0)
+  }
 }
