@@ -178,4 +178,47 @@ object Splits {
       .filter(bucket(col(idCol), salt) < col("__permille"))
       .drop("__permille")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): keep the k rows (per stratum) with the largest
+    * u^(1/w) — equivalently the largest ln(u)/w — where u is a uniform
+    * draw. Inclusion probability scales with the weight: THE primitive
+    * for quality-weighted corpus subsampling (w = quality permille,
+    * token count, dedup multiplicity…).
+    *
+    * Deterministic and engine-portable like every sampler here: u comes
+    * from the salted id hash (LCG-permuted, +1 so ln never sees zero),
+    * ln(u) is quantized to integer MICRO-NATS (the t10 pattern — libm's
+    * ±1 ulp vanishes in the quantization), and the sort key is the one
+    * double division lnu_micro/w, a correctly-rounded IEEE op both
+    * engines perform identically on identical inputs. Same sample on
+    * every run, partitioning, and engine (gate t28).
+    *
+    * The top-k compiles to WindowGroupLimit: each map task pre-filters
+    * to its local top k, so the exchange carries ≤ k·partitions rows
+    * regardless of corpus size (with no strata the final merge is one
+    * task over that bounded set — top-k semantics, not a scan
+    * bottleneck).
+    *
+    * Rows with weight ≤ 0 or NULL are excluded (no mass to sample).
+    * Output: input columns + `es_key` + `sample_rank` (1..k, key desc).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "",
+      strataCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = graft.functions.TextFunctions.HashMod
+    val hp = (polyHash(concat(col(idCol).cast("string"), lit(salt)))
+      * lit(1103515245L) + lit(12345L)) % lit(m)
+    val lnu = floor(log((hp + 1).cast("double") / lit((m + 1).toDouble))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col("es_key").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key",
+        lnu.cast("double") / col(weightCol).cast("double"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -1735,6 +1735,37 @@ object PipelineQueries {
            |    THEN CAST(vsum AS DOUBLE) / CAST(wsum AS DOUBLE)
            |  END AS mean
            |FROM s ORDER BY source, b""".stripMargin
-      })
+      }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis),
+    // weight = document length, top-25 per language: uniform draw from
+    // the LCG-permuted id hash, ln quantized to micro-nats, sort key
+    // the single division lnu/w — the whole sample replays bitwise.
+    GateQuery(
+      "t28_weighted_sample",
+      (s, dir) =>
+        graft.core.Splits.weightedSample(
+            t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+            "doc_id", "n_chars", k = 25, salt = "t28",
+            strataCols = Seq("lang"))
+          .orderBy("lang", "sample_rank"),
+      Some(
+        s"""WITH h AS (SELECT doc_id, lang, n_chars,
+           |    (${polyHashSql("CAST(doc_id AS VARCHAR) || 't28'")}
+           |     * 1103515245 + 12345) % 1000000007 AS hp
+           |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           |k AS (SELECT doc_id, lang, n_chars,
+           |    CAST(floor(ln(CAST(hp + 1 AS DOUBLE) / 1000000008.0)
+           |         * 1000000.0 + 0.5) AS BIGINT) AS lnu
+           |  FROM h),
+           |r AS (SELECT doc_id, lang, n_chars,
+           |    CAST(lnu AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key,
+           |    row_number() OVER (PARTITION BY lang ORDER BY
+           |      CAST(lnu AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC,
+           |      doc_id) AS sample_rank
+           |  FROM k)
+           |SELECT doc_id, lang, n_chars, es_key, sample_rank FROM r
+           |WHERE sample_rank <= 25
+           |ORDER BY lang, sample_rank""".stripMargin))
   )
 }

@@ -133,4 +133,60 @@ class SplitsSpec extends SparkSpec {
     kept shouldBe expect
     kept should contain(9999L)
   }
+  behavior of "Splits.weightedSample"
+
+  it should "sample deterministically under any partitioning" in {
+    val df = (1L to 300L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val a = S.weightedSample(df, "id", "w", k = 20, salt = "ws")
+      .select("id", "sample_rank").as[(Long, Int)].collect().toSet
+    val b = S.weightedSample(df.repartition(9), "id", "w", k = 20,
+      salt = "ws")
+      .select("id", "sample_rank").as[(Long, Int)].collect().toSet
+    a shouldBe b
+    a.size shouldBe 20
+  }
+
+  it should "favor heavy rows across independent salts" in {
+    // half the ids carry weight 10, half weight 1; over many salts the
+    // heavy side should dominate the sample (E-S inclusion scales with w)
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) 10L else 1L)).toDF("id", "w")
+    val heavyRate = (1 to 10).map { s =>
+      S.weightedSample(df, "id", "w", k = 30, salt = s"ws$s")
+        .filter($"id" <= 100).count()
+    }.sum / 10.0
+    heavyRate should be > 24.0 // ~30*10/11 expected, far above the 15 of uniform
+  }
+
+  it should "cap at k per stratum and exclude non-positive weights" in {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 5L),
+      (4L, "b", 5L), (5L, "b", 0L), (6L, "b", -1L)).toDF("id", "g", "w")
+    val out = S.weightedSample(df, "id", "w", k = 2, salt = "s",
+      strataCols = Seq("g"))
+      .select("g", "id").as[(String, Long)].collect()
+    out.count(_._1 == "a") shouldBe 2
+    out.filter(_._1 == "b").map(_._2).toSet shouldBe Set(4L)
+  }
+
+  it should "rank by the replayable ln(u)/w key" in {
+    val df = Seq((7L, 3L), (8L, 5L)).toDF("id", "w")
+    val rows = S.weightedSample(df, "id", "w", k = 2, salt = "key")
+      .orderBy("sample_rank")
+      .select("id", "es_key").as[(Long, Double)].collect()
+    rows.length shouldBe 2
+    rows(0)._2 should be >= rows(1)._2
+    // replicate the key on the driver: LCG-permuted hash -> micro-nat ln
+    def key(id: Long, w: Long): Double = {
+      val m = 1000000007L
+      val h = graft.functions.expressions.PolyHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id + "key"))
+      val hp = (h * 1103515245L + 12345L) % m
+      val lnu = math.floor(
+        math.log((hp + 1).toDouble / (m + 1).toDouble) * 1e6 + 0.5).toLong
+      lnu.toDouble / w.toDouble
+    }
+    rows.toMap.foreach { case (id, k0) =>
+      k0 shouldBe key(id, if (id == 7L) 3L else 5L)
+    }
+  }
 }
