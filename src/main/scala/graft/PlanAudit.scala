@@ -26,7 +26,8 @@ object PlanAudit {
       "t23_kmv_sample", "t24_contam_join", "t25_profile", "q51_zorder",
       "d18_incremental_bloom", "d19_ann_projected", "t26_nb_classifier",
       "q52_auc", "q53_scd2_merge", "q54_spearman", "t27_chi2_features",
-      "q55_bootstrap")
+      "q55_bootstrap", "q56_avg_precision", "q57_robust_z",
+      "t28_weighted_sample")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

@@ -329,6 +329,16 @@ object JobsDemo {
     val served = graft.text.NbClassifier.scoreCompiled(
       labeled.select($"doc_id", $"text"), "doc_id", "text", compiled)
     show("nb_compiled", served.count(), served.columns.length)
+    val ap = graft.operators.Auc.averagePrecision(
+      nbPred.withColumn("hit", $"pred" === "en"), "score_lw", "hit")
+    show("avg_precision", ap.count(), ap.columns.length)
+    val rz = graft.operators.Anomaly.robustZ(
+      clicks.select($"event_type", $"value"), Seq("event_type"), "value")
+    show("robust_z", rz.count(), rz.columns.length)
+    val ws = graft.core.Splits.weightedSample(
+      labeled.withColumn("w", length($"text").cast("long")),
+      "doc_id", "w", k = 2, salt = "demo", strataCols = Seq("lang"))
+    show("weighted_sample", ws.count(), ws.columns.length)
 
     spark.stop()
   }
