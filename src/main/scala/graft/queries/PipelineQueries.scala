@@ -1766,6 +1766,53 @@ object PipelineQueries {
            |  FROM k)
            |SELECT doc_id, lang, n_chars, es_key, sample_rank FROM r
            |WHERE sample_rank <= 25
-           |ORDER BY lang, sample_rank""".stripMargin))
+           |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // Corpus drift: Jensen–Shannon divergence between the English and
+    // non-English token distributions. The log argument is an exact
+    // integer ratio (2·cA·tB over cA·tB + cB·tA), each term's ln is
+    // micro-nat-quantized, contribution sums are exact — the one
+    // closing float combination replays bitwise.
+    GateQuery(
+      "t29_js_divergence",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.text.Divergence.jsTokens(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "text")
+      },
+      Some(
+        s"""WITH $tokLowerCte,
+           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           |lab AS (SELECT occ.term, d.lang = 'en' AS isa
+           |        FROM occ JOIN documents d USING (doc_id)),
+           |ca_t AS (SELECT term, COUNT(*) AS ca FROM lab WHERE isa
+           |         GROUP BY 1),
+           |cb_t AS (SELECT term, COUNT(*) AS cb FROM lab WHERE NOT isa
+           |         GROUP BY 1),
+           |j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+           |      FROM ca_t FULL JOIN cb_t ON ca_t.term = cb_t.term),
+           |tots AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM j),
+           |c AS (SELECT ca, cb, ta, tb,
+           |        CAST(ca AS HUGEINT) * tb AS catb,
+           |        CAST(cb AS HUGEINT) * ta AS cbta
+           |      FROM j CROSS JOIN tots),
+           |s AS (SELECT COUNT(*) AS n_terms,
+           |    ANY_VALUE(ta) AS ta, ANY_VALUE(tb) AS tb,
+           |    SUM(CASE WHEN ca > 0 THEN ca * CAST(floor(
+           |        ln(CAST(2 * catb AS DOUBLE)
+           |           / CAST(catb + cbta AS DOUBLE))
+           |        * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS sa,
+           |    SUM(CASE WHEN cb > 0 THEN cb * CAST(floor(
+           |        ln(CAST(2 * cbta AS DOUBLE)
+           |           / CAST(catb + cbta AS DOUBLE))
+           |        * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS sb
+           |  FROM c)
+           |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+           |  CAST(ta AS BIGINT) AS tot_a, CAST(tb AS BIGINT) AS tot_b,
+           |  (CAST(sa AS DOUBLE) / CAST(ta AS DOUBLE)
+           |   + CAST(sb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2000000.0
+           |    AS js_nats
+           |FROM s""".stripMargin))
   )
 }

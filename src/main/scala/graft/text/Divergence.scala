@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions._
+
+/** Corpus drift detection: Jensen–Shannon divergence between two
+  * corpora's token distributions — "did this week's crawl shift?" is a
+  * release gate in a continuously-ingesting pipeline, and JS is the
+  * standard bounded (≤ ln 2), symmetric, zero-safe comparison (KL
+  * alone blows up whenever a token appears on only one side; JS's
+  * mixture midpoint absorbs that naturally — one-sided tokens just
+  * contribute ln 2 mass).
+  *
+  * Engine-portable by construction, the house recipe: the log argument
+  * p/m = 2·cA·tB / (cA·tB + cB·tA) is an EXACT integer ratio (products
+  * in Decimal(38,0) — safe to ~10¹⁸ tokens a side), each term's
+  * ln is quantized to integer micro-nats, contributions cnt·ln_micro
+  * sum exactly and order-free, and the closing combination is a fixed
+  * handful of IEEE ops — so the divergence replays bitwise (gate t29).
+  *
+  * Plan shape: one token-count aggregation per corpus (map-side
+  * combined), a full-outer join on term (vocabulary-sized, never
+  * documents), a 1-row totals broadcast, one scalar aggregation.
+  */
+object Divergence {
+
+  private val Dec = DecimalType(38, 0)
+
+  /** One row: (n_terms — union vocabulary size, tot_a, tot_b,
+    * js_nats — Jensen–Shannon divergence in nats, NULL if either
+    * corpus has no tokens).
+    */
+  def jsTokens(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(out))
+    val j = counts(a, "ca").join(counts(b, "cb"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tots = j.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val wide = j.crossJoin(broadcast(tots))
+    // p/m and q/m as exact integer ratios, evaluated in one double
+    // division each; ln quantized to micro-nats so the weighted sums
+    // below are exact longs (cnt·|ln| ≤ cnt·ln2·1e6 — Decimal-summed)
+    def lnMicro(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      floor(log(num.cast("double") / den.cast("double"))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val caTb = col("ca").cast(Dec) * col("tb").cast(Dec)
+    val cbTa = col("cb").cast(Dec) * col("ta").cast(Dec)
+    val mDen = caTb + cbTa
+    // the ta/tb>0 guards also keep mDen strictly positive whenever the
+    // branch evaluates (an empty side would otherwise put 0/0 under the
+    // ANSI divide even though js is NULL in that case anyway)
+    val bothLive = col("ta") > 0 && col("tb") > 0
+    val contribs = wide.select(
+      when(col("ca") > 0 && bothLive,
+        col("ca").cast(Dec) * (lnMicro(lit(2).cast(Dec) * caTb, mDen))
+          .cast(Dec))
+        .otherwise(lit(0).cast(Dec)).as("sa"),
+      when(col("cb") > 0 && bothLive,
+        col("cb").cast(Dec) * (lnMicro(lit(2).cast(Dec) * cbTa, mDen))
+          .cast(Dec))
+        .otherwise(lit(0).cast(Dec)).as("sb"),
+      col("ta"), col("tb"))
+    contribs
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_terms"), sum("sa").as("__sa"),
+        sum("sb").as("__sb"))
+      .select(col("n_terms"), col("ta").as("tot_a"), col("tb").as("tot_b"),
+        when(col("ta") > 0 && col("tb") > 0,
+          (col("__sa").cast("double") / col("ta").cast("double")
+            + col("__sb").cast("double") / col("tb").cast("double"))
+            / lit(2000000.0)).as("js_nats"))
+  }
+}

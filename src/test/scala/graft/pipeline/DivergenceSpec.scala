@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.text.Divergence
+
+/** Jensen–Shannon corpus divergence (text/Divergence): identity,
+  * symmetry, the ln 2 disjoint bound, a hand-computed mixed case, and
+  * partition invariance.
+  */
+class DivergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("id", "text")
+
+  private def js(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Double =
+    Divergence.jsTokens(a, b, "text").select("js_nats").as[Double].head()
+
+  behavior of "Divergence.jsTokens"
+
+  it should "be ~0 for identical corpora and ln 2 for disjoint ones" in {
+    val a = corpus(1L -> "alpha beta gamma", 2L -> "beta gamma")
+    js(a, a) shouldBe 0.0 +- 1e-6
+    val b = corpus(1L -> "delta epsilon", 2L -> "epsilon zeta")
+    js(a, b) shouldBe math.log(2.0) +- 1e-6
+  }
+
+  it should "be symmetric" in {
+    val a = corpus(1L -> "x x y z", 2L -> "y y z")
+    val b = corpus(1L -> "x z z w")
+    js(a, b) shouldBe js(b, a) +- 1e-9
+  }
+
+  it should "match a direct computation on a mixed vocabulary" in {
+    val a = corpus(1L -> "x x y") // P: x 2/3, y 1/3
+    val b = corpus(1L -> "x y y y") // Q: x 1/4, y 3/4
+    def kl(p: Map[String, Double], m: Map[String, Double]) =
+      p.map { case (t, pv) => pv * math.log(pv / m(t)) }.sum
+    val p = Map("x" -> 2.0 / 3, "y" -> 1.0 / 3)
+    val q = Map("x" -> 1.0 / 4, "y" -> 3.0 / 4)
+    val m = p.map { case (t, pv) => t -> (pv + q(t)) / 2 }
+    val expected = (kl(p, m) + kl(q, m)) / 2
+    js(a, b) shouldBe expected +- 1e-5
+  }
+
+  it should "report NULL for an empty side with counts intact" in {
+    val a = corpus(1L -> "x y")
+    val out = Divergence.jsTokens(a, corpus(1L -> "  "), "text").head()
+    out.isNullAt(3) shouldBe true
+    out.getLong(1) shouldBe 2L // tot_a
+    out.getLong(2) shouldBe 0L // tot_b
+  }
+
+  it should "be invariant to partitioning" in {
+    val a = corpus((1L to 40L).map(i =>
+      i -> s"tok${i % 7} tok${i % 3} shared"): _*)
+    val b = corpus((1L to 40L).map(i =>
+      i -> s"tok${i % 5} shared shared"): _*)
+    js(a.repartition(7), b.repartition(3)) shouldBe js(a, b)
+  }
+}
