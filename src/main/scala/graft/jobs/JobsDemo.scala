@@ -339,6 +339,10 @@ object JobsDemo {
       labeled.withColumn("w", length($"text").cast("long")),
       "doc_id", "w", k = 2, salt = "demo", strataCols = Seq("lang"))
     show("weighted_sample", ws.count(), ws.columns.length)
+    val drift = graft.text.Divergence.jsTokens(
+      labeled.filter($"lang" === "en"), labeled.filter($"lang" =!= "en"),
+      "text")
+    show("js_divergence", drift.count(), drift.columns.length)
 
     spark.stop()
   }
