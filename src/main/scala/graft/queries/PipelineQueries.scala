@@ -1813,6 +1813,6 @@ object PipelineQueries {
            |  (CAST(sa AS DOUBLE) / CAST(ta AS DOUBLE)
            |   + CAST(sb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2000000.0
            |    AS js_nats
-           |FROM s""".stripMargin))
+           |FROM s ORDER BY n_terms""".stripMargin))
   )
 }
