@@ -22,7 +22,8 @@ import graft.jobs._
   * search_aggregates (cli.py:49). Beyond the reference set: `curate`
   * (quality rules → decontamination → near-dup keep-one over a document
   * corpus), `spandedup` (ExactSubstr duplicate-span removal), `pack`,
-  * `mix`, `transitions`.
+  * `mix`, `transitions`, `classify` (NB train+score), `sample`
+  * (weighted sampling w/o replacement), `drift` (JS divergence gate).
   */
 object Main {
 
@@ -541,6 +542,42 @@ object Main {
           o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text"),
           spanTokens = o.getOrElse("span-tokens", "20").toInt),
           required("output"))
+
+      case "classify" =>
+        // NB quality/language classifier: train on --input (labeled),
+        // score --score-input (defaults to the training corpus) →
+        // (id, pred, score_lw) parquet
+        val buckets = o.getOrElse("buckets", "4096").toInt
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val m = graft.text.NbClassifier.train(input,
+          o.getOrElse("label-col", "lang"), textCol, buckets)
+        val toScore = o.get("score-input")
+          .map(spark.read.parquet(_)).getOrElse(input)
+        write(graft.text.NbClassifier.score(toScore, idCol, textCol, m,
+          buckets), required("output"))
+
+      case "sample" =>
+        // weighted sampling without replacement (E-S): top --k rows by
+        // quality/length weight, optionally per --strata-col
+        write(graft.core.Splits.weightedSample(input,
+          o.getOrElse("id-col", "doc_id"), required("weight-col"),
+          k = required("k").toInt, salt = o.getOrElse("salt", ""),
+          strataCols = o.get("strata-col").toSeq), required("output"))
+
+      case "drift" =>
+        // corpus drift gate: JS divergence between --input and
+        // --reference token distributions; exits the JSON to
+        // --stats-output for release tooling
+        val ref = spark.read.parquet(required("reference"))
+        val row = graft.text.Divergence.jsTokens(input, ref,
+          o.getOrElse("text-col", "text")).head()
+        val report = Map(
+          "n_terms" -> row.getLong(0), "tot_a" -> row.getLong(1),
+          "tot_b" -> row.getLong(2),
+          "js_nats" -> (if (row.isNullAt(3)) null else row.getDouble(3)))
+        writeJson(required("stats-output"), report)
+        println(s"[graft] drift wrote ${required("stats-output")}")
 
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")

@@ -323,6 +323,47 @@ class CliSpec extends SparkSpec {
     byLang("en").toDouble should be < 60.0 // damped toward sqrt(10/90)
   }
 
+  it should "dispatch classify (train on labeled, score a new batch)" in {
+    val in = tmp("cls-in"); val sc = tmp("cls-score"); val out = tmp("cls-out")
+    Seq((1L, "food", "apple banana cherry"), (2L, "food", "banana mango"),
+      (3L, "tech", "kernel socket thread"), (4L, "tech", "compiler socket"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(in)
+    Seq((10L, "mango banana"), (11L, "socket kernel"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(sc)
+    dispatch("classify", "input" -> in, "score-input" -> sc,
+      "output" -> out, "buckets" -> "128")
+    spark.read.parquet(out).select("doc_id", "pred")
+      .as[(Long, String)].collect().toMap shouldBe
+      Map(10L -> "food", 11L -> "tech")
+  }
+
+  it should "dispatch sample with a stratum cap" in {
+    val in = tmp("smp-in"); val out = tmp("smp-out")
+    (1L to 60L).map(i => (i, if (i <= 30) "en" else "de", i % 9 + 1))
+      .toDF("doc_id", "lang", "w").write.mode("overwrite").parquet(in)
+    dispatch("sample", "input" -> in, "output" -> out,
+      "weight-col" -> "w", "k" -> "5", "strata-col" -> "lang",
+      "salt" -> "cli")
+    val got = spark.read.parquet(out).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map("en" -> 5L, "de" -> 5L)
+  }
+
+  it should "dispatch drift and write the JSON report" in {
+    val a = tmp("drift-a"); val b = tmp("drift-b")
+    val rpt = tmp("drift-json") + "/report.json"
+    Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(a)
+    Seq((1L, "delta epsilon")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b)
+    dispatch("drift", "input" -> a, "reference" -> b,
+      "stats-output" -> rpt)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(rpt))
+    json should include("\"js_nats\"")
+    // disjoint vocabularies -> ln 2 (micro-nat quantized)
+    json should include("0.693147")
+  }
+
   it should "reject unknown commands" in {
     a[RuntimeException] should be thrownBy dispatch("nope")
   }
