@@ -1813,6 +1813,55 @@ object PipelineQueries {
            |  (CAST(sa AS DOUBLE) / CAST(ta AS DOUBLE)
            |   + CAST(sb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2000000.0
            |    AS js_nats
-           |FROM s ORDER BY n_terms""".stripMargin))
+           |FROM s ORDER BY n_terms""".stripMargin)),
+
+    // Numeric drift: PSI of document length, English vs the rest, 10
+    // equal-width bins over the combined range. Laplace-smoothed bin
+    // ratios as exact integer fractions, micro-nat lns, bin terms over
+    // a common denominator — exact sums, one closing float sequence.
+    GateQuery(
+      "q58_psi",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.text.Divergence.psi(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "n_chars", bins = 10)
+      },
+      Some(
+        """WITH va AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+          |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+          |vb AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+          |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+          |bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM
+          |  (SELECT v FROM va UNION ALL SELECT v FROM vb)),
+          |ba AS (SELECT CASE WHEN hi > lo
+          |    THEN ((v - lo) * 10) // (hi - lo + 1) ELSE 0 END AS bin,
+          |    COUNT(*) AS ca
+          |  FROM va CROSS JOIN bounds GROUP BY 1),
+          |bb AS (SELECT CASE WHEN hi > lo
+          |    THEN ((v - lo) * 10) // (hi - lo + 1) ELSE 0 END AS bin,
+          |    COUNT(*) AS cb
+          |  FROM vb CROSS JOIN bounds GROUP BY 1),
+          |spine AS (SELECT unnest(range(0, 10)) AS bin),
+          |j AS (SELECT spine.bin, COALESCE(ca, 0) AS ca,
+          |        COALESCE(cb, 0) AS cb
+          |      FROM spine LEFT JOIN ba USING (bin)
+          |      LEFT JOIN bb USING (bin)),
+          |tots AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM j),
+          |c AS (SELECT ca, cb, ta, tb,
+          |        CAST(ca + 1 AS HUGEINT) * (tb + 10) AS asm,
+          |        CAST(cb + 1 AS HUGEINT) * (ta + 10) AS bsm
+          |      FROM j CROSS JOIN tots),
+          |s AS (SELECT COUNT(*) AS n_bins, ANY_VALUE(ta) AS ta,
+          |        ANY_VALUE(tb) AS tb,
+          |        SUM((asm - bsm) * CAST(floor(
+          |          ln(CAST(asm AS DOUBLE) / CAST(bsm AS DOUBLE))
+          |          * 1000000.0 + 0.5) AS BIGINT)) AS t
+          |      FROM c)
+          |SELECT CAST(n_bins AS BIGINT) AS n_bins,
+          |  CAST(ta AS BIGINT) AS tot_a, CAST(tb AS BIGINT) AS tot_b,
+          |  CAST(t AS DOUBLE) / (CAST(ta + 10 AS DOUBLE)
+          |    * CAST(tb + 10 AS DOUBLE) * 1000000.0) AS psi
+          |FROM s ORDER BY n_bins""".stripMargin))
   )
 }

@@ -74,4 +74,66 @@ object Divergence {
             + col("__sb").cast("double") / col("tb").cast("double"))
             / lit(2000000.0)).as("js_nats"))
   }
+
+  /** Population stability index over an INTEGRAL metric column — the
+    * numeric companion to [[jsTokens]] and the industry-standard
+    * release gate for score/feature drift (rule of thumb: < 0.1 stable,
+    * 0.1–0.25 watch, > 0.25 shifted).
+    *
+    * Equal-width bins over the COMBINED min/max (exact integer
+    * scaling, the z-order recipe), Laplace +1 smoothing on every bin
+    * (PSI's classic empty-bin blow-up), and the exactness recipe:
+    * p/q = (cA+1)(tB+B) / ((cB+1)(tA+B)) is an exact integer ratio fed
+    * to a micro-nat ln, each bin's (p−q) is put over the common
+    * denominator (tA+B)(tB+B) so its numerator is an exact integer,
+    * and the bin terms numerator·ln_micro sum exactly — ONE closing
+    * float division sequence (gate q58).
+    *
+    * Plan: one 1-row bounds aggregation broadcast onto each side's
+    * bin-count aggregation (both map-side combined; the shuffle
+    * carries ≤ bins rows per side), a dense `spark.range(bins)` spine
+    * so empty bins participate in the smoothing, one scalar agg.
+    *
+    * Output one row: (n_bins, tot_a, tot_b, psi — NULL if either side
+    * is empty).
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100000, s"bins must be in [2, 1e5]: $bins")
+    val spark = a.sparkSession
+    val va = a.select(col(valueCol).cast("long").as("v")).filter(
+      col("v").isNotNull)
+    val vb = b.select(col(valueCol).cast("long").as("v")).filter(
+      col("v").isNotNull)
+    val bounds = va.unionByName(vb)
+      .agg(min("v").as("lo"), max("v").as("hi"))
+    def binned(side: DataFrame, out: String) = side
+      .crossJoin(broadcast(bounds))
+      .select(when(col("hi") > col("lo"),
+        expr(s"((v - lo) * $bins) div (hi - lo + 1)"))
+        .otherwise(lit(0L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val j = spine
+      .join(binned(va, "ca"), Seq("bin"), "left")
+      .join(binned(vb, "cb"), Seq("bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tots = j.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val wide = j.crossJoin(broadcast(tots))
+    val aSm = (col("ca") + 1).cast(Dec) * (col("tb") + bins).cast(Dec)
+    val bSm = (col("cb") + 1).cast(Dec) * (col("ta") + bins).cast(Dec)
+    val lnM = floor(log(aSm.cast("double") / bSm.cast("double"))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    val contribs = wide.select(col("ta"), col("tb"),
+      when(col("ta") > 0 && col("tb") > 0,
+        (aSm - bSm) * lnM.cast(Dec)).otherwise(lit(0).cast(Dec)).as("t"))
+    contribs.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_bins"), sum("t").as("__t"))
+      .select(col("n_bins"), col("ta").as("tot_a"), col("tb").as("tot_b"),
+        when(col("ta") > 0 && col("tb") > 0,
+          col("__t").cast("double")
+            / ((col("ta") + bins).cast("double")
+              * (col("tb") + bins).cast("double") * lit(1000000.0)))
+          .as("psi"))
+  }
 }

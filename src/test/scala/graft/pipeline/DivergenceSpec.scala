@@ -58,4 +58,50 @@ class DivergenceSpec extends SparkSpec {
       i -> s"tok${i % 5} shared shared"): _*)
     js(a.repartition(7), b.repartition(3)) shouldBe js(a, b)
   }
+
+  behavior of "Divergence.psi"
+
+  private def nums(vs: Long*) = vs.zipWithIndex
+    .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+  private def psiOf(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Double =
+    Divergence.psi(a, b, "v", bins = 4).select("psi").as[Double].head()
+
+  it should "be ~0 for identical distributions" in {
+    val a = nums(1, 2, 3, 10, 11, 20, 21, 30)
+    psiOf(a, a) shouldBe 0.0 +- 1e-6
+  }
+
+  it should "grow with distribution shift and stay symmetric-signless" in {
+    val a = nums(1, 2, 3, 4, 5, 6, 7, 8) // low end
+    val b = nums(33, 34, 35, 36, 37, 38, 39, 40) // high end
+    val drift = psiOf(a, b)
+    drift should be > 0.25 // "shifted" per the PSI rule of thumb
+    psiOf(b, a) shouldBe drift +- 1e-9 // PSI is symmetric
+    val mild = nums(1, 2, 3, 4, 33, 34, 35, 36)
+    psiOf(a, mild) should be < drift
+  }
+
+  it should "match a direct smoothed computation" in {
+    val a = nums(0, 0, 1, 1, 2, 3) // bins over [0,3], width 1
+    val b = nums(0, 1, 2, 2, 3, 3)
+    val ca = Seq(2L, 2L, 1L, 1L); val cb = Seq(1L, 1L, 2L, 2L)
+    val (taS, tbS) = (6L + 4L, 6L + 4L)
+    val expected = ca.zip(cb).map { case (x, y) =>
+      val p = (x + 1.0) / taS; val q = (y + 1.0) / tbS
+      (p - q) * math.log(p / q)
+    }.sum
+    psiOf(nums(0, 0, 1, 1, 2, 3), nums(0, 1, 2, 2, 3, 3)) shouldBe
+      expected +- 1e-5
+  }
+
+  it should "be NULL for an empty side and partition-invariant" in {
+    val a = nums(1, 2, 3)
+    Divergence.psi(a, nums().limit(0), "v", 4)
+      .head().isNullAt(3) shouldBe true
+    val b = nums(5, 6, 7, 8, 9)
+    Divergence.psi(a.repartition(5), b.repartition(3), "v", 4)
+      .select("psi").as[Double].head() shouldBe psiOf(a, b)
+  }
 }
