@@ -343,6 +343,12 @@ object JobsDemo {
       labeled.filter($"lang" === "en"), labeled.filter($"lang" =!= "en"),
       "text")
     show("js_divergence", drift.count(), drift.columns.length)
+    val psiRow = graft.text.Divergence.psi(
+      clicks.filter($"user_id" % 2 === 0)
+        .withColumn("vi", ($"value" * 100).cast("long")),
+      clicks.filter($"user_id" % 2 === 1)
+        .withColumn("vi", ($"value" * 100).cast("long")), "vi", bins = 5)
+    show("psi", psiRow.count(), psiRow.columns.length)
 
     spark.stop()
   }
