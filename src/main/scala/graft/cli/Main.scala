@@ -567,15 +567,22 @@ object Main {
 
       case "drift" =>
         // corpus drift gate: JS divergence between --input and
-        // --reference token distributions; exits the JSON to
-        // --stats-output for release tooling
+        // --reference token distributions (+ PSI over --psi-col when
+        // given); exits the JSON to --stats-output for release tooling
         val ref = spark.read.parquet(required("reference"))
         val row = graft.text.Divergence.jsTokens(input, ref,
           o.getOrElse("text-col", "text")).head()
+        val psiPart = o.get("psi-col").map { pc =>
+          val p = graft.text.Divergence.psi(input, ref, pc,
+            bins = o.getOrElse("psi-bins", "10").toInt).head()
+          Map(s"psi_$pc" ->
+            (if (p.isNullAt(3)) null else p.getDouble(3)))
+        }.getOrElse(Map.empty)
         val report = Map(
           "n_terms" -> row.getLong(0), "tot_a" -> row.getLong(1),
           "tot_b" -> row.getLong(2),
-          "js_nats" -> (if (row.isNullAt(3)) null else row.getDouble(3)))
+          "js_nats" -> (if (row.isNullAt(3)) null
+                        else row.getDouble(3))) ++ psiPart
         writeJson(required("stats-output"), report)
         println(s"[graft] drift wrote ${required("stats-output")}")
 

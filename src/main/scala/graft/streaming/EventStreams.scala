@@ -375,4 +375,32 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming corpus-drift monitor: per micro-batch, the
+    * Jensen–Shannon divergence of the batch's token distribution
+    * against a STATIC reference corpus ([[graft.text.Divergence]]).
+    *
+    * Deliberately foreachBatch, not a chained stateful aggregation:
+    * JS needs the full vocabulary union per comparison (a full-outer
+    * join streaming cannot express), and the production question is
+    * per-ingest-batch anyway ("does today's crawl still look like the
+    * accepted corpus?"). Each batch runs the exact batch operator —
+    * same bitwise-replayable number the t29 gate checks — and hands
+    * (batchId, n_terms, tot_batch, tot_ref, js_nats) to the sink.
+    *
+    * The caller starts the returned writer (`.start()`), picking
+    * trigger/checkpoint; the reference should be a small distilled
+    * sample or pre-aggregated corpus (it is re-scanned per batch —
+    * cache it).
+    */
+  def driftMonitor(docs: DataFrame, textCol: String, reference: DataFrame)(
+      sink: (Long, org.apache.spark.sql.Row) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        sink(id,
+          graft.text.Divergence.jsTokens(batch, reference, textCol).head())
+    }
 }

@@ -357,11 +357,12 @@ class CliSpec extends SparkSpec {
     Seq((1L, "delta epsilon")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(b)
     dispatch("drift", "input" -> a, "reference" -> b,
-      "stats-output" -> rpt)
+      "stats-output" -> rpt, "psi-col" -> "doc_id", "psi-bins" -> "2")
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(rpt))
     json should include("\"js_nats\"")
     // disjoint vocabularies -> ln 2 (micro-nat quantized)
     json should include("0.693147")
+    json should include("\"psi_doc_id\"")
   }
 
   it should "reject unknown commands" in {

@@ -104,4 +104,28 @@ class DivergenceSpec extends SparkSpec {
     Divergence.psi(a.repartition(5), b.repartition(3), "v", 4)
       .select("psi").as[Double].head() shouldBe psiOf(a, b)
   }
+
+  behavior of "EventStreams.driftMonitor"
+
+  it should "score each micro-batch against the reference" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reference = corpus(1L -> "alpha beta", 2L -> "beta gamma")
+    val seen = scala.collection.mutable.Map[Long, Double]()
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.driftMonitor(
+        source.toDF().toDF("id", "text"), "text", reference) {
+      (id, row) => seen.synchronized {
+        seen(id) = if (row.isNullAt(3)) Double.NaN else row.getDouble(3)
+      }
+    }.start()
+    try {
+      source.addData(10L -> "alpha beta beta gamma") // same distribution
+      q.processAllAvailable()
+      source.addData(11L -> "delta epsilon") // disjoint
+      q.processAllAvailable()
+    } finally q.stop()
+    seen(0L) shouldBe 0.0 +- 1e-6
+    seen(1L) shouldBe math.log(2.0) +- 1e-6
+  }
 }
