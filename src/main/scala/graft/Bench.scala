@@ -103,16 +103,33 @@ object Bench {
     // run distorts the round's total the most.
     val extraRunThreshold = 0.5
 
-    def timedRun(q: graft.queries.GateQuery): Double = {
+    // Failure-honest timing: a throwing query must NEVER be timed — with
+    // an upstream break (e.g. a testdata schema change), milliseconds-to-
+    // AnalysisException would otherwise be recorded as the suite's fastest
+    // queries and silently poison the round's comparison. A failure is
+    // reported as `"err"` in the JSON and excluded from the total.
+    def timedRun(q: graft.queries.GateQuery): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      val res =
+        try { q.fn(spark, sfDir).count(); Right(()) }
+        catch { case scala.util.control.NonFatal(e) =>
+          Left(s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator
+              .take(1).mkString.take(200))
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // pipelines cache intermediate frames (LSH fan-outs); drop them so
       // queries don't steal each other's execution memory
       spark.catalog.clearCache()
-      elapsed
+      res.map(_ => elapsed)
     }
+    def minRun(q: graft.queries.GateQuery,
+        best: Either[String, Double]): Either[String, Double] =
+      (best, timedRun(q)) match {
+        case (Right(b), Right(t)) => Right(math.min(b, t))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      }
 
     val results = SparkEntry.gateQueries
       .filterNot(q => NonHeadline.contains(q.name))
@@ -124,12 +141,12 @@ object Bench {
         val first = timedRun(q)
         val (r1, w1) = drainedSnapshot()
         val baseRuns = runsFor(q.name)
-        val base = (1 until baseRuns)
-          .foldLeft(first)((b, _) => math.min(b, timedRun(q)))
-        val best =
-          if (base > extraRunThreshold && baseRuns < 3)
-            (baseRuns until 3).foldLeft(base)((b, _) => math.min(b, timedRun(q)))
-          else base
+        val base = (1 until baseRuns).foldLeft(first)((b, _) => minRun(q, b))
+        val best = base match {
+          case Right(t) if t > extraRunThreshold && baseRuns < 3 =>
+            (baseRuns until 3).foldLeft(base)((b, _) => minRun(q, b))
+          case other => other
+        }
         (q.name, best, (r1 - r0) + (w1 - w0))
       }
     // The driver captures stdout via a BOUNDED TAIL and parses the last
@@ -139,11 +156,20 @@ object Bench {
     // Print a COMPACT line (3-decimal times, no shuffle_mb — that detail
     // lives in the file artifact below) so the line stays ~1.3 KB.
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map {
+      case (k, Right(v), _) => "\"" + k + "\":" + f3(v)
+      case (k, Left(e), _)  => "\"" + k + "\":{\"err\":" + jstr(e) + "}"
+    }.mkString("{", ",", "}")
     val sh = results.map { case (k, _, b) =>
       "\"" + k + "\":" + f3(b / 1024 / 1024.0) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errCount = results.count(_._2.isLeft)
+    // total covers succeeding queries only; n_err flags the exclusions so
+    // a partially-broken suite can't masquerade as a fast one
+    val total = results.collect { case (_, Right(v), _) => v }.sum
     val loadEnd = loadAvg1m()
     val calEnd = calibrate()
     // Sentinel block: loadavg (1-min) and the fixed calibration query's
@@ -154,18 +180,30 @@ object Bench {
       s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +
         s""""calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}}"""
     val compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$sentinel,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_err":$errCount,$sentinel,"queries":$qs,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$sentinel,"queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
-    // Persist the full JSON (incl. shuffle_mb) to a file first, then print
-    // the compact line LAST so it sits at the very end of the tail window.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_err":$errCount,$sentinel,"queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+    // Persist the full JSON (incl. shuffle_mb + sentinels) to files FIRST,
+    // then print the compact line LAST so it sits at the very end of the
+    // tail window. Two copies: the env-selected path AND a fixed repo-local
+    // artifact (bench_local/bench_out.json) so the complete record survives
+    // any stdout truncation the driver's capture applies — r8's captured
+    // tail cut the JSON mid-line and lost the load sentinels built for
+    // exactly that adjudication.
+    val outs = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"),
+      "bench_local/bench_out.json").distinct
     // best-effort: a malformed SPARK_GRAFT_BENCH_OUT throws
     // InvalidPathException (a RuntimeException) from Paths.get — swallow
     // anything non-fatal rather than crash after results are computed
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(_) => () }
+    outs.foreach { out =>
+      try {
+        val p = java.nio.file.Paths.get(out)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p,
+          full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     println(compact)
     spark.stop()
   }

@@ -67,11 +67,38 @@ object Graft {
     * either way (SURVEY.md §4: PruneFileSourcePartitions).
     */
   def table(spark: SparkSession, sfDir: String, name: String,
-      mergeSchema: Boolean = false): DataFrame =
+      mergeSchema: Boolean = false): DataFrame = {
     // mergeSchema mirrors the reference's evolving-schema reads
     // (mozetl/clientsdaily/rollup.py:23 et al.)
-    spark.read.option("mergeSchema", mergeSchema.toString)
+    val df = spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(s"$sfDir/$name.parquet")
+    normalizeTable(df, name)
+  }
+
+  /** Timestamp columns of the driver test tables, normalized on read.
+    * Keyed by table name so reads of caller-owned tables pass through
+    * untouched; a listed column absent from a given file is skipped
+    * (mergeSchema / projection reads).
+    */
+  private val timestampColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** Absorb parquet timestamp-encoding drift for the known test tables:
+    * the testdata writer has already shipped both TIMESTAMP(NANOS)
+    * (reads as long under nanosAsLong) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=0) (reads as TIMESTAMP_NTZ) for the same column
+    * across rounds. A 100 TB lake holds mixed-vintage files, so the
+    * reader normalizes from the LOADED schema (graft.queries.GateQuery
+    * .normalizeTs) instead of assuming one writer vintage.
+    */
+  def normalizeTable(df: DataFrame, name: String): DataFrame =
+    timestampColumns.getOrElse(name, Nil)
+      .filter(df.columns.contains)
+      .foldLeft(df) { (d, c) =>
+        d.withColumn(c, graft.queries.GateQuery.normalizeTs(d, c))
+      }
 
   /** Register every test table as a temp view (for spark.sql-style queries,
     * mirroring the reference's catalog-table access — SURVEY.md §2.1 S3).

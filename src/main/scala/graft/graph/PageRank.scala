@@ -50,9 +50,20 @@ object PageRank {
     *   graphs with different dangling fractions. Default false: mass
     *   simply leaks (cheaper; ranking ORDER within a graph is identical
     *   when dangling mass is shared uniformly anyway).
+    * @param materialize lifecycle of the three internal caches (edge list,
+    *   node/degree table, degree-annotated edges). True (default, the safe
+    *   choice for a long-lived application): eagerly evaluate the result,
+    *   release the internal caches before returning — repeated library
+    *   calls cannot accumulate graph-sized cached frames. False (a caller
+    *   that manages the session cache itself, e.g. a bench/ETL step that
+    *   evaluates the result exactly once and then clears the cache): return
+    *   the lazy plan still backed by the internal caches, skipping the
+    *   extra materialization job — the caller MUST evaluate the result
+    *   before `spark.catalog.clearCache()` or its own unpersists.
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, redistributeDangling: Boolean = false): DataFrame = {
+      iterations: Int, redistributeDangling: Boolean = false,
+      materialize: Boolean = true): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]: $iterations")
     // null endpoints would silently strand rank mass (a null key matches
@@ -129,11 +140,13 @@ object PageRank {
     // the q48 graph. The small (node, rank) cache that remains follows
     // the session cache lifecycle.
     val out = ranks.select(col("node"), col("r").as("rank_micro"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    e.unpersist(false)
-    nodeDeg.unpersist(false)
-    withDeg.unpersist(false)
-    out
+    if (materialize) {
+      val m = out.persist(StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      e.unpersist(false)
+      nodeDeg.unpersist(false)
+      withDeg.unpersist(false)
+      m
+    } else out
   }
 }

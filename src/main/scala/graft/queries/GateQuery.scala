@@ -34,14 +34,32 @@ object GateQuery {
   /** Exact decimal sum re-exposed as a deterministic double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), read as long nanos (see
-    // Graft.configure). Normalize to a µs timestamp — integer div, because
-    // a ns epoch (~1.7e18) does not fit double precision. DuckDB's own µs
-    // truncation of the same values matches this exactly.
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.core.Graft.normalizeTable(
+      spark.read.parquet(s"$sfDir/$name.parquet"), name)
+
+  /** Normalize a timestamp column regardless of its parquet physical
+    * encoding — a 100 TB lake holds mixed-vintage files, so the reader
+    * branches on the LOADED schema instead of assuming one writer:
+    *   - LongType: parquet TIMESTAMP(NANOS) surfaced as long nanos via
+    *     spark.sql.legacy.parquet.nanosAsLong (Graft.configure). Integer
+    *     div to µs — a ns epoch (~1.7e18) does not fit double precision.
+    *   - TimestampNTZType: parquet TIMESTAMP(MICROS, isAdjustedToUTC=0).
+    *     Cast to session-tz timestamp; the session is pinned to UTC
+    *     (Graft.configure) so the instant is unchanged and unix_micros /
+    *     window arithmetic downstream behave identically.
+    *   - TimestampType: already the canonical form.
+    * DuckDB's oracle side reads the same file natively (epoch_us(ts)), so
+    * every branch lands on the same integer microseconds.
+    */
+  def normalizeTs(df: DataFrame, colName: String): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType         => expr(s"timestamp_micros($colName div 1000)")
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case TimestampType    => col(colName)
+      case other => throw new IllegalStateException(
+        s"unsupported physical type for timestamp column '$colName': $other")
+    }
   }
 }

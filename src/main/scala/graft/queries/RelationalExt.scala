@@ -661,7 +661,13 @@ object RelationalExt {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val edges = pairs
           .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        val r = graft.graph.PageRank.ranks(edges, "src", "dst", 3)
+        // materialize=false: the gate evaluates the result exactly once and
+        // both harnesses (Bench.timedRun, Verify) clearCache() right after —
+        // the eager persist+count lifecycle would pay one extra
+        // materialization job per invocation for caches cleared anyway
+        // (the r8 bench's only regression, q48 2.06→3.50 s).
+        val r = graft.graph.PageRank.ranks(edges, "src", "dst", 3,
+          materialize = false)
         pairs.unpersist(false)
         r.select(
             when(col("node") % 2 === 0,
