@@ -586,6 +586,74 @@ object Main {
         writeJson(required("stats-output"), report)
         println(s"[graft] drift wrote ${required("stats-output")}")
 
+      case "monitor" =>
+        // Daily warehouse maintenance for a corpus: SCD2-merge today's
+        // snapshot (--input) into the running history (--history, absent
+        // on the first run → bootstrapped) AND report drift of the new
+        // snapshot against the previously-open corpus — the composition a
+        // training-data pipeline runs per ingest (track every document's
+        // attribute history; alarm when today's crawl shifts
+        // distribution). Writes the merged history to --output and a
+        // drift/merge JSON report to --stats-output.
+        import org.apache.spark.sql.functions.{col, lit, sum, when}
+        val asOf = required("as-of")
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val tracked = o.getOrElse("tracked", "lang,source,n_chars")
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val snapshot = input.select((idCol +: tracked).map(col) :+
+          col(textCol): _*)
+        val updates = snapshot.select(col(idCol) +: tracked.map(col): _*)
+        // first run (--history absent): bootstrap an all-open history
+        // from the snapshot itself — the merge is then a no-op and the
+        // report describes the bootstrap (validity bounds are STRING
+        // dates, merge2's convention)
+        val history = o.get("history").map(spark.read.parquet(_))
+          .getOrElse(updates
+            .withColumn("valid_from", lit(asOf))
+            .withColumn("valid_to", lit(null).cast("string")))
+        val merged = graft.operators.Scd.merge2(history, updates,
+            keys = Seq(idCol), tracked = tracked, asOf = asOf,
+            closeMissing = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        write(merged, required("output"))
+        // drift: token JS between today's text and the text of the docs
+        // open BEFORE the merge (ids from prev, text from the snapshot-
+        // lineage --prev-input when given, else skipped on first run)
+        val prevText = o.get("prev-input").map(spark.read.parquet(_))
+        val js = prevText.map { pt =>
+          val row = graft.text.Divergence.jsTokens(snapshot, pt,
+            textCol).head()
+          Map("n_terms" -> row.getLong(0), "tot_a" -> row.getLong(1),
+            "tot_b" -> row.getLong(2),
+            "js_nats" -> (if (row.isNullAt(3)) null else row.getDouble(3)))
+        }.getOrElse(Map.empty[String, Any])
+        val psiPart = (for {
+          pc <- o.get("psi-col"); pt <- prevText
+        } yield {
+          val p = graft.text.Divergence.psi(snapshot, pt, pc,
+            bins = o.getOrElse("psi-bins", "10").toInt).head()
+          Map[String, Any](s"psi_$pc" ->
+            (if (p.isNullAt(3)) null else p.getDouble(3)))
+        }).getOrElse(Map.empty[String, Any])
+        // one aggregation pass for all three merge counters
+        val c = merged.agg(
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L))
+            .as("n_open"),
+          sum(when(col("valid_from") === asOf, 1L).otherwise(0L))
+            .as("n_new_versions"),
+          sum(when(col("valid_to") === asOf, 1L).otherwise(0L))
+            .as("n_closed_today")).head()
+        val report: Map[String, Any] = Map(
+          "as_of" -> asOf,
+          "n_open" -> c.getLong(0),
+          "n_new_versions" -> c.getLong(1),
+          "n_closed_today" -> c.getLong(2)
+        ) ++ js ++ psiPart
+        merged.unpersist(false)
+        writeJson(required("stats-output"), report)
+        println(s"[graft] monitor wrote ${required("stats-output")}")
+
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")
     }

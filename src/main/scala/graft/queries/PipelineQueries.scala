@@ -1862,6 +1862,65 @@ object PipelineQueries {
           |  CAST(ta AS BIGINT) AS tot_a, CAST(tb AS BIGINT) AS tot_b,
           |  CAST(t AS DOUBLE) / (CAST(ta + 10 AS DOUBLE)
           |    * CAST(tb + 10 AS DOUBLE) * 1000000.0) AS psi
-          |FROM s ORDER BY n_bins""".stripMargin))
+          |FROM s ORDER BY n_bins""".stripMargin)),
+
+    // Streaming ingest dedup, oracle-gated through its batch-parity
+    // frame (the last major spec-only family promoted to a driver row):
+    // the odd-doc_id half of documents replays as a FILE STREAM through
+    // EventStreams.ingestDedup — within-stream fingerprint dedup
+    // (dropDuplicatesWithinWatermark) then a stream-static LEFT ANTI
+    // against the even-half seen corpus. The gate emits the SET of
+    // surviving fingerprints: the surviving doc_id per duplicate group
+    // depends on arrival order inside a micro-batch (streaming keeps the
+    // first arrival; only the batch operator can keep min-id), but the
+    // fingerprint set is deterministic — exactly the distinct unseen
+    // fingerprints, the same frame d14's batch operator keeps. Oracle:
+    // d14's anti-join collapsed to DISTINCT fp.
+    GateQuery(
+      "d20_stream_ingest_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seen = docs.filter(col("doc_id") % 2 === 0)
+        // the testdata table is a single FILE; the file-stream source
+        // only monitors DIRECTORIES — stage a symlink to it in a temp
+        // dir (keyed by sf dir, reused across bench repeats)
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+          .toAbsolutePath
+        val streamDir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_d20_src_" + java.lang.Integer.toHexString(
+            src.toString.hashCode))
+        java.nio.file.Files.createDirectories(streamDir)
+        val link = streamDir.resolve("documents.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        val stream = s.readStream.schema(docs.schema)
+          .parquet(streamDir.toString)
+          .filter(col("doc_id") % 2 === 1)
+          // synthetic event time 1 ms apart: every duplicate pair sits
+          // far inside the watermark horizon however the replay batches
+          .withColumn("ts", expr("timestamp_micros(doc_id * 1000)"))
+        val out = graft.streaming.EventStreams.ingestDedup(
+          stream, "ts", "text", "1 hour", seen, "text")
+        val sink = "d20_mem_sink"
+        if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        // bounded driver hop: one 8-byte fingerprint per surviving doc
+        val fps = s.table(sink)
+          .select(TextFunctions.polyHash(col("text")).as("fp"))
+          .collect().map(_.getLong(0)).sorted
+        s.catalog.dropTempView(sink)
+        import s.implicits._
+        fps.toSeq.toDF("fp").orderBy("fp")
+      },
+      Some(
+        s"""WITH inc AS (SELECT DISTINCT ${polyHashSqlFp} AS fp
+           |      FROM documents WHERE doc_id % 2 = 1),
+           |seen AS (SELECT DISTINCT ${polyHashSqlFp} AS fp
+           |         FROM documents WHERE doc_id % 2 = 0)
+           |SELECT fp FROM inc ANTI JOIN seen USING (fp)
+           |ORDER BY fp""".stripMargin))
   )
 }

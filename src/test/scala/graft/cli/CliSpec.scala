@@ -365,6 +365,53 @@ class CliSpec extends SparkSpec {
     json should include("\"psi_doc_id\"")
   }
 
+  it should "dispatch monitor: bootstrap, then SCD2-merge + drift report" in {
+    // day 1: bootstrap — history comes out all-open, report self-drift-free
+    val day1 = tmp("mon-day1"); val hist1 = tmp("mon-hist1")
+    val rpt1 = tmp("mon-json1") + "/report.json"
+    Seq((1L, "en", "web", 10L, "alpha beta"),
+        (2L, "en", "web", 12L, "beta gamma"),
+        (3L, "de", "book", 9L, "delta"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(day1)
+    dispatch("monitor", "input" -> day1, "as-of" -> "2026-08-12",
+      "output" -> hist1, "stats-output" -> rpt1)
+    val h1 = spark.read.parquet(hist1)
+    h1.filter(col("valid_to").isNull).count() shouldBe 3L
+    val json1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(rpt1))
+    json1 should include("\"n_open\":3")
+    json1 should include("\"n_closed_today\":0")
+
+    // day 2: doc 2 changes lang, doc 3 disappears, doc 4 arrives —
+    // SCD2 closes/opens accordingly and drift compares the two crawls
+    val day2 = tmp("mon-day2"); val hist2 = tmp("mon-hist2")
+    val rpt2 = tmp("mon-json2") + "/report.json"
+    Seq((1L, "en", "web", 10L, "alpha beta"),
+        (2L, "fr", "web", 12L, "zeta eta"),
+        (4L, "en", "web", 11L, "theta iota"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(day2)
+    dispatch("monitor", "input" -> day2, "as-of" -> "2026-08-13",
+      "history" -> hist1, "prev-input" -> day1,
+      "output" -> hist2, "stats-output" -> rpt2,
+      "psi-col" -> "n_chars", "psi-bins" -> "2")
+    val h2 = spark.read.parquet(hist2)
+    // open: 1 (unchanged), 2' (fr), 4 (new)
+    h2.filter(col("valid_to").isNull).count() shouldBe 3L
+    // closed at day 2: the superseded 2 (en) and the vanished 3
+    h2.filter(col("valid_to") === "2026-08-13").count() shouldBe 2L
+    // time travel: as of day 1 the corpus is the original three
+    graft.operators.Scd.asOf(h2, "2026-08-12")
+      .select("doc_id").as[Long].collect().sorted shouldBe Seq(1L, 2L, 3L)
+    val json2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(rpt2))
+    json2 should include("\"n_closed_today\":2")
+    json2 should include("\"n_new_versions\":2")
+    json2 should include("\"js_nats\"")
+    json2 should include("\"psi_n_chars\"")
+  }
+
   it should "reject unknown commands" in {
     a[RuntimeException] should be thrownBy dispatch("nope")
   }
