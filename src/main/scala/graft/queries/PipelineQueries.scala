@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.dedup.NearDup
@@ -50,6 +51,82 @@ object PipelineQueries {
        |hh AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM ex)""".stripMargin
 
   private val polyHashSqlFp: String = polyHashSql("text")
+
+  /** Shared NB classifier replay (mirrors NbClassifier.trainScore at
+    * 1024 buckets) — ends with `best` holding (doc_id, lang, score_lw,
+    * rn); rn = 1 is the argmax prediction. ONE copy on purpose (same
+    * rationale as unigramNllCtes): t26 and q59 both replay this model,
+    * and drift between hand-kept copies would silently desynchronize
+    * their oracles.
+    */
+  private val nbPredCtes: String =
+    s"""$tokLowerCte,
+       |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       |b AS (SELECT doc_id, ${polyHashSql("term")} % 1024 AS bucket
+       |      FROM occ),
+       |lb AS (SELECT b.doc_id, d.lang, b.bucket
+       |       FROM b JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT lang, bucket, COUNT(*) AS cnt FROM lb
+       |        GROUP BY 1, 2),
+       |tot AS (SELECT lang, SUM(cnt) AS tot FROM cnt GROUP BY 1),
+       |nd AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS n FROM documents),
+       |meta AS (SELECT lang,
+       |    CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS lpr,
+       |    CAST(floor(ln(1.0 / CAST(tot + 1024 AS DOUBLE))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS lw0
+       |  FROM nd CROSS JOIN nt JOIN tot USING (lang)),
+       |w AS (SELECT lang, bucket,
+       |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+       |                  / CAST(tot + 1024 AS DOUBLE))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS lw
+       |  FROM cnt JOIN tot USING (lang)),
+       |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b
+       |       GROUP BY 1, 2),
+       |sc AS (SELECT tf.doc_id, m.lang,
+       |         m.lpr + CAST(SUM(tf.tf * COALESCE(w.lw, m.lw0))
+       |                      AS BIGINT) AS score_lw
+       |       FROM tf CROSS JOIN meta m
+       |       LEFT JOIN w ON w.lang = m.lang AND w.bucket = tf.bucket
+       |       GROUP BY 1, 2, m.lpr),
+       |best AS (SELECT doc_id, lang, score_lw, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score_lw DESC, lang) AS rn
+       |  FROM sc)""".stripMargin
+
+  /** The testdata tables are single FILES; the file-stream source only
+    * monitors DIRECTORIES — stage a symlink to the file in a temp dir
+    * (keyed by source path, reused across bench repeats) and return the
+    * directory to pass to `readStream.parquet`. Streaming-replay gates
+    * (d20, d21) use this to drive REAL file streams over the same bytes
+    * the batch oracles read.
+    */
+  private def stagedStreamDir(dir: String, name: String): String = {
+    val src = java.nio.file.Paths.get(dir, s"$name.parquet").toAbsolutePath
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_src_${name}_" + java.lang.Integer.toHexString(
+        src.toString.hashCode))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve(s"$name.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    streamDir.toString
+  }
+
+  /** Run a streaming frame to completion against a uniquely-named memory
+    * sink and hand the materialized rows to `f`; the sink view is dropped
+    * either way. Streaming gates are synchronous: file sources replay a
+    * finite table, so processAllAvailable is a complete drain.
+    */
+  private def runStreamToMemory[A](s: SparkSession, out: DataFrame,
+      sink: String)(f: DataFrame => A): A = {
+    if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    try f(s.table(sink)) finally s.catalog.dropTempView(sink)
+  }
 
   /** Shared unigram-LM scoring chain (mirrors UnigramLm.scoreDocs) —
     * `sc2` ends with (doc_id, n_tokens, sum_lp, nll). ONE copy on
@@ -1571,39 +1648,7 @@ object PipelineQueries {
             "doc_id", "lang", "text", numBuckets = 1024)
           .orderBy("doc_id"),
       Some(
-        s"""WITH $tokLowerCte,
-           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
-           |b AS (SELECT doc_id, ${polyHashSql("term")} % 1024 AS bucket
-           |      FROM occ),
-           |lb AS (SELECT b.doc_id, d.lang, b.bucket
-           |       FROM b JOIN documents d USING (doc_id)),
-           |cnt AS (SELECT lang, bucket, COUNT(*) AS cnt FROM lb
-           |        GROUP BY 1, 2),
-           |tot AS (SELECT lang, SUM(cnt) AS tot FROM cnt GROUP BY 1),
-           |nd AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY 1),
-           |nt AS (SELECT COUNT(*) AS n FROM documents),
-           |meta AS (SELECT lang,
-           |    CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))
-           |         * 1000000.0 + 0.5) AS BIGINT) AS lpr,
-           |    CAST(floor(ln(1.0 / CAST(tot + 1024 AS DOUBLE))
-           |         * 1000000.0 + 0.5) AS BIGINT) AS lw0
-           |  FROM nd CROSS JOIN nt JOIN tot USING (lang)),
-           |w AS (SELECT lang, bucket,
-           |    CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
-           |                  / CAST(tot + 1024 AS DOUBLE))
-           |         * 1000000.0 + 0.5) AS BIGINT) AS lw
-           |  FROM cnt JOIN tot USING (lang)),
-           |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM b
-           |       GROUP BY 1, 2),
-           |sc AS (SELECT tf.doc_id, m.lang,
-           |         m.lpr + CAST(SUM(tf.tf * COALESCE(w.lw, m.lw0))
-           |                      AS BIGINT) AS score_lw
-           |       FROM tf CROSS JOIN meta m
-           |       LEFT JOIN w ON w.lang = m.lang AND w.bucket = tf.bucket
-           |       GROUP BY 1, 2, m.lpr),
-           |best AS (SELECT doc_id, lang, score_lw, row_number() OVER (
-           |    PARTITION BY doc_id ORDER BY score_lw DESC, lang) AS rn
-           |  FROM sc)
+        s"""WITH $nbPredCtes
            |SELECT doc_id, lang AS pred, score_lw FROM best
            |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
@@ -1881,37 +1926,19 @@ object PipelineQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val seen = docs.filter(col("doc_id") % 2 === 0)
-        // the testdata table is a single FILE; the file-stream source
-        // only monitors DIRECTORIES — stage a symlink to it in a temp
-        // dir (keyed by sf dir, reused across bench repeats)
-        val src = java.nio.file.Paths.get(dir, "documents.parquet")
-          .toAbsolutePath
-        val streamDir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft_d20_src_" + java.lang.Integer.toHexString(
-            src.toString.hashCode))
-        java.nio.file.Files.createDirectories(streamDir)
-        val link = streamDir.resolve("documents.parquet")
-        if (!java.nio.file.Files.exists(link))
-          java.nio.file.Files.createSymbolicLink(link, src)
         val stream = s.readStream.schema(docs.schema)
-          .parquet(streamDir.toString)
+          .parquet(stagedStreamDir(dir, "documents"))
           .filter(col("doc_id") % 2 === 1)
           // synthetic event time 1 ms apart: every duplicate pair sits
           // far inside the watermark horizon however the replay batches
           .withColumn("ts", expr("timestamp_micros(doc_id * 1000)"))
         val out = graft.streaming.EventStreams.ingestDedup(
           stream, "ts", "text", "1 hour", seen, "text")
-        val sink = "d20_mem_sink"
-        if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-        val q = out.writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
         // bounded driver hop: one 8-byte fingerprint per surviving doc
-        val fps = s.table(sink)
-          .select(TextFunctions.polyHash(col("text")).as("fp"))
-          .collect().map(_.getLong(0)).sorted
-        s.catalog.dropTempView(sink)
+        val fps = runStreamToMemory(s, out, "d20_mem_sink") { res =>
+          res.select(TextFunctions.polyHash(col("text")).as("fp"))
+            .collect().map(_.getLong(0)).sorted
+        }
         import s.implicits._
         fps.toSeq.toDF("fp").orderBy("fp")
       },
@@ -1921,6 +1948,116 @@ object PipelineQueries {
            |seen AS (SELECT DISTINCT ${polyHashSqlFp} AS fp
            |         FROM documents WHERE doc_id % 2 = 0)
            |SELECT fp FROM inc ANTI JOIN seen USING (fp)
-           |ORDER BY fp""".stripMargin))
+           |ORDER BY fp""".stripMargin)),
+
+    // Streaming windowed counts, oracle-gated: events replayed as a
+    // file stream through the tumbling-window watermark aggregation
+    // (EventStreams.windowedEventCounts). Append mode only emits a
+    // window once the watermark passes its end, so the deterministic
+    // result set is every (hour, event_type) count whose window end is
+    // at or below the FINAL watermark = floor_ms(max ts) - lateness;
+    // tail windows stay in state (that withholding is the point of the
+    // gate — it pins the late-data contract, not just the counts).
+    // value_sum is intentionally not emitted: a float sum's value
+    // depends on accumulation order (the gate compares bitwise).
+    GateQuery(
+      "d21_stream_windowed_counts",
+      (s, dir) => {
+        // raw (un-normalized) schema for the stream source, then the
+        // same schema-branch normalization the batch reader applies
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val stream0 = s.readStream.schema(raw.schema)
+          .parquet(stagedStreamDir(dir, "events"))
+        val stream = stream0.withColumn("ts",
+          GateQuery.normalizeTs(stream0, "ts"))
+        val out = graft.streaming.EventStreams
+          .windowedEventCounts(stream, "1 hour", "30 minutes")
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), col("event_type"), col("cnt"))
+        // bounded driver hop: one row per (hour, type) below watermark
+        val rows = runStreamToMemory(s, out, "d21_mem_sink") { res =>
+          res.collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            .sortBy(r => (r._1, r._2))
+        }
+        import s.implicits._
+        rows.toSeq.toDF("window_start", "event_type", "cnt")
+          .orderBy("window_start", "event_type")
+      },
+      Some(
+        """WITH wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 1800000)
+          |             * 1000 AS wm_us FROM events),
+          |agg AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+          |          COUNT(*) AS cnt
+          |        FROM events GROUP BY 1, 2)
+          |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+          |  event_type, cnt
+          |FROM agg, wm
+          |WHERE epoch_us(ws) + 3600000000 <= wm_us
+          |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Cohen's kappa between the NB classifier's language prediction and
+    // the gold lang label — the labeling-QA gate run on every annotation
+    // or auto-labeling batch. Exact integer contingency/marginals with
+    // ONE final double division, so kappa replays bitwise; the oracle
+    // rides the shared NB replay (nbPredCtes) exactly like t26.
+    GateQuery(
+      "q59_kappa_agreement",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pred = graft.text.NbClassifier.trainScore(docs,
+            "doc_id", "lang", "text", numBuckets = 1024)
+          .select(col("doc_id"), col("pred"))
+        graft.operators.Agreement.kappa(
+            docs.select(col("doc_id"), col("lang").as("gold"))
+              .join(pred, "doc_id"),
+            "gold", "pred")
+          .orderBy("n_items")
+      },
+      Some(
+        s"""WITH $nbPredCtes,
+           |pairs AS (SELECT d.lang AS a, p.lang AS b
+           |          FROM documents d
+           |          JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) p
+           |            USING (doc_id)),
+           |c AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+           |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+           |         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END)
+           |              AS BIGINT) AS n_agree FROM c),
+           |ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM c
+           |       GROUP BY 1),
+           |cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM c
+           |       GROUP BY 1),
+           |pe AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT)
+           |         AS pe_num FROM ra JOIN cb ON ra.a = cb.b)
+           |SELECT n AS n_items, n_agree,
+           |  CASE WHEN n * n - pe_num <> 0
+           |       THEN CAST(n * n_agree - pe_num AS DOUBLE)
+           |            / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+           |FROM tt CROSS JOIN pe ORDER BY n_items""".stripMargin)),
+
+    // Overlapping token-window chunking (window 20, stride 10): the
+    // context-window construction step for long-document training —
+    // map-only (tokens, starts, slices all codegen HOFs, zero shuffle),
+    // tail windows clamp at the document end, empty docs emit nothing.
+    GateQuery(
+      "t30_chunk_stride",
+      (s, dir) =>
+        graft.text.Chunking.chunkByTokens(t(s, dir, "documents"),
+            "doc_id", "text", windowTokens = 20, strideTokens = 10)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(
+        s"""WITH $tokLowerCte,
+           |nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+           |       WHERE len(toks) > 0),
+           |st AS (SELECT doc_id, toks, n,
+           |         unnest(range(0, n, 10)) AS start_tok FROM nz)
+           |SELECT doc_id,
+           |  CAST(start_tok // 10 AS BIGINT) AS chunk_idx,
+           |  CAST(start_tok AS BIGINT) AS start_tok,
+           |  CAST(LEAST(20, n - start_tok) AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(list_slice(toks, start_tok + 1,
+           |    start_tok + 20), ' ') AS chunk_text
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }
