@@ -27,7 +27,8 @@ object PlanAudit {
       "d18_incremental_bloom", "d19_ann_projected", "t26_nb_classifier",
       "q52_auc", "q53_scd2_merge", "q54_spearman", "t27_chi2_features",
       "q55_bootstrap", "q56_avg_precision", "q57_robust_z",
-      "t28_weighted_sample", "t29_js_divergence", "q58_psi")
+      "t28_weighted_sample", "t29_js_divergence", "q58_psi",
+      "t30_chunk_stride", "q59_kappa_agreement")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

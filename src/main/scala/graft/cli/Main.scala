@@ -23,7 +23,8 @@ import graft.jobs._
   * (quality rules → decontamination → near-dup keep-one over a document
   * corpus), `spandedup` (ExactSubstr duplicate-span removal), `pack`,
   * `mix`, `transitions`, `classify` (NB train+score), `sample`
-  * (weighted sampling w/o replacement), `drift` (JS divergence gate).
+  * (weighted sampling w/o replacement), `drift` (JS divergence gate),
+  * `monitor` (SCD2 snapshot merge + JS/PSI drift vs the previous crawl).
   */
 object Main {
 
