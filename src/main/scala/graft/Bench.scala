@@ -31,8 +31,11 @@ private class ShuffleMetricsListener extends SparkListener {
   */
 object Bench {
 
-  /** Excluded from benchmarking (correctness-only baselines). */
-  val NonHeadline: Set[String] = Set("d03_jaccard_brute")
+  /** Excluded from benchmarking (correctness-only baselines): d03 IS
+    * the O(n²) brute baseline, and q60 embeds it as the reference side
+    * of the dedup-quality eval.
+    */
+  val NonHeadline: Set[String] = Set("d03_jaccard_brute", "q60_dedup_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2058,6 +2058,67 @@ object PipelineQueries {
            |  CAST(LEAST(20, n - start_tok) AS BIGINT) AS n_chunk_tokens,
            |  array_to_string(list_slice(toks, start_tok + 1,
            |    start_tok + 20), ' ') AS chunk_text
-           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin))
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Dedup-quality eval: precision/recall/F1 of the MinHash-LSH pair
+    // set (d02's exact configuration) against the brute-force Jaccard
+    // baseline (d03's) — the measure-don't-guess harness for the LSH
+    // knobs (hashes/bands/threshold). Counts exact, each ratio one
+    // double division of integers. NOT a headline bench query: it
+    // embeds the O(n²) brute baseline by definition (Bench.NonHeadline,
+    // same reasoning as d03); at scale the reference side runs on a
+    // sample.
+    GateQuery(
+      "q60_dedup_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.DedupEval.pairQuality(
+            NearDup.minhashNearDuplicates(docs, "doc_id", "text",
+              n = 3, numHashes = 8, bands = 4, threshold = 0.8),
+            NearDup.bruteForceJaccardPairs(docs, "doc_id", "text",
+              n = 3, threshold = 0.8))
+          .orderBy("n_truth")
+      },
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |predp AS (SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b, $jaccardSql AS jaccard
+           |    FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |              JOIN sets sb ON cand.id_b = sb.doc_id)
+           |  WHERE jaccard >= 0.8),
+           |truthp AS (SELECT id_a, id_b FROM (
+           |    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+           |      $jaccardSql AS jaccard
+           |    FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id)
+           |  WHERE jaccard >= 0.8),
+           |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred FROM predp),
+           |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truthp),
+           |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+           |       FROM predp JOIN truthp USING (id_a, id_b))
+           |SELECT n_truth, n_pred, n_hit,
+           |  CASE WHEN n_pred <> 0
+           |       THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE)
+           |  END AS prec,
+           |  CASE WHEN n_truth <> 0
+           |       THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+           |  END AS rec,
+           |  CASE WHEN n_pred + n_truth <> 0
+           |       THEN CAST(2 * n_hit AS DOUBLE)
+           |            / CAST(n_pred + n_truth AS DOUBLE)
+           |  END AS f1
+           |FROM nt CROSS JOIN np CROSS JOIN nh
+           |ORDER BY n_truth""".stripMargin
+      })
   )
 }
