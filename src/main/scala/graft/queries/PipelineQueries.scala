@@ -2119,6 +2119,77 @@ object PipelineQueries {
            |  END AS f1
            |FROM nt CROSS JOIN np CROSS JOIN nh
            |ORDER BY n_truth""".stripMargin
-      })
+      }),
+
+    // ANN recall@k: per query, the fraction of the exact top-5 (d05's
+    // brute search) that the IVF index (d07's nlist=8/nprobe=2 config)
+    // actually returns — the measure-don't-guess harness for the ANN
+    // knobs. The oracle replays BOTH pipelines (brute + centroid
+    // assignment + probe + rerank) and the per-query scoring; recall is
+    // one double division of exact integers per query.
+    GateQuery(
+      "q61_ann_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 10)
+        val truth = Ann.bruteForceTopK(e, queries,
+          "vec_id", "embedding", k = 5)
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        val pred = graft.similarity.Ivf.search(assigned, queries,
+          "vec_id", "embedding", model, k = 5, nprobe = 2)
+        graft.similarity.AnnEval.recallAtK(pred, truth)
+          .orderBy("qid")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          |q AS (SELECT * FROM n WHERE vec_id < 10),
+          |sb AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+          |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+          |       FROM q JOIN n c ON q.vec_id <> c.vec_id),
+          |rb AS (SELECT qid, nid, row_number() OVER (
+          |         PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |       FROM sb),
+          |truthp AS (SELECT qid, nid FROM rb WHERE rnk <= 5),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT e.vec_id, e.v, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT q.vec_id AS qid, cent.cid,
+          |                 row_number() OVER (PARTITION BY q.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+          |si AS (SELECT prb.qid, a.vec_id AS nid,
+          |         list_dot_product(qe.v, a.v)
+          |           / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+          |       FROM prb JOIN asn a ON prb.cid = a.cid
+          |                JOIN e qe ON qe.vec_id = prb.qid
+          |       WHERE prb.qid <> a.vec_id),
+          |ri AS (SELECT qid, nid, row_number() OVER (
+          |         PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |       FROM si),
+          |predp AS (SELECT qid, nid FROM ri WHERE rnk <= 5),
+          |tc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth
+          |       FROM truthp GROUP BY 1),
+          |hp AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+          |       FROM truthp t JOIN predp p
+          |         ON t.qid = p.qid AND t.nid = p.nid GROUP BY 1)
+          |SELECT tc.qid, n_truth,
+          |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+          |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
+          |    AS recall
+          |FROM tc LEFT JOIN hp ON tc.qid = hp.qid
+          |ORDER BY tc.qid""".stripMargin))
   )
 }
