@@ -2190,6 +2190,57 @@ object PipelineQueries {
           |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
           |    AS recall
           |FROM tc LEFT JOIN hp ON tc.qid = hp.qid
-          |ORDER BY tc.qid""".stripMargin))
+          |ORDER BY tc.qid""".stripMargin)),
+
+    // Score calibration: reliability curve + isotonic fit of the NB
+    // classifier's winning score against prediction correctness — the
+    // QA step before thresholding scores to keep/drop data at scale.
+    // Binning is the exact PSI formula; the isotonic fit is the minimax
+    // characterization (max_{i<=k} min_{j>=k} pooled rate) over the
+    // O(bins²) interval frame, so BOTH engines take extrema over the
+    // identical set of double divisions of identical integers — a
+    // sequential PAV pooling would not replay bitwise (its pool
+    // averages are different integer pairs).
+    GateQuery(
+      "t31_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = graft.text.NbClassifier.trainScore(docs,
+          "doc_id", "lang", "text", numBuckets = 1024)
+        val joined = scored
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("score_lw"),
+            (col("pred") === col("lang")).cast("long").as("correct"))
+        graft.operators.Calibration.isotonicCurve(joined,
+            "score_lw", "correct", bins = 10)
+          .orderBy("bin")
+      },
+      Some(
+        s"""WITH $nbPredCtes,
+           |pv AS (SELECT b.score_lw AS v,
+           |         CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS pos
+           |       FROM best b JOIN documents d USING (doc_id)
+           |       WHERE rn = 1),
+           |bd AS (SELECT min(v) AS lo, max(v) AS hi FROM pv),
+           |bb AS (SELECT CASE WHEN hi > lo
+           |           THEN ((v - lo) * 10) // (hi - lo + 1) ELSE 0
+           |         END AS bin, pos FROM pv, bd),
+           |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(SUM(pos) AS BIGINT) AS n_pos FROM bb GROUP BY 1),
+           |c AS (SELECT bin, n, n_pos,
+           |        SUM(n) OVER (ORDER BY bin) AS cn,
+           |        SUM(n_pos) OVER (ORDER BY bin) AS cp FROM g),
+           |iv AS (SELECT l.bin AS bi, r.bin AS bj,
+           |         CAST(r.cp - (l.cp - l.n_pos) AS DOUBLE)
+           |           / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS a
+           |       FROM c l JOIN c r ON l.bin <= r.bin),
+           |mm AS (SELECT bi, bj, MIN(a) OVER (PARTITION BY bi
+           |         ORDER BY bj DESC) AS mmin FROM iv),
+           |f AS (SELECT bj AS bin, MAX(mmin) AS fitted FROM mm
+           |      GROUP BY 1)
+           |SELECT g.bin, n, n_pos,
+           |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate, fitted
+           |FROM g JOIN f ON g.bin = f.bin
+           |ORDER BY g.bin""".stripMargin))
   )
 }
