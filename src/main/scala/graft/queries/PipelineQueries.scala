@@ -2241,6 +2241,285 @@ object PipelineQueries {
            |SELECT g.bin, n, n_pos,
            |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate, fitted
            |FROM g JOIN f ON g.bin = f.bin
-           |ORDER BY g.bin""".stripMargin))
+           |ORDER BY g.bin""".stripMargin)),
+
+    // Row-level snapshot diff: two simulated corpus vintages (drops,
+    // arrivals, edits derived deterministically from doc_id) classified
+    // added / removed / changed with the changed columns named — the
+    // row-by-row companion to the aggregate `monitor` CLI. One full-outer
+    // key join; the per-column comparison is a null-safe projection.
+    GateQuery(
+      "q62_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.filter(col("doc_id") % 11 =!= 3)
+        val cur = docs.filter(col("doc_id") % 11 =!= 7)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .withColumn("lang",
+            when(col("doc_id") % 17 === 0, lit("xx"))
+              .otherwise(col("lang")))
+        graft.operators.SnapshotDiff.diff(old, cur, Seq("doc_id"),
+            Seq("lang", "n_chars", "source", "text"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH o AS (SELECT doc_id, text, lang, source, n_chars
+          |           FROM documents WHERE doc_id % 11 <> 3),
+          |n AS (SELECT doc_id,
+          |        CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+          |             ELSE text END AS text,
+          |        CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
+          |        source, n_chars
+          |      FROM documents WHERE doc_id % 11 <> 7),
+          |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          |        o.doc_id IS NOT NULL AS in_old,
+          |        n.doc_id IS NOT NULL AS in_new,
+          |        concat_ws(',',
+          |          CASE WHEN o.lang IS DISTINCT FROM n.lang
+          |               THEN 'lang' END,
+          |          CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars
+          |               THEN 'n_chars' END,
+          |          CASE WHEN o.source IS DISTINCT FROM n.source
+          |               THEN 'source' END,
+          |          CASE WHEN o.text IS DISTINCT FROM n.text
+          |               THEN 'text' END) AS cc
+          |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+          |cls AS (SELECT doc_id,
+          |          CASE WHEN NOT in_old THEN 'added'
+          |               WHEN NOT in_new THEN 'removed'
+          |               WHEN cc <> '' THEN 'changed'
+          |               ELSE 'unchanged' END AS status,
+          |          CASE WHEN in_old AND in_new AND cc <> '' THEN cc
+          |               ELSE '' END AS changed_cols
+          |        FROM j)
+          |SELECT doc_id, status, changed_cols FROM cls
+          |WHERE status <> 'unchanged'
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Declarative expectation suite: seven constraints over orders
+    // (not-null, uniqueness, range, enum, regex, row count, referential
+    // integrity against customer) compiled into ONE aggregation pass plus
+    // one broadcast anti-join — the pre-publish release gate, as data not
+    // code. The reference's ad-hoc dataset asserts, formalized.
+    GateQuery(
+      "t32_expectations",
+      (s, dir) => {
+        import graft.core.Expectations._
+        val orders = t(s, dir, "orders")
+        val report = validate(orders, Seq(
+            NotNull("o_custkey"),
+            Unique(Seq("o_orderkey")),
+            InRange("o_totalprice", 0.0, 600000.0),
+            InSet("o_orderstatus", Seq("F", "O", "P")),
+            Matches("o_orderpriority", "^[1-5]-"),
+            RowCountBetween(1L, 10000000L)))
+          .unionByName(subsetOf(orders, "o_custkey",
+            t(s, dir, "customer"), "c_custkey"))
+        report.orderBy("check")
+      },
+      Some(
+        """WITH checks AS (
+          |  SELECT 'not_null(o_custkey)' AS "check",
+          |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS violations FROM orders
+          |  UNION ALL
+          |  SELECT 'unique(o_orderkey)',
+          |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'in_range(o_totalprice)',
+          |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND
+          |      (o_totalprice < 0 OR o_totalprice > 600000)
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'in_set(o_orderstatus)',
+          |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+          |      o_orderstatus NOT IN ('F', 'O', 'P')
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'matches(o_orderpriority)',
+          |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL AND
+          |      NOT regexp_matches(o_orderpriority, '^[1-5]-')
+          |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'row_count',
+          |    CAST(CASE WHEN COUNT(*) BETWEEN 1 AND 10000000
+          |         THEN 0 ELSE 1 END AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'subset_of(o_custkey)',
+          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          |     WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+          |       (SELECT c_custkey FROM customer)))
+          |SELECT "check", violations,
+          |  CAST(violations = 0 AS INT) AS passed
+          |FROM checks ORDER BY "check"""".stripMargin)),
+
+    // Streaming sessionization replayed as a REAL file stream — the
+    // flatMapGroupsWithState state machine (event-time timeout) driven
+    // over the whole events table, gated on the custom-state contract
+    // itself: sessions closed by a successor event emit regardless of
+    // the watermark; each user's FINAL session emits only if its
+    // event-time timeout (last event + gap) fell strictly below the
+    // final watermark (max event ms − lateness). The state machine works
+    // in Timestamp.getTime MILLISECONDS, so the oracle's gap and
+    // watermark arithmetic is ms (epoch_us // 1000) throughout.
+    GateQuery(
+      "d22_stream_sessionize",
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val stream0 = s.readStream.schema(raw.schema)
+          .parquet(stagedStreamDir(dir, "events"))
+        val stream = stream0
+          .withColumn("ts", GateQuery.normalizeTs(stream0, "ts"))
+          .withWatermark("ts", "30 minutes")
+        import s.implicits._
+        val events = stream
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.Event]
+        val sessions = graft.streaming.EventStreams
+          .sessionize(events, gapMs = 1800000L)
+          .toDF()
+          .select(col("user_id"),
+            unix_millis(col("start_ts")).as("start_ms"),
+            unix_millis(col("end_ts")).as("end_ms"),
+            col("n_events").cast("long").as("n_events"))
+        val rows = runStreamToMemory(s, sessions, "d22_mem_sink") { res =>
+          res.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3)))
+            .sortBy(r => (r._1, r._2))
+        }
+        rows.toSeq.toDF("user_id", "start_ms", "end_ms", "n_events")
+          .orderBy("user_id", "start_ms")
+      },
+      Some(
+        """WITH m AS (SELECT user_id, epoch_us(ts) // 1000 AS tms, event_id
+          |           FROM events),
+          |mk AS (SELECT user_id, tms, event_id,
+          |         CASE WHEN lag(tms) OVER w IS NULL
+          |              OR tms - lag(tms) OVER w > 1800000
+          |              THEN 1 ELSE 0 END AS new_session
+          |       FROM m
+          |       WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+          |sn AS (SELECT user_id, tms,
+          |         SUM(new_session) OVER (PARTITION BY user_id
+          |           ORDER BY tms, event_id ROWS BETWEEN UNBOUNDED
+          |           PRECEDING AND CURRENT ROW) AS sid
+          |       FROM mk),
+          |sess AS (SELECT user_id, sid, MIN(tms) AS start_ms,
+          |           MAX(tms) AS end_ms, COUNT(*) AS n_events
+          |         FROM sn GROUP BY 1, 2),
+          |wm AS (SELECT MAX(tms) - 1800000 AS wm_ms FROM m),
+          |lastsid AS (SELECT user_id, MAX(sid) AS max_sid FROM sess
+          |            GROUP BY 1)
+          |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+          |FROM sess s JOIN lastsid l USING (user_id) CROSS JOIN wm
+          |WHERE s.sid < l.max_sid OR s.end_ms + 1800000 < wm.wm_ms
+          |ORDER BY s.user_id, s.start_ms""".stripMargin)),
+
+    // Label-propagation communities over the verified MinHash near-dup
+    // graph (d12's exact edge set): three SYNCHRONOUS rounds with the
+    // deterministic (max count, min label) tie rule — "which documents
+    // clump around the same template", where components answer "which
+    // are transitively reachable". The oracle unrolls the three rounds
+    // as chained CTEs over the same hash constants.
+    GateQuery(
+      "d23_label_prop",
+      (s, dir) =>
+        graft.graph.LabelProp.nearDupCommunities(t(s, dir, "documents"),
+            "doc_id", "text", n = 3, numHashes = 8, bands = 4,
+            threshold = 0.8, rounds = 3)
+          .orderBy("doc_id"),
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        val roundCtes = (1 to 3).map { r =>
+          s"""v$r AS (SELECT e.d AS id, l.lab AS nl, COUNT(*) AS c
+             |        FROM sym e JOIN lab${r - 1} l ON e.s = l.id
+             |        GROUP BY 1, 2),
+             |p$r AS (SELECT id, nl, row_number() OVER (
+             |          PARTITION BY id ORDER BY c DESC, nl) AS rn
+             |        FROM v$r),
+             |lab$r AS (SELECT l.id, COALESCE(p.nl, l.lab) AS lab
+             |          FROM lab${r - 1} l LEFT JOIN
+             |            (SELECT id, nl FROM p$r WHERE rn = 1) p
+             |            USING (id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT id_a, id_b
+           |          FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |                    JOIN sets sb ON cand.id_b = sb.doc_id
+           |          WHERE $jaccardSql >= 0.8),
+           |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+           |        UNION ALL SELECT id_b, id_a FROM pairs),
+           |lab0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+           |$roundCtes,
+           |siz AS (SELECT lab, COUNT(*) AS community_size FROM lab3
+           |        GROUP BY 1)
+           |SELECT l.id AS doc_id, l.lab AS community, s.community_size
+           |FROM lab3 l JOIN siz s USING (lab)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Interpolated bigram-LM NLL (λ=0.75): the transition-sensitive
+    // quality score above t10's unigram — same micro-nat discipline
+    // (fixed-shape IEEE interpolation over exact integer counts, long
+    // event sums), bigrams built map-side from shifted slices, the
+    // bigram-model join left to AQE (never force-broadcast a bigram
+    // vocabulary at scale).
+    GateQuery(
+      "t33_bigram_lm",
+      (s, dir) =>
+        graft.text.BigramLm.scoreDocs(t(s, dir, "documents"),
+            "doc_id", "text", lambda = 0.75)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokLowerCte,
+           |occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           |uni AS (SELECT term, COUNT(*) AS cu FROM occ GROUP BY 1),
+           |st AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total,
+           |         CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+           |tk AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+           |ix AS (SELECT doc_id, toks,
+           |         unnest(range(1, len(toks))) AS i FROM tk),
+           |bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS term
+           |       FROM ix),
+           |bi AS (SELECT prev, term, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+           |bilp AS (SELECT bi.prev, bi.term,
+           |    CAST(floor(ln(
+           |      0.75 * (CAST(cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)) +
+           |      0.25 * (CAST(u2.cu + 1 AS DOUBLE)
+           |              / CAST(st.n_total + st.v_size AS DOUBLE)))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |  FROM bi JOIN uni u1 ON bi.prev = u1.term
+           |          JOIN uni u2 ON bi.term = u2.term
+           |  CROSS JOIN st),
+           |fe AS (SELECT doc_id, toks[1] AS term FROM tk),
+           |felp AS (SELECT doc_id,
+           |    CAST(floor(ln(CAST(u.cu + 1 AS DOUBLE)
+           |        / CAST(st.n_total + st.v_size AS DOUBLE))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |  FROM fe JOIN uni u USING (term) CROSS JOIN st),
+           |ev AS (SELECT doc_id, lp FROM felp
+           |       UNION ALL
+           |       SELECT bg.doc_id, bilp.lp FROM bg
+           |       JOIN bilp USING (prev, term)),
+           |sc AS (SELECT doc_id, COUNT(*) AS n_events,
+           |         CAST(SUM(lp) AS BIGINT) AS sum_lp FROM ev GROUP BY 1)
+           |SELECT doc_id, n_events, sum_lp,
+           |  CAST(-sum_lp AS DOUBLE) / 1000000.0
+           |    / CAST(n_events AS DOUBLE) AS nll
+           |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }
