@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-anonymity auditing — the privacy release gate a dataset publisher
+  * runs before sharing: every combination of quasi-identifier columns
+  * must describe at least k rows, or the rows it describes are
+  * re-identifiable (Sweeney 2002). The reference ships the OTHER half of
+  * this toolkit — Laplace noise for differentially-private counts
+  * (`taar_locale.py`'s noised aggregates, ported as M6) — but checks
+  * group sizes ad hoc; here the audit is a first-class operator, the
+  * aggregate-privacy companion to the row-level `text/Redact` PII
+  * scrubber.
+  *
+  * Scale: ONE map-side-combined aggregation on the quasi-identifier
+  * tuple — the same shape as any groupBy count, so skewed QI combos
+  * benefit from the usual AQE/salting machinery; the report frame is
+  * |distinct QI combos| rows and the violating subset is what a
+  * publisher acts on. No row-level data ever leaves the aggregation.
+  */
+object Privacy {
+
+  /** Per-QI-combination audit: (qiCols*, group_size, at_risk) where
+    * at_risk = group_size < k. NULL is a value — a NULL QI cell groups
+    * like any other (an absent zip code is itself identifying when rare).
+    */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String], k: Int)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(k >= 2, "k must be >= 2 to be an anonymity constraint")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", (col("group_size") < k).cast("int"))
+  }
+
+  /** The rows a publisher must suppress or generalize: those whose QI
+    * combination has fewer than k occurrences. Implemented as the report
+    * joined back on the QI tuple — the violating side is the small one,
+    * so the join broadcasts; the table itself never shuffles.
+    */
+  def violatingRows(df: DataFrame, qiCols: Seq[String], k: Int)
+      : DataFrame = {
+    val bad = kAnonymityReport(df, qiCols, k)
+      .filter(col("at_risk") === 1)
+      .select(qiCols.map(c => col(c).as(s"__qi_$c")): _*)
+    // null-safe equality: a NULL QI cell must match its own group (a
+    // plain equi-join would silently exempt NULL-keyed rows from the
+    // audit)
+    val cond = qiCols.map(c => df(c) <=> bad(s"__qi_$c")).reduce(_ && _)
+    df.join(broadcast(bad), cond, "left_semi")
+  }
+
+  /** One-row summary for a release-gate dashboard: total groups,
+    * violating groups, rows at risk, and the smallest group size (the
+    * dataset's achieved k). Rides the report — still one table scan.
+    */
+  def kAnonymitySummary(df: DataFrame, qiCols: Seq[String], k: Int)
+      : DataFrame =
+    kAnonymityReport(df, qiCols, k).agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("at_risk").cast("long")).as("n_violating_groups"),
+      sum(when(col("at_risk") === 1, col("group_size"))
+        .otherwise(lit(0L))).as("rows_at_risk"),
+      min("group_size").as("achieved_k"))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Two-sample hypothesis testing — Welch's unequal-variance t-test over
+  * every pair of groups. This is the experiment-readout shape behind the
+  * reference's experiment jobs (`experimentsdaily/` builds the per-branch
+  * frames; the analyst's next question — "do the branches differ?" — is
+  * this operator), and the pipeline question "did corpus metric X move
+  * between sources/snapshots?" asked with error bars instead of a diff.
+  *
+  * Welch (1947) rather than Student: real branch/source groups never
+  * share a variance, and Welch is the test that stays calibrated when
+  * sizes and variances both differ. No p-value column — that needs the
+  * incomplete beta function; the (t, df) pair IS the decision statistic
+  * and keeps every emitted value a fixed-shape IEEE expression over
+  * exact sums, bit-identical across engines.
+  *
+  * Exactness discipline (the micro-unit pattern shared with UnigramLm /
+  * Auc): values quantize to integer micro-units (×10⁶, round-half-up —
+  * lossless for integral inputs, one deterministic IEEE rounding for
+  * fractional ones), and the moments are DECIMAL sums of those integers
+  * — order-free where double accumulation is partitioning-dependent. The
+  * micro-unit square is DECIMAL(18,0)² = DECIMAL(37,0), inside both
+  * engines' exact range, which bounds |value| < ~5·10¹¹ — ample for any
+  * metric column.
+  *
+  * Scale: the DATA pass is ONE map-side-combined moments aggregation
+  * (n, Σm, Σm² per group) — rows never shuffle, only sufficient
+  * statistics do. Everything after runs on the |groups|-sized stats
+  * frame; the pairwise frame is a broadcast self-join emitting
+  * C(groups, 2) rows.
+  */
+object Hypothesis {
+
+  /** Pairwise Welch t-tests between all groups (group_a < group_b
+    * lexically). Groups with fewer than 2 non-NULL values are excluded —
+    * a variance needs two observations. NULL values are ignored (not
+    * zero-filled).
+    *
+    * Output: (group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat,
+    * df_welch). t_stat is NULL when both sample variances are 0 (no
+    * test exists); df_welch via Welch–Satterthwaite.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol)
+    // integer micro-units; DECIMAL(18,0) so the square stays exact
+    val m = floor(x.cast("double") * lit(1000000.0) + lit(0.5))
+      .cast("long").cast(DecimalType(18, 0))
+    val stats = df.filter(x.isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(m).as("sx"),
+        sum(m * m).as("sxx"))
+      .filter(col("n") >= 2)
+
+    // fixed IEEE op sequence — mirrored verbatim in any replaying engine
+    def nD(p: String): Column = col(s"$p.n").cast("double")
+    def mean(p: String): Column =
+      col(s"$p.sx").cast("double") / lit(1000000.0) / nD(p)
+    def variance(p: String): Column = {
+      val sxd = col(s"$p.sx").cast("double") / lit(1000000.0)
+      val sxxd = col(s"$p.sxx").cast("double") / lit(1.0e12)
+      (sxxd - sxd * sxd / nD(p)) / (col(s"$p.n") - 1L).cast("double")
+    }
+    def vn(p: String): Column = variance(p) / nD(p)
+
+    val a = stats.alias("a")
+    val b = stats.alias("b")
+    val se2 = vn("a") + vn("b")
+    val tStat = when(se2 > 0.0,
+      (mean("a") - mean("b")) / sqrt(se2))
+    val dfW = when(se2 > 0.0,
+      (se2 * se2) / (
+        vn("a") * vn("a") / (col("a.n") - 1L).cast("double") +
+          vn("b") * vn("b") / (col("b.n") - 1L).cast("double")))
+    a.join(broadcast(b), col("a.g") < col("b.g"))
+      .select(
+        col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        tStat.as("t_stat"), dfW.as("df_welch"))
+  }
+}

@@ -2520,6 +2520,201 @@ object PipelineQueries {
            |SELECT doc_id, n_events, sum_lp,
            |  CAST(-sum_lp AS DOUBLE) / 1000000.0
            |    / CAST(n_events AS DOUBLE) AS nll
-           |FROM sc ORDER BY doc_id""".stripMargin))
+           |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity audit over customer quasi-identifiers (segment,
+    // nation): every QI combination sized in ONE map-side-combined
+    // aggregation, at_risk = below k — the privacy release gate, the
+    // aggregate companion to t15's row-level PII redaction.
+    GateQuery(
+      "t34_k_anonymity",
+      (s, dir) =>
+        graft.core.Privacy.kAnonymityReport(t(s, dir, "customer"),
+            Seq("c_mktsegment", "c_nationkey"), k = 10)
+          .orderBy("c_mktsegment", "c_nationkey"),
+      Some(
+        """SELECT c_mktsegment, c_nationkey,
+          |  CAST(COUNT(*) AS BIGINT) AS group_size,
+          |  CAST(COUNT(*) < 10 AS INT) AS at_risk
+          |FROM customer GROUP BY 1, 2
+          |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Pairwise Welch t-tests of document length across all 20 sources:
+    // the data pass is ONE moments aggregation (n, Σm, Σm² in exact
+    // integer micro-units); the C(20,2)=190 pair rows come off a
+    // broadcast self-join. Every emitted double is a fixed-shape IEEE
+    // expression over exact sums — the oracle mirrors the op sequence
+    // verbatim.
+    GateQuery(
+      "q63_welch_ttest",
+      (s, dir) =>
+        graft.operators.Hypothesis.welchT(t(s, dir, "documents"),
+            "source", "n_chars")
+          .orderBy("group_a", "group_b"),
+      Some(
+        """WITH m AS (SELECT source AS g,
+          |        CAST(floor(CAST(n_chars AS DOUBLE)*1000000.0 + 0.5)
+          |             AS BIGINT) AS mq
+          |      FROM documents WHERE n_chars IS NOT NULL),
+          |s AS (SELECT g, COUNT(*) AS n,
+          |        SUM(CAST(mq AS DECIMAL(18,0))) AS sx,
+          |        SUM(CAST(mq AS DECIMAL(18,0)) * CAST(mq AS DECIMAL(18,0)))
+          |          AS sxx
+          |      FROM m GROUP BY 1 HAVING COUNT(*) >= 2),
+          |p AS (SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb,
+          |        CAST(a.sx AS DOUBLE)/1000000.0 AS sxa,
+          |        CAST(a.sxx AS DOUBLE)/1.0e12 AS sxxa,
+          |        CAST(b.sx AS DOUBLE)/1000000.0 AS sxb,
+          |        CAST(b.sxx AS DOUBLE)/1.0e12 AS sxxb
+          |      FROM s a JOIN s b ON a.g < b.g),
+          |v AS (SELECT ga, gb, na, nb,
+          |        sxa/CAST(na AS DOUBLE) AS mean_a,
+          |        sxb/CAST(nb AS DOUBLE) AS mean_b,
+          |        ((sxxa - sxa*sxa/CAST(na AS DOUBLE))
+          |          / CAST(na - 1 AS DOUBLE)) / CAST(na AS DOUBLE) AS vna,
+          |        ((sxxb - sxb*sxb/CAST(nb AS DOUBLE))
+          |          / CAST(nb - 1 AS DOUBLE)) / CAST(nb AS DOUBLE) AS vnb
+          |      FROM p)
+          |SELECT ga AS group_a, gb AS group_b,
+          |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  mean_a, mean_b,
+          |  CASE WHEN vna + vnb > 0.0
+          |       THEN (mean_a - mean_b)/sqrt(vna + vnb) END AS t_stat,
+          |  CASE WHEN vna + vnb > 0.0
+          |       THEN ((vna + vnb)*(vna + vnb))
+          |         / (vna*vna/CAST(na - 1 AS DOUBLE)
+          |            + vnb*vnb/CAST(nb - 1 AS DOUBLE)) END AS df_welch
+          |FROM v ORDER BY group_a, group_b""".stripMargin)),
+
+    // Intra-document line dedup (Dolma paragraph-dedup, keep-first) over
+    // synthesized crawl pages: every document wrapped in nav/footer
+    // boilerplate with the nav line REPEATED — the map-only operator
+    // must drop the repeat and keep first occurrences in order. Zero
+    // data exchanges (the only exchange is the presentation ORDER BY).
+    GateQuery(
+      "t35_line_dedup",
+      (s, dir) => {
+        val pages = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", lit("nav home about"), col("text"),
+            lit("nav home about"), concat(lit("footer "), col("source")))
+            .as("text"))
+        graft.text.LineDedup.dedupLinesWithinDoc(pages, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH pg AS (SELECT doc_id,
+          |        'nav home about' || chr(10) || text || chr(10) ||
+          |        'nav home about' || chr(10) || 'footer ' || source AS text
+          |      FROM documents),
+          |ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+          |       FROM pg),
+          |dd AS (SELECT doc_id, lines,
+          |         list_filter(lines,
+          |           (l, i) -> list_position(lines, l) = i) AS kept
+          |       FROM ln)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept
+          |FROM dd ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document boilerplate removal (C4's line rule) over the same
+    // synthesized pages: lines in >= 10 distinct docs drop corpus-wide.
+    // Counting shuffles only 16-byte (PolyHash, doc) pairs — the oracle
+    // counts by the SAME hash, so both engines agree even through
+    // collisions; the heavy set broadcasts back as a LEFT ANTI and the
+    // one full-text exchange is the reassembly groupBy.
+    GateQuery(
+      "t36_boilerplate_lines",
+      (s, dir) => {
+        val pages = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", lit("nav home about"), col("text"),
+            concat(lit("footer "), col("source"))).as("text"))
+        graft.text.LineDedup.dropBoilerplateLines(pages, "doc_id", "text",
+            minDocs = 10)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH pg AS (SELECT doc_id,
+           |        'nav home about' || chr(10) || text || chr(10) ||
+           |        'footer ' || source AS text
+           |      FROM documents),
+           |ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+           |       FROM pg),
+           |ex AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos,
+           |         unnest(ls) AS line FROM ln),
+           |hx AS (SELECT doc_id, pos, line, ${polyHashSql("line")} AS h
+           |       FROM ex),
+           |heavy AS (SELECT h FROM (
+           |    SELECT h, COUNT(*) AS nd FROM (
+           |      SELECT DISTINCT h, doc_id FROM hx WHERE trim(line) <> '')
+           |    GROUP BY h) WHERE nd >= 10),
+           |keep AS (SELECT doc_id, pos, line FROM hx
+           |         WHERE h NOT IN (SELECT h FROM heavy))
+           |SELECT doc_id,
+           |  string_agg(line, chr(10) ORDER BY pos) AS text
+           |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Triangle census + local clustering of the verified MinHash
+    // near-dup graph (d12's exact edge set): degree-ordered orientation
+    // (out-degree O(√m) — the wedge join survives hubs), one closing
+    // semi-join, per-node attribution. High clustering = coherent
+    // template family; high degree + low clustering = collision hub.
+    GateQuery(
+      "q64_triangles",
+      (s, dir) =>
+        graft.graph.Triangles.nearDupTriangles(t(s, dir, "documents"),
+            "doc_id", "text", n = 3, numHashes = 8, bands = 4,
+            threshold = 0.8)
+          .orderBy("doc_id"),
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT id_a, id_b
+           |          FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |                    JOIN sets sb ON cand.id_b = sb.doc_id
+           |          WHERE $jaccardSql >= 0.8),
+           |e AS (SELECT DISTINCT least(id_a, id_b) AS u,
+           |        greatest(id_a, id_b) AS v FROM pairs WHERE id_a <> id_b),
+           |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+           |          SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+           |        GROUP BY 1),
+           |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+           |               THEN e.u ELSE e.v END AS s,
+           |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+           |               THEN e.v ELSE e.u END AS d,
+           |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+           |               THEN dv.deg ELSE du.deg END AS dd
+           |      FROM e JOIN deg du ON e.u = du.id
+           |             JOIN deg dv ON e.v = dv.id),
+           |w AS (SELECT x.s AS a, x.d AS b, y.d AS c
+           |      FROM o x JOIN o y ON x.s = y.s
+           |           AND (x.dd, x.d) < (y.dd, y.d)),
+           |tri AS (SELECT a, b, c FROM w WHERE EXISTS (
+           |          SELECT 1 FROM o WHERE o.s = w.b AND o.d = w.c)),
+           |tn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+           |          SELECT a AS id FROM tri UNION ALL
+           |          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           |       GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree,
+           |  CAST(COALESCE(tn.tri, 0) AS BIGINT) AS triangles,
+           |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+           |       THEN CAST(2*COALESCE(tn.tri, 0) AS DOUBLE)
+           |         / CAST(COALESCE(deg.deg, 0)*(COALESCE(deg.deg, 0)-1)
+           |                AS DOUBLE) END AS clustering
+           |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
+           |     LEFT JOIN tn ON d.doc_id = tn.id
+           |ORDER BY d.doc_id""".stripMargin
+      })
   )
 }

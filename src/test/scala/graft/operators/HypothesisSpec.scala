@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Welch t-test: hand-computed statistic and Welch–Satterthwaite df,
+  * degenerate regimes, group exclusion, partition invariance.
+  */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val two = Seq(
+    ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+    ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0), ("b", 10.0)
+  ).toDF("g", "x")
+
+  private def first(df: org.apache.spark.sql.DataFrame) = {
+    val r = df.orderBy("group_a", "group_b").collect().head
+    (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+  }
+
+  "welchT" should "match the hand-computed t and df" in {
+    // A: n=4 mean=2.5 var=5/3; B: n=5 mean=6 var=10
+    // se2 = 5/12 + 2; t = -3.5/sqrt(se2) = -2.2514363; df = 2523/457 = 5.5207877
+    val (ga, gb, na, nb, ma, mb, t, df) = first(Hypothesis.welchT(two, "g", "x"))
+    (ga, gb, na, nb) shouldBe (("a", "b", 4L, 5L))
+    ma shouldBe 2.5 +- 1e-9
+    mb shouldBe 6.0 +- 1e-9
+    t shouldBe -2.2514363 +- 1e-6
+    df shouldBe 5.5207877 +- 1e-6
+  }
+
+  it should "be invariant under repartitioning (exact sums)" in {
+    val base = Hypothesis.welchT(two, "g", "x").collect().head
+    val shuffled = Hypothesis.welchT(two.repartition(7), "g", "x")
+      .collect().head
+    shuffled.getDouble(6) shouldBe base.getDouble(6)
+    shuffled.getDouble(7) shouldBe base.getDouble(7)
+  }
+
+  it should "emit NULL t when both variances are zero" in {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "x")
+    val r = Hypothesis.welchT(df, "g", "x").collect().head
+    r.isNullAt(6) shouldBe true
+    r.isNullAt(7) shouldBe true
+  }
+
+  it should "still test when only one side is degenerate" in {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 9.0))
+      .toDF("g", "x")
+    val r = Hypothesis.welchT(df, "g", "x").collect().head
+    // var_b = 32, se2 = 0 + 32/2 = 16; t = (5-5)/sqrt(16) = 0
+    r.getDouble(6) shouldBe 0.0 +- 1e-12
+  }
+
+  it should "exclude groups with fewer than 2 observations and ignore NULLs" in {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(2.0)), ("b", Some(6.0)),
+      ("c", Some(9.0)) // n=1: no variance, excluded
+    ).toDF("g", "x")
+    val pairs = Hypothesis.welchT(df, "g", "x")
+      .select("group_a", "group_b").as[(String, String)].collect()
+    pairs shouldBe Array(("a", "b"))
+  }
+
+  it should "emit every group pair exactly once, lexically ordered" in {
+    val df = Seq(("c", 1.0), ("c", 2.0), ("a", 1.0), ("a", 5.0),
+      ("b", 2.0), ("b", 9.0)).toDF("g", "x")
+    val pairs = Hypothesis.welchT(df, "g", "x")
+      .select("group_a", "group_b").as[(String, String)].collect().sorted
+    pairs shouldBe Array(("a", "b"), ("a", "c"), ("b", "c"))
+  }
+}
