@@ -28,7 +28,10 @@ object PlanAudit {
       "q52_auc", "q53_scd2_merge", "q54_spearman", "t27_chi2_features",
       "q55_bootstrap", "q56_avg_precision", "q57_robust_z",
       "t28_weighted_sample", "t29_js_divergence", "q58_psi",
-      "t30_chunk_stride", "q59_kappa_agreement")
+      "t30_chunk_stride", "q59_kappa_agreement",
+      "q62_snapshot_diff", "t32_expectations", "t33_bigram_lm",
+      "t34_k_anonymity", "q63_welch_ttest", "t35_line_dedup",
+      "t36_boilerplate_lines", "q64_triangles")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
