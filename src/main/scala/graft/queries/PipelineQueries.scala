@@ -2715,6 +2715,68 @@ object PipelineQueries {
            |FROM documents d LEFT JOIN deg ON d.doc_id = deg.id
            |     LEFT JOIN tn ON d.doc_id = tn.id
            |ORDER BY d.doc_id""".stripMargin
-      })
+      }),
+
+    // Small-file compaction plan, per source "partition": greedy
+    // sequential fill toward a 20 KB target via ONE partitioned window
+    // (exclusive prefix sum, integral-div bin) over the file inventory
+    // — metadata rows, not data, so the window is small even for a
+    // 100 TB lake; per-partition planning keeps it fully parallel.
+    GateQuery(
+      "q65_compaction_plan",
+      (s, dir) =>
+        graft.core.Compaction.planBins(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("source"),
+                col("n_chars").cast("long").as("n_chars")),
+            "doc_id", "n_chars", targetBytes = 20000L,
+            groupCols = Seq("source"))
+          .orderBy("source", "doc_id"),
+      Some(
+        """WITH plan AS (SELECT doc_id, source,
+          |        CAST(n_chars AS BIGINT) AS n_chars,
+          |        CAST(SUM(n_chars) OVER (PARTITION BY source
+          |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+          |          AND CURRENT ROW) - n_chars AS BIGINT) AS bin_offset
+          |      FROM documents)
+          |SELECT doc_id, source, n_chars, bin_offset,
+          |  CAST(bin_offset // 20000 AS BIGINT) AS bin
+          |FROM plan ORDER BY source, doc_id""".stripMargin)),
+
+    // Reciprocal-rank fusion of two incomparable corpus-wide rankings
+    // (raw length vs token count — stand-ins for BM25 vs ANN cosine,
+    // whose scales also cannot be averaged): ranks via one window per
+    // list, contributions as EXACT integers 10^12 div (k+rank) so the
+    // per-item sum is order-free where double 1/(k+r) addition is
+    // partitioning-dependent.
+    GateQuery(
+      "t37_rrf_fusion",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val byChars = docs.select(col("doc_id"),
+          col("n_chars").cast("double").as("s"))
+        val byTokens = docs.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("double").as("s"))
+        graft.operators.Fusion.reciprocalRank(
+            Seq(byChars, byTokens), Seq("doc_id"), "s", k = 60)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $tokCte,
+           |r1 AS (SELECT doc_id, row_number() OVER (
+           |         ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rnk
+           |       FROM documents),
+           |r2 AS (SELECT doc_id, row_number() OVER (
+           |         ORDER BY CAST(len(toks) AS DOUBLE) DESC, doc_id) AS rnk
+           |       FROM tok),
+           |u AS (SELECT doc_id, 1000000000000 // (60 + rnk) AS c, rnk
+           |      FROM r1
+           |      UNION ALL
+           |      SELECT doc_id, 1000000000000 // (60 + rnk), rnk FROM r2)
+           |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lists,
+           |  CAST(MIN(rnk) AS BIGINT) AS best_rank,
+           |  CAST(SUM(c) AS DOUBLE) / 1000000000000 AS rrf_score
+           |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
