@@ -96,6 +96,85 @@ object Multimodal {
       Some((le16(b, 6), le16(b, 8)))
     else None
 
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** Parsed WAV audio metadata. duration_ms is exact integral
+    * data_bytes·1000 div byte_rate.
+    */
+  final case class WavMeta(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, dataBytes: Long, durationMs: Long)
+
+  /** WAV/RIFF: "RIFF"[size]"WAVE", then a chunk walk — [id u32][size
+    * u32LE][payload, word-aligned]. The fmt chunk (audio format u16LE,
+    * channels u16LE, sample rate u32LE, byte rate u32LE, block align,
+    * bits per sample) need not be the first chunk and the data chunk
+    * need not follow it directly (LIST/INFO chunks intervene in real
+    * recorder output), so both are located by the walk, not by fixed
+    * offsets. Returns None for non-RIFF bytes, truncation mid-chunk, a
+    * missing fmt/data chunk, or a zero byte rate (duration undefined).
+    */
+  def wavMeta(b: Array[Byte]): Option[WavMeta] = {
+    if (b == null || b.length < 12 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Long, Int)] = None // ch, rate, byteRate, bits
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+        b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        fmt = Some((le16(b, i + 8 + 2), le32(b, i + 8 + 4).toInt,
+          le32(b, i + 8 + 8), le16(b, i + 8 + 14)))
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a') {
+        dataBytes = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size % 2).toInt
+    }
+    fmt match {
+      case Some((ch, rate, byteRate, bits))
+          if dataBytes >= 0 && byteRate > 0 =>
+        Some(WavMeta(ch, rate, bits, dataBytes,
+          dataBytes * 1000L / byteRate))
+      case _ => None
+    }
+  }
+
+  /** Build a canonical 44-byte-header PCM WAV blob (header + silent
+    * payload capped at 64 bytes — metadata passes never read samples).
+    * The synthesis twin of [[wavMeta]]: gates and specs round-trip
+    * arbitrary parameters through REAL container bytes instead of
+    * trusting the parser's own constants.
+    */
+  def synthWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataBytes = nSamples * blockAlign
+    val byteRate = sampleRate.toLong * blockAlign
+    val payload = math.min(dataBytes, 64L).toInt
+    val out = new Array[Byte](44 + payload)
+    def w16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0); w32(4, 36L + dataBytes)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12); w32(16, 16L); w16(20, 1)
+    w16(22, channels); w32(24, sampleRate.toLong); w32(28, byteRate)
+    w16(32, blockAlign); w16(34, bitsPerSample)
+    "data".getBytes.copyToArray(out, 36); w32(40, dataBytes)
+    out
+  }
+
   /** Count the image frames of a GIF by walking its block structure — no
     * LZW decode needed: each 0x2C image descriptor is one frame;
     * extensions (0x21) and pixel data are skipped via their length-
@@ -146,6 +225,9 @@ object Multimodal {
     else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) "jpeg"
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
+    else if (b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else "unknown"
 
   /** Decode (width, height) from real container headers; bytes that are
@@ -197,7 +279,47 @@ object Multimodal {
     case "png"  => "image/png"
     case "jpeg" => "image/jpeg"
     case "gif"  => "image/gif"
+    case "wav"  => "audio/wav"
     case _      => "application/octet-stream"
+  }
+
+  /** Audio decode pass: fills (channels, sample_rate, bits_per_sample,
+    * duration_ms) from REAL WAV container bytes via [[wavMeta]]; bytes
+    * that are not a parseable WAV get deterministic byte-hash synthetic
+    * audio meta (the [[decodeDims]] convention) so opaque formats flow
+    * through the same plumbing. Batched mapPartitions, schema in/out.
+    */
+  def decodeAudioMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select("asset_id", "media_type", "media")
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val m = wavMeta(bytes).getOrElse {
+              var h = 0L
+              var i = 0
+              val n = if (bytes == null) 0 else bytes.length
+              while (i < math.min(n, 256)) {
+                h = (h * 31 + (bytes(i) & 0xff)) & 0x7fffffffL
+                i += 1
+              }
+              WavMeta(1 + (h % 2).toInt, 8000 + ((h / 2) % 5).toInt * 4000,
+                8 + 8 * ((h / 10) % 3).toInt, n.toLong, n.toLong / 16)
+            }
+            Row(r.getLong(0), r.getString(1), m.channels, m.sampleRate,
+              m.bitsPerSample, m.durationMs)
+          }
+        }
+      }(enc)
   }
 
   /** Decode pass: fills meta.width/height (+ frame count) from the media

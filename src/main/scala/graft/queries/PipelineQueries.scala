@@ -2777,6 +2777,89 @@ object PipelineQueries {
            |  CAST(COUNT(*) AS BIGINT) AS n_lists,
            |  CAST(MIN(rnk) AS BIGINT) AS best_rank,
            |  CAST(SUM(c) AS DOUBLE) / 1000000000000 AS rrf_score
-           |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Audio metadata through REAL container bytes: every document
+    // becomes a PCM WAV (params derived from its id/size), synthesized
+    // and re-parsed by the byte-level RIFF chunk walk inside the batched
+    // decodeAudioMeta pass — the gate pins the full synth→parse round
+    // trip, not the parser's constants. The oracle computes the same
+    // parameters directly (duration = exact integral samples·1000 div
+    // rate, the block-align factor cancelling).
+    GateQuery(
+      "m02_audio_meta",
+      (s, dir) => {
+        import s.implicits._
+        val assets = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val ch = 1 + (id % 2).toInt
+            val rate = 8000 + (id % 5).toInt * 4000
+            val bits = 8 * (1 + (id % 2).toInt)
+            (id, graft.multimodal.Multimodal.synthWav(ch, rate, bits,
+              nc * 10), "audio/wav")
+          }
+          .toDF("asset_id", "media", "media_type")
+        graft.multimodal.Multimodal.decodeAudioMeta(assets)
+          .orderBy("asset_id")
+      },
+      Some(
+        """SELECT doc_id AS asset_id, 'audio/wav' AS media_type,
+          |  CAST(1 + doc_id % 2 AS INT) AS channels,
+          |  CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+          |  CAST(8 * (1 + doc_id % 2) AS INT) AS bits_per_sample,
+          |  CAST((CAST(n_chars AS BIGINT) * 10 * 1000)
+          |    // (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms
+          |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // NDCG@10 of the token-count ranking against n_chars-derived grades,
+    // per source: the graded position-weighted eval closing the metric
+    // family (AUC/AP = binary order, recall@k = set overlap). The
+    // 1/log2(i+1) discounts are driver-precomputed nano-unit literals
+    // shared verbatim by plan and oracle, so both engines sum the same
+    // exact integers.
+    GateQuery(
+      "q66_ndcg",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("double").as("score"),
+          (col("n_chars") % 4).cast("long").as("rel"))
+        graft.operators.Ndcg.ndcgAtK(docs, "source", "doc_id",
+            "score", "rel", k = 10)
+          .orderBy("source")
+      },
+      Some {
+        val d = graft.operators.Ndcg.discountNano(10)
+        def discCase(rank: String): String =
+          s"(CASE $rank ${(1 to 10).map(i => s"WHEN $i THEN ${d(i - 1)}")
+            .mkString(" ")} END)"
+        s"""WITH $tokCte,
+           |sc AS (SELECT d.source, d.doc_id,
+           |         CAST(len(t.toks) AS DOUBLE) AS score,
+           |         CAST(d.n_chars % 4 AS BIGINT) AS rel
+           |       FROM documents d JOIN tok t USING (doc_id)),
+           |rk AS (SELECT source, doc_id, rel,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY score DESC, doc_id) AS pr,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY rel DESC, doc_id) AS ir
+           |       FROM sc),
+           |g AS (SELECT source, pr, ir,
+           |        CAST((1 << rel) - 1 AS BIGINT) AS gain FROM rk),
+           |agg AS (SELECT source,
+           |          SUM(CASE WHEN pr <= 10
+           |            THEN gain * ${discCase("pr")} ELSE 0 END) AS dcg_nano,
+           |          SUM(CASE WHEN ir <= 10
+           |            THEN gain * ${discCase("ir")} ELSE 0 END) AS idcg_nano
+           |        FROM g GROUP BY 1)
+           |SELECT source, CAST(dcg_nano AS BIGINT) AS dcg_nano,
+           |  CAST(idcg_nano AS BIGINT) AS idcg_nano,
+           |  CASE WHEN idcg_nano > 0
+           |       THEN CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE)
+           |       END AS ndcg
+           |FROM agg ORDER BY source""".stripMargin
+      })
   )
 }
