@@ -31,7 +31,8 @@ object PlanAudit {
       "t30_chunk_stride", "q59_kappa_agreement",
       "q62_snapshot_diff", "t32_expectations", "t33_bigram_lm",
       "t34_k_anonymity", "q63_welch_ttest", "t35_line_dedup",
-      "t36_boilerplate_lines", "q64_triangles")
+      "t36_boilerplate_lines", "q64_triangles", "q65_compaction_plan",
+      "t37_rrf_fusion", "m02_audio_meta", "q66_ndcg")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
