@@ -566,6 +566,28 @@ object Main {
           k = required("k").toInt, salt = o.getOrElse("salt", ""),
           strataCols = o.get("strata-col").toSeq), required("output"))
 
+      case "compact" =>
+        // small-file compaction planning: the --input file inventory
+        // (file/size columns) becomes a merge plan toward --target-bytes,
+        // optionally per --group-col partition and in --order-col layout
+        // order; the plan lands at --output, headline counts at
+        // --stats-output for the maintenance scheduler
+        val fileCol = o.getOrElse("file-col", "file")
+        val sizeCol = o.getOrElse("size-col", "size")
+        val groups = o.get("group-col").toSeq
+        val plan = graft.core.Compaction.planBins(input, fileCol, sizeCol,
+            required("target-bytes").toLong, groupCols = groups,
+            orderCols = o.get("order-col").toSeq)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        write(plan, required("output"))
+        val nFiles = plan.count()
+        val nBins = graft.core.Compaction.binSummary(plan, sizeCol, groups)
+          .count()
+        o.get("stats-output").foreach(p => writeJson(p, Map(
+          "n_files" -> nFiles, "n_bins" -> nBins)))
+        plan.unpersist()
+        println(s"[graft] compact planned $nFiles files into $nBins bins")
+
       case "drift" =>
         // corpus drift gate: JS divergence between --input and
         // --reference token distributions (+ PSI over --psi-col when

@@ -2860,6 +2860,60 @@ object PipelineQueries {
            |       THEN CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE)
            |       END AS ndcg
            |FROM agg ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Stream-stream interval join replayed as TWO real file streams —
+    // purchases joined to each user's in-horizon clicks (state bounded
+    // by horizon + lateness per side), then the batch latest-match
+    // collapse — together the incremental twin of the X1 as-of join,
+    // previously spec-only (X5). The oracle is the BATCH as-of: latest
+    // click in [ts − 1 h, ts], ties to the greatest click id, matched
+    // purchases only (outer emission timing is watermark-dependent and
+    // deliberately out of contract).
+    GateQuery(
+      "d24_stream_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        def typed(t: String): DataFrame = {
+          val st = s.readStream.schema(raw.schema)
+            .parquet(stagedStreamDir(dir, "events"))
+          st.withColumn("ts", GateQuery.normalizeTs(st, "ts"))
+            .filter(col("event_type") === t)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"))
+        }
+        val joined = graft.streaming.EventStreams.intervalJoin(
+          typed("purchase"), typed("click"),
+          horizonSec = 3600L, lateness = "30 minutes")
+        val rows = runStreamToMemory(s, joined, "d24_mem_sink") { res =>
+          graft.streaming.EventStreams.latestMatchPerEvent(
+              res.filter(col("match_id").isNotNull))
+            .select(col("event_id"), col("user_id"),
+              unix_millis(col("ts")).as("p_ms"),
+              col("match_id"), unix_millis(col("match_ts")).as("m_ms"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+            .sortBy(_._1)
+        }
+        rows.toSeq.toDF("event_id", "user_id", "p_ms", "match_id", "m_ms")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |        epoch_us(ts) // 1000 AS tms FROM events),
+          |p AS (SELECT event_id, user_id, tms FROM e
+          |      WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id, user_id, tms FROM e
+          |      WHERE event_type = 'click'),
+          |j AS (SELECT p.event_id, p.user_id, p.tms AS p_ms,
+          |        c.event_id AS match_id, c.tms AS m_ms
+          |      FROM p JOIN c ON p.user_id = c.user_id
+          |       AND c.tms BETWEEN p.tms - 3600000 AND p.tms),
+          |best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+          |           ORDER BY m_ms DESC, match_id DESC) AS rn FROM j)
+          |SELECT event_id, user_id, p_ms, match_id, m_ms
+          |FROM best WHERE rn = 1 ORDER BY event_id""".stripMargin))
   )
 }

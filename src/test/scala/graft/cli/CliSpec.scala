@@ -412,6 +412,29 @@ class CliSpec extends SparkSpec {
     json2 should include("\"psi_n_chars\"")
   }
 
+  it should "dispatch compact: plan bins per group and report counts" in {
+    val inv = tmp("cmp-inv"); val out = tmp("cmp-plan")
+    val rpt = tmp("cmp-json") + "/report.json"
+    Seq(("p1", "a", 60L), ("p1", "b", 60L), ("p1", "c", 60L),
+        ("p2", "d", 150L))
+      .toDF("part", "file", "size")
+      .write.mode("overwrite").parquet(inv)
+    dispatch("compact", "input" -> inv, "output" -> out,
+      "target-bytes" -> "100", "group-col" -> "part",
+      "stats-output" -> rpt)
+    val plan = spark.read.parquet(out)
+    // p1: offsets 0/60/120 -> bins 0,0,1; p2: its own bin 0
+    plan.filter(col("part") === "p1").select("file", "bin")
+      .as[(String, Long)].collect().sortBy(_._1) shouldBe
+      Seq(("a", 0L), ("b", 0L), ("c", 1L))
+    plan.filter(col("part") === "p2").select("bin").as[Long]
+      .collect() shouldBe Seq(0L)
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(rpt))
+    json should include("\"n_files\":4")
+    json should include("\"n_bins\":3")
+  }
+
   it should "reject unknown commands" in {
     a[RuntimeException] should be thrownBy dispatch("nope")
   }
