@@ -42,10 +42,25 @@ object LabelProp {
     * round-`rounds` label and sizes count the final assignment.
     */
   def propagate(nodes: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, rounds: Int): DataFrame = {
+      srcCol: String, dstCol: String, rounds: Int,
+      materialize: Boolean = true): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    import org.apache.spark.storage.StorageLevel
+    // The edge list is referenced once per round and is often the
+    // expensive lineage (the near-dup generator runs MinHash + verify);
+    // each round's labels are referenced twice by the next round (votes
+    // + carry-forward join). Without caching, evaluation re-runs the
+    // edge lineage per round and doubles the label chain per round —
+    // measured 7.0 s vs 1.3 s on the d23 gate. The caches are LAZY (no
+    // per-round jobs); `materialize = true` (default) runs the one
+    // eager count at the end and releases every intermediate, the
+    // PageRank.ranks lifecycle (PageRank.scala:134-150).
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame =
+      if (!materialize) df
+      else { cached += df.persist(StorageLevel.MEMORY_AND_DISK); df }
+    val sym = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d"))))
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lab"))
     val byNode = Window.partitionBy("id")
       .orderBy(col("c").desc, col("nl").asc)
@@ -58,14 +73,20 @@ object LabelProp {
         .withColumn("rn", row_number().over(byNode))
         .filter(col("rn") === 1)
         .select(col("id"), col("nl"))
-      labels = labels.join(winner, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
+      labels = keep(labels.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lab")).as("lab")))
     }
     val sizes = labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("community_size"))
-    labels.select(col("id").as(idCol), col("lab").as("community"))
+    val out = labels.select(col("id").as(idCol), col("lab").as("community"))
       .join(sizes, "community")
       .select(col(idCol), col("community"), col("community_size"))
+    if (materialize) {
+      val m = out.persist(StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      cached.foreach(_.unpersist(false))
+      m
+    } else out
   }
 
   /** Communities of the MinHash near-duplicate graph: LSH candidates
@@ -78,9 +99,10 @@ object LabelProp {
   def nearDupCommunities(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.8, rounds: Int = 3,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0, materialize: Boolean = true): DataFrame = {
     val pairs = graft.dedup.NearDup.minhashNearDuplicates(
       df, idCol, textCol, n, numHashes, bands, threshold, maxBucketSize)
-    propagate(df.select(idCol), idCol, pairs, "id_a", "id_b", rounds)
+    propagate(df.select(idCol), idCol, pairs, "id_a", "id_b", rounds,
+      materialize)
   }
 }
