@@ -2914,6 +2914,58 @@ object PipelineQueries {
           |best AS (SELECT *, row_number() OVER (PARTITION BY event_id
           |           ORDER BY m_ms DESC, match_id DESC) AS rn FROM j)
           |SELECT event_id, user_id, p_ms, match_id, m_ms
-          |FROM best WHERE rn = 1 ORDER BY event_id""".stripMargin))
+          |FROM best WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // Exact-integer Lloyd's k-means over the embeddings (k=8, 2 rounds):
+    // micro-unit quantized vectors, exact long distances, lowest-id
+    // seeding and lowest-centroid ties, integer-mean updates — every
+    // iteration bit-identical across engines, so the whole clustering
+    // replays in DuckDB with the rounds unrolled as CTEs (previously the
+    // clustering family was spec-only). Vectors never shuffle: centroids
+    // broadcast for assignment, updates are k·dims aggregation cells.
+    GateQuery(
+      "d25_kmeans",
+      (s, dir) =>
+        graft.similarity.Kmeans.fitPredict(t(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, rounds = 2)
+          .orderBy("vec_id"),
+      Some {
+        val dist = "list_sum(list_transform(range(1, 65), " +
+          "i -> (e.q[i]-c.q[i])*(e.q[i]-c.q[i])))"
+        def round(r: Int, prev: String): String =
+          s"""d$r AS (SELECT e.vec_id, c.cid, $dist AS dist
+             |       FROM e CROSS JOIN $prev c),
+             |a$r AS (SELECT vec_id, cid FROM (
+             |         SELECT vec_id, cid, row_number() OVER (
+             |           PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |         FROM d$r) WHERE rn = 1),
+             |u$r AS (SELECT a$r.cid, ui.i,
+             |         SUM(e.q[ui.i]) // COUNT(*) AS cv
+             |       FROM a$r JOIN e USING (vec_id)
+             |            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ui
+             |       GROUP BY a$r.cid, ui.i),
+             |n$r AS (SELECT cid, list(cv ORDER BY i) AS q FROM u$r
+             |        GROUP BY cid),
+             |c$r AS (SELECT p.cid, COALESCE(n$r.q, p.q) AS q
+             |        FROM $prev p LEFT JOIN n$r USING (cid))""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+           |         AS BIGINT) AS cid, q
+           |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+           |${round(1, "c0")},
+           |${round(2, "c1")},
+           |df AS (SELECT e.vec_id, c.cid, $dist AS dist
+           |       FROM e CROSS JOIN c2 c),
+           |af AS (SELECT vec_id, cid, dist FROM (
+           |         SELECT vec_id, cid, dist, row_number() OVER (
+           |           PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |         FROM df) WHERE rn = 1)
+           |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           |  CAST(dist AS BIGINT) AS dist2_micro
+           |FROM af ORDER BY vec_id""".stripMargin
+      })
   )
 }
