@@ -396,6 +396,67 @@ object RelationalExt {
                              + CAST(0.8 AS DOUBLE) * acc) AS ewma
         FROM f GROUP BY event_type ORDER BY event_type""")),
 
+    // Holt linear smoothing over the q42 shape (resample → ffill →
+    // fold): level AND trend evolve together, so the gate pins the
+    // coupled two-component recurrence and the h-step forecast. The
+    // oracle folds a struct-element list_reduce whose head seed is
+    // COALESCE-normalized to l0 = v0, b0 = 0 — the same op sequence,
+    // with l_i's expression computed twice verbatim in both engines.
+    GateQuery(
+      "q67_holt",
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("event_id") % 37 === 0)
+        val filled = graft.operators.GapFill.carryForwardResample(
+          ev, "event_type", "ts", "value", unit = "hour")
+        graft.operators.Holt.latest(filled, "event_type", "bucket",
+            "value_sum", alpha = 0.2, beta = 0.1, horizon = 3)
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, date_trunc('hour', ts) AS b, value
+          FROM events WHERE event_id % 37 = 0),
+        agg AS (
+          SELECT event_type, b, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vs
+          FROM ev GROUP BY event_type, b),
+        rng AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+                FROM agg GROUP BY event_type),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                 FROM rng),
+        j AS (SELECT g.event_type, g.b, a.vs
+              FROM grid g LEFT JOIN agg a
+                ON g.event_type = a.event_type AND g.b = a.b),
+        f AS (SELECT event_type, b,
+                     last_value(vs IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_sum
+              FROM j),
+        -- the (l, b) accumulator is a LIST, not a struct: DuckDB's
+        -- list_reduce aliases a struct accumulator to the output slot,
+        -- so later struct_pack fields observe earlier writes (the trend
+        -- field would see the NEW level); list construction evaluates
+        -- both elements from the old accumulator. acc[2] is NULL (out
+        -- of range) while acc is still the single-element head seed,
+        -- which COALESCE maps to b0 = 0 — the operator's seed.
+        folded AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_points,
+            list_reduce(
+              list_transform(list(value_sum ORDER BY b), v -> [v]),
+              (acc, x) -> [
+                0.2 * x[1] + 0.8 * (acc[1] + COALESCE(acc[2], 0.0)),
+                0.1 * (0.2 * x[1] + 0.8 * (acc[1] + COALESCE(acc[2], 0.0))
+                    - acc[1]) +
+                  0.9 * COALESCE(acc[2], 0.0)]) AS r
+          FROM f GROUP BY event_type)
+        SELECT event_type, n_points,
+          r[1] AS level,
+          COALESCE(r[2], 0.0) AS trend,
+          r[1] + 3.0 * COALESCE(r[2], 0.0) AS forecast
+        FROM folded ORDER BY event_type""")),
+
     // Funnel analysis: signup → view → purchase per user within a 3-day
     // horizon of signup, on a 1-in-7 event sample (full data completes
     // trivially). Chained conditional-min windows over ONE partitioning —
