@@ -51,6 +51,31 @@ object Privacy {
     df.join(broadcast(bad), cond, "left_semi")
   }
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    * refinement k-anonymity misses: a group of k rows that all share
+    * the SAME sensitive value still discloses it (the homogeneity
+    * attack), so every QI group must also contain at least l DISTINCT
+    * sensitive values. One aggregation with a distinct count riding the
+    * same QI tuple — still a single scan.
+    *
+    * Output: (qiCols*, group_size, distinct_sensitive, at_risk) where
+    * at_risk = distinct_sensitive < l. NULL sensitive values count as
+    * one value (an absent diagnosis is itself a disclosure).
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "qiCols must be non-empty")
+    require(!qiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    require(l >= 2, "l must be >= 2 to be a diversity constraint")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L)))
+          .as("distinct_sensitive"))
+      .withColumn("at_risk", (col("distinct_sensitive") < l).cast("int"))
+  }
+
   /** One-row summary for a release-gate dashboard: total groups,
     * violating groups, rows at risk, and the smallest group size (the
     * dataset's achieved k). Rides the report — still one table scan.

@@ -2966,6 +2966,72 @@ object PipelineQueries {
            |SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
            |  CAST(dist AS BIGINT) AS dist2_micro
            |FROM af ORDER BY vec_id""".stripMargin
+      }),
+
+    // l-diversity audit: the homogeneity-attack refinement over t34's
+    // k-anonymity — every QI group must contain >= l DISTINCT sensitive
+    // values (synthetic code = custkey mod 7), still ONE aggregation
+    // pass riding the same QI tuple.
+    GateQuery(
+      "t38_l_diversity",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .withColumn("code", (col("c_custkey") % 7).cast("long"))
+        graft.core.Privacy.lDiversityReport(c,
+            Seq("c_mktsegment", "c_nationkey"), "code", l = 5)
+          .orderBy("c_mktsegment", "c_nationkey")
+      },
+      Some(
+        """SELECT c_mktsegment, c_nationkey,
+          |  CAST(COUNT(*) AS BIGINT) AS group_size,
+          |  CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT)
+          |    AS distinct_sensitive,
+          |  CAST(COUNT(DISTINCT c_custkey % 7) < 5 AS INT) AS at_risk
+          |FROM customer GROUP BY 1, 2
+          |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Count-Min point-frequency estimates over the token stream
+    // (width 128, depth 4): the sketch is a d×width CELL TABLE (merge =
+    // cell sum, probe = broadcast join), every bucket the same
+    // fixed-constant PolyHash arithmetic as the MinHash signatures, so
+    // estimates replay bitwise — collisions included. Probes carry the
+    // exact counts alongside, exhibiting the one-sided guarantee.
+    GateQuery(
+      "t39_countmin",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        val sk = graft.core.CountMin.build(toks, "term", 128, 4)
+        val probes = toks.groupBy("term")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .filter(TextFunctions.polyHash(col("term")) % 3 === 1)
+        graft.core.CountMin.estimate(sk, probes, "term", 128, 4)
+          .orderBy("term")
+      },
+      Some {
+        val m = HashMod
+        def b(j: Int, ph: String): String =
+          s"(($ph * ${MinHashA(j)} + ${MinHashB(j)}) % $m) % 128"
+        val cellRows = (0 until 4).map(j =>
+          s"SELECT $j AS row, ${b(j, "ph")} AS bucket FROM occh")
+          .mkString(" UNION ALL ")
+        val probeRows = (0 until 4).map(j =>
+          s"SELECT term, exact_cnt, $j AS row, ${b(j, "ph")} AS bucket FROM prb")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte,
+           |occ AS (SELECT unnest(toks) AS term FROM tok),
+           |occh AS (SELECT term, ${polyHashSql("term")} AS ph FROM occ),
+           |cells AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           |          FROM ($cellRows) GROUP BY 1, 2),
+           |ex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           |         ANY_VALUE(ph) AS ph
+           |       FROM occh GROUP BY term),
+           |prb AS (SELECT term, exact_cnt, ph FROM ex WHERE ph % 3 = 1),
+           |pc AS ($probeRows)
+           |SELECT pc.term, ANY_VALUE(pc.exact_cnt) AS exact_cnt,
+           |  CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+           |FROM pc LEFT JOIN cells c USING (row, bucket)
+           |GROUP BY pc.term ORDER BY pc.term""".stripMargin
       })
   )
 }

@@ -62,4 +62,31 @@ class PrivacySpec extends SparkSpec {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
       ((2L, 1L, 1L, 1L))
   }
+
+  "lDiversityReport" should "flag homogeneous groups k-anonymity accepts" in {
+    val df = Seq(
+      ("94110", "flu"), ("94110", "flu"), ("94110", "flu"), // k=3, l=1
+      ("94611", "flu"), ("94611", "cold"), ("94611", "ok")  // k=3, l=3
+    ).toDF("zip", "diagnosis")
+    val rows = Privacy.lDiversityReport(df, Seq("zip"), "diagnosis", 2)
+      .orderBy("zip").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    rows shouldBe Array(
+      ("94110", 3L, 1L, 1),
+      ("94611", 3L, 3L, 0))
+  }
+
+  it should "count NULL as one sensitive value" in {
+    val df = Seq(("z", Some("flu")), ("z", None), ("z", None))
+      .toDF("zip", "diagnosis")
+    val r = Privacy.lDiversityReport(df, Seq("zip"), "diagnosis", 3)
+      .collect().head
+    r.getLong(2) shouldBe 2L // flu + NULL
+    r.getInt(3) shouldBe 1
+  }
+
+  it should "reject a sensitive column that is also a QI" in {
+    an[IllegalArgumentException] should be thrownBy
+      Privacy.lDiversityReport(people, Seq("zip"), "zip", 2)
+  }
 }
