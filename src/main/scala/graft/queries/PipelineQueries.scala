@@ -3032,6 +3032,125 @@ object PipelineQueries {
            |  CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
            |FROM pc LEFT JOIN cells c USING (row, bucket)
            |GROUP BY pc.term ORDER BY pc.term""".stripMargin
-      })
+      }),
+
+    // Fellegi–Sunter record-linkage scoring over the MinHash candidate
+    // pairs: frequency-based u per field (EXACT Σc²/N² over the corpus),
+    // caller-prior m, micro-nat integer weights off a broadcast 1-row
+    // frame, pair score an exact long sum — the calibrated decision
+    // layer on top of the blocking stages. Oracle float literals are
+    // interpolated from the SAME Scala doubles so 1−m round-trips
+    // bit-exactly.
+    GateQuery(
+      "q68_fs_linkage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs0 = NearDup.minhashNearDuplicates(docs, "doc_id", "text",
+          n = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        val a = docs.select(col("doc_id").as("id_a"),
+          col("lang").as("lang_a"), col("source").as("src_a"))
+        val b = docs.select(col("doc_id").as("id_b"),
+          col("lang").as("lang_b"), col("source").as("src_b"))
+        val pairs = pairs0.select("id_a", "id_b")
+          .join(a, "id_a").join(b, "id_b")
+        graft.operators.Linkage.fsScore(pairs, Seq(
+            graft.operators.Linkage.Field("lang_a", "lang_b", "lang"),
+            graft.operators.Linkage.Field("src_a", "src_b", "source")),
+            docs, m = 0.9)
+          .select(col("id_a"), col("id_b"), col("score_micro"),
+            col("fs_score"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val m = 0.9
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        def wCte(name: String, fld: String): String =
+          s"""st_$name AS (SELECT CAST(SUM(c*c) AS BIGINT) AS sumsq,
+             |    CAST(SUM(c) AS BIGINT) AS n
+             |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY $fld)),
+             |w_$name AS (SELECT
+             |    CAST(floor(ln($m * CAST(n*n AS DOUBLE)
+             |      / CAST(sumsq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+             |      AS wa,
+             |    CASE WHEN n*n > sumsq THEN
+             |      CAST(floor(ln(${1.0 - m} * CAST(n*n AS DOUBLE)
+             |        / CAST(n*n - sumsq AS DOUBLE)) * 1000000.0 + 0.5)
+             |        AS BIGINT) END AS wd
+             |  FROM st_$name)""".stripMargin
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT id_a, id_b
+           |          FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |                    JOIN sets sb ON cand.id_b = sb.doc_id
+           |          WHERE $jaccardSql >= 0.5),
+           |${wCte("lang", "lang")},
+           |${wCte("src", "source")}
+           |SELECT p.id_a, p.id_b,
+           |  (CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
+           |        THEN w_lang.wa ELSE w_lang.wd END +
+           |   CASE WHEN da.source IS NOT DISTINCT FROM db.source
+           |        THEN w_src.wa ELSE w_src.wd END) AS score_micro,
+           |  CAST((CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
+           |        THEN w_lang.wa ELSE w_lang.wd END +
+           |   CASE WHEN da.source IS NOT DISTINCT FROM db.source
+           |        THEN w_src.wa ELSE w_src.wd END) AS DOUBLE) / 1000000.0
+           |    AS fs_score
+           |FROM pairs p JOIN documents da ON p.id_a = da.doc_id
+           |     JOIN documents db ON p.id_b = db.doc_id
+           |     CROSS JOIN w_lang CROSS JOIN w_src
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Linear multi-touch attribution: every purchase's value split
+    // equally over the user's in-horizon clicks, division REMAINDER to
+    // the most recent touch — per conversion the micro-credits sum to
+    // EXACTLY the conversion's value (conservation is an invariant, not
+    // an approximation), so every downstream sum is an order-free long.
+    GateQuery(
+      "q69_attribution",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.operators.Attribution.linearCredit(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"),
+            "user_id", "event_id", "ts", "value", "event_id", "ts",
+            horizonSec = 3600L)
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |        epoch_us(ts) AS tus, value FROM events),
+          |p AS (SELECT event_id AS cid, user_id, tus AS cts,
+          |        CAST(floor(CAST(value AS DOUBLE)*1000000.0 + 0.5)
+          |             AS BIGINT) AS v
+          |      FROM e WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id AS tid, user_id, tus AS tts FROM e
+          |      WHERE event_type = 'click'),
+          |j AS (SELECT p.cid, p.v, c.tid, c.tts
+          |      FROM p JOIN c ON p.user_id = c.user_id
+          |       AND c.tts <= p.cts AND c.tts >= p.cts - 3600000000),
+          |w AS (SELECT cid, v, tid,
+          |        COUNT(*) OVER (PARTITION BY cid) AS n,
+          |        row_number() OVER (PARTITION BY cid
+          |          ORDER BY tts DESC, tid DESC) AS rn
+          |      FROM j),
+          |cr AS (SELECT tid, v // n +
+          |         CASE WHEN rn = 1 THEN v - n * (v // n) ELSE 0 END
+          |         AS credit
+          |       FROM w)
+          |SELECT tid AS event_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+          |  CAST(SUM(credit) AS BIGINT) AS credit_micro,
+          |  CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS credit
+          |FROM cr GROUP BY tid ORDER BY event_id""".stripMargin))
   )
 }
