@@ -32,7 +32,9 @@ object PlanAudit {
       "q62_snapshot_diff", "t32_expectations", "t33_bigram_lm",
       "t34_k_anonymity", "q63_welch_ttest", "t35_line_dedup",
       "t36_boilerplate_lines", "q64_triangles", "q65_compaction_plan",
-      "t37_rrf_fusion", "m02_audio_meta", "q66_ndcg")
+      "t37_rrf_fusion", "m02_audio_meta", "q66_ndcg", "d25_kmeans",
+      "q67_holt", "t38_l_diversity", "t39_countmin", "q68_fs_linkage",
+      "q69_attribution")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
