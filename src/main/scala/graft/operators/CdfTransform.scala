@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Percentile-rank (CDF) transform — mapping a metric column onto [0,1]
+  * by its empirical distribution, the feature-engineering step before
+  * thresholding or mixing incomparable scores (X37 prunes on absolute
+  * scores; the rank transform makes "keep the top 30%" mean the same
+  * thing across sources with different score scales).
+  *
+  * The mid-rank convention: pct = (count_below + ½·count_equal) / N,
+  * computed as ONE division of exact longs (2·lt + eq) / 2N — ties get
+  * the same value, the result is symmetric (mean = ½ over any data),
+  * and the arithmetic replays bitwise.
+  *
+  * Scale — the point of the formulation: rows are NEVER globally
+  * sorted. percent_rank() over a 100 TB column is a global sort; here
+  * the distribution compresses to per-VALUE counts (one
+  * map-side-combined aggregation), a window over the compressed value
+  * table (|distinct values| rows) computes the exclusive prefix, and
+  * the per-value ranks broadcast back onto the unshuffled scan — the
+  * X59 ROC-AUC / X60 Spearman compressed-rank discipline applied as a
+  * row transform.
+  */
+object CdfTransform {
+
+  /** Append `pct_rank` for `valueCol` within each `partitionCols` group
+    * (empty = one global distribution). NULL values get NULL rank.
+    * `broadcastRanks` (default true) fits discretized/repetitive
+    * columns, where compression is massive; for near-unique values the
+    * compressed table approaches row count — pass false and the rank
+    * attach becomes a plain hash join instead of a driver-sized
+    * broadcast.
+    */
+  def percentileRank(df: DataFrame, valueCol: String,
+      partitionCols: Seq[String] = Seq.empty,
+      broadcastRanks: Boolean = true): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((pcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__eq"))
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(pcols: _*)
+    val w = w0.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("__lt", sum("__eq").over(w) - col("__eq"))
+      .withColumn("__n", sum("__eq").over(w0
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select((pcols :+ col(valueCol) :+
+        ((lit(2L) * col("__lt") + col("__eq")).cast("double") /
+          (lit(2L) * col("__n")).cast("double")).as("pct_rank")): _*)
+    val attach = if (broadcastRanks) broadcast(ranked) else ranked
+    df.join(attach, partitionCols :+ valueCol, "left")
+  }
+}

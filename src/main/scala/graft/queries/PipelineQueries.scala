@@ -3151,6 +3151,91 @@ object PipelineQueries {
           |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
           |  CAST(SUM(credit) AS BIGINT) AS credit_micro,
           |  CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS credit
-          |FROM cr GROUP BY tid ORDER BY event_id""".stripMargin))
+          |FROM cr GROUP BY tid ORDER BY event_id""".stripMargin)),
+
+    // Percentile-rank transform of quantity per return flag, WITHOUT a
+    // global row sort: the distribution compresses to per-value counts,
+    // one window over the compressed table computes mid-ranks, and the
+    // ranks broadcast back onto the unshuffled scan — percent_rank()
+    // over 100 TB is a global sort; this is the compressed-rank
+    // discipline (X59/X60) as a row transform.
+    GateQuery(
+      "q70_pct_rank",
+      (s, dir) =>
+        graft.operators.CdfTransform.percentileRank(
+            t(s, dir, "lineitem").select(col("l_orderkey"),
+              col("l_linenumber"), col("l_returnflag"),
+              col("l_quantity").cast("double").as("l_quantity")),
+            "l_quantity", Seq("l_returnflag"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"), col("pct_rank"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        """WITH c AS (SELECT l_returnflag AS g,
+          |        CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS eq
+          |      FROM lineitem GROUP BY 1, 2),
+          |r AS (SELECT g, v,
+          |        CAST(2*(SUM(eq) OVER (PARTITION BY g ORDER BY v
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |          - eq) + eq AS DOUBLE)
+          |        / CAST(2*SUM(eq) OVER (PARTITION BY g) AS DOUBLE)
+          |          AS pct_rank
+          |      FROM c)
+          |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+          |  CAST(l.l_quantity AS DOUBLE) AS l_quantity, r.pct_rank
+          |FROM lineitem l JOIN r ON l.l_returnflag = r.g
+          | AND CAST(l.l_quantity AS DOUBLE) = r.v
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Kaplan-Meier user-lifetime curve: duration = hours between a
+    // user's first and last event, death = the user ever purchased,
+    // censored otherwise — the estimator that handles censoring where a
+    // naive duration histogram biases. Log-survival is an exact
+    // micro-nat cumulative sum over the ordered distinct-time table;
+    // survival one exp per row; risk-set exhaustion pins S = 0.
+    GateQuery(
+      "q71_kaplan_meier",
+      (s, dir) => {
+        val subj = t(s, dir, "events").groupBy("user_id").agg(
+          expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 3600000000")
+            .as("dur"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("ev"))
+        graft.operators.Survival.kaplanMeier(subj, "dur", "ev")
+          .orderBy("t")
+      },
+      Some(
+        """WITH s AS (SELECT user_id,
+          |        (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000
+          |          AS dur,
+          |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |          AS ev
+          |      FROM events GROUP BY 1),
+          |perT AS (SELECT dur AS t, COUNT(*) AS alln,
+          |           CAST(SUM(ev) AS BIGINT) AS n_events
+          |         FROM s GROUP BY 1),
+          |r AS (SELECT t, alln, n_events,
+          |        SUM(alln) OVER () -
+          |          (SUM(alln) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          |             PRECEDING AND CURRENT ROW) - alln) AS n_risk
+          |      FROM perT),
+          |d AS (SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+          |        CASE WHEN n_events < n_risk THEN
+          |          CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+          |            / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5)
+          |            AS BIGINT) END AS term
+          |      FROM r WHERE n_events > 0),
+          |f AS (SELECT t, n_risk, n_events, term,
+          |        SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          |          PRECEDING AND CURRENT ROW) AS ls
+          |      FROM d)
+          |SELECT t, n_risk, n_events,
+          |  CASE WHEN term IS NOT NULL THEN CAST(ls AS BIGINT) END
+          |    AS ls_micro,
+          |  CASE WHEN term IS NOT NULL
+          |       THEN floor(exp(CAST(ls AS DOUBLE) / 1000000.0)
+          |              * 1.0e9 + 0.5) / 1.0e9
+          |       ELSE 0.0 END AS survival
+          |FROM f ORDER BY t""".stripMargin))
   )
 }
