@@ -3236,6 +3236,76 @@ object PipelineQueries {
           |       THEN floor(exp(CAST(ls AS DOUBLE) / 1000000.0)
           |              * 1.0e9 + 0.5) / 1.0e9
           |       ELSE 0.0 END AS survival
-          |FROM f ORDER BY t""".stripMargin))
+          |FROM f ORDER BY t""".stripMargin)),
+
+    // Benford first-digit audit of order totals: digits via string
+    // arithmetic (no float log in the hot path), expected probabilities
+    // as driver-precomputed micro-unit literals shared with the oracle,
+    // chi-square terms a fixed IEEE shape over exact longs. One
+    // aggregation; a 9-row report.
+    GateQuery(
+      "q72_benford",
+      (s, dir) =>
+        graft.operators.Benford.firstDigitReport(
+            t(s, dir, "orders"), "o_totalprice")
+          .orderBy("digit"),
+      Some {
+        val refRows = (1 to 9).map(d =>
+          s"($d, ${graft.operators.Benford.ProbMicro(d - 1)})")
+          .mkString(", ")
+        s"""WITH src AS (SELECT regexp_replace(
+           |        CAST(abs(o_totalprice) AS VARCHAR), '[^1-9]*', '', 'g')
+           |        AS ds
+           |      FROM orders
+           |      WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
+           |dg AS (SELECT CAST(substr(ds, 1, 1) AS INT) AS digit
+           |       FROM src WHERE ds <> ''),
+           |cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_observed
+           |        FROM dg GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total
+           |        FROM cnt),
+           |ref(digit, p_micro) AS (VALUES $refRows)
+           |SELECT r.digit,
+           |  COALESCE(c.n_observed, 0) AS n_observed,
+           |  CAST(t.n_total * r.p_micro AS BIGINT) AS expected_micro,
+           |  (CAST(COALESCE(c.n_observed, 0) AS DOUBLE)
+           |     - CAST(t.n_total * r.p_micro AS DOUBLE) / 1.0e6)
+           |  * (CAST(COALESCE(c.n_observed, 0) AS DOUBLE)
+           |     - CAST(t.n_total * r.p_micro AS DOUBLE) / 1.0e6)
+           |  / (CAST(t.n_total * r.p_micro AS DOUBLE) / 1.0e6)
+           |    AS chi2_term
+           |FROM ref r LEFT JOIN cnt c USING (digit) CROSS JOIN tot t
+           |ORDER BY digit""".stripMargin
+      }),
+
+    // Gini coefficient of document length per source — the
+    // corpus-balance gauge the temperature/budget mixers are tuned
+    // against, computed WITHOUT sorting rows: per-value counts, one
+    // window over the compressed table, tie runs contributing exact
+    // integer rank mass v·(c·p + c(c+1)/2).
+    GateQuery(
+      "q73_gini",
+      (s, dir) =>
+        graft.operators.Inequality.gini(t(s, dir, "documents"),
+            "n_chars", Seq("source"))
+          .orderBy("source"),
+      Some(
+        """WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+          |        COUNT(*) AS c FROM documents GROUP BY 1, 2),
+          |wp AS (SELECT source, v, c,
+          |         SUM(c) OVER (PARTITION BY source ORDER BY v
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           - c AS p
+          |       FROM c),
+          |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+          |        CAST(SUM(v*c) AS BIGINT) AS total,
+          |        CAST(SUM(v*(c*p + (c*(c+1))//2)) AS BIGINT)
+          |          AS rank_mass
+          |      FROM wp GROUP BY 1)
+          |SELECT source, n, total, rank_mass,
+          |  CASE WHEN total > 0
+          |       THEN CAST(2*rank_mass AS DOUBLE)/CAST(n*total AS DOUBLE)
+          |          - CAST(n+1 AS DOUBLE)/CAST(n AS DOUBLE) END AS gini
+          |FROM a ORDER BY source""".stripMargin))
   )
 }
