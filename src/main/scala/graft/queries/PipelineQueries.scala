@@ -3306,6 +3306,116 @@ object PipelineQueries {
           |  CASE WHEN total > 0
           |       THEN CAST(2*rank_mass AS DOUBLE)/CAST(n*total AS DOUBLE)
           |          - CAST(n+1 AS DOUBLE)/CAST(n AS DOUBLE) END AS gini
-          |FROM a ORDER BY source""".stripMargin))
+          |FROM a ORDER BY source""".stripMargin)),
+
+    // Streaming incremental funnel replayed as a REAL file stream — the
+    // flatMapGroupsWithState greedy step machine (signup → view →
+    // purchase, 3-day horizon, per-user state freed on completion or
+    // event-time timeout) emits one progress row per step reached; with
+    // no (user, ms) timestamp ties the greedy advance equals the batch
+    // min-chain, so the oracle is q43's window chain emitting the step
+    // rows in the machine's own millisecond arithmetic.
+    GateQuery(
+      "d26_stream_funnel",
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val st0 = s.readStream.schema(raw.schema)
+          .parquet(stagedStreamDir(dir, "events"))
+        val stream = st0
+          .withColumn("ts", GateQuery.normalizeTs(st0, "ts"))
+          .filter(col("event_id") % 3 === 0)
+          .withWatermark("ts", "30 minutes")
+        import s.implicits._
+        val events = stream
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.Event]
+        val prog = graft.streaming.EventStreams.incrementalFunnel(events,
+            Seq("signup", "view", "purchase"), horizonMs = 259200000L)
+          .toDF()
+          .select(col("user_id"), col("step").cast("long").as("step"),
+            col("step_name"), unix_millis(col("ts")).as("t_ms"))
+        val rows = runStreamToMemory(s, prog, "d26_mem_sink") { res =>
+          res.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+              r.getLong(3)))
+            .sortBy(r => (r._1, r._2))
+        }
+        rows.toSeq.toDF("user_id", "step", "step_name", "t_ms")
+          .orderBy("user_id", "step")
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, event_type,
+          |        epoch_us(ts) // 1000 AS tms
+          |      FROM events WHERE event_id % 3 = 0),
+          |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup'
+          |         THEN tms END) OVER (PARTITION BY user_id) AS t1
+          |       FROM ev),
+          |s1d AS (SELECT *, t1 + 259200000 AS dl FROM s1),
+          |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view'
+          |         AND tms >= t1 AND tms <= dl THEN tms END)
+          |         OVER (PARTITION BY user_id) AS t2
+          |       FROM s1d),
+          |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+          |         AND tms >= t2 AND tms <= dl THEN tms END)
+          |         OVER (PARTITION BY user_id) AS t3
+          |       FROM s2),
+          |u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2,
+          |        MAX(t3) AS t3 FROM s3 GROUP BY 1)
+          |SELECT user_id, CAST(step AS BIGINT) AS step, step_name, t_ms
+          |FROM (
+          |  SELECT user_id, 1 AS step, 'signup' AS step_name, t1 AS t_ms
+          |  FROM u WHERE t1 IS NOT NULL
+          |  UNION ALL
+          |  SELECT user_id, 2, 'view', t2 FROM u WHERE t2 IS NOT NULL
+          |  UNION ALL
+          |  SELECT user_id, 3, 'purchase', t3 FROM u WHERE t3 IS NOT NULL)
+          |ORDER BY user_id, step""".stripMargin)),
+
+    // HITS hubs/authorities over the who-buys-what bipartite graph
+    // (customer → part via orders ⋈ lineitem), two rounds of exact
+    // integer fixed-point iteration: each half-round one score join +
+    // map-side-combined sum + integral renormalization (a div
+    // max(1, Σa div Scale)) — no floats anywhere, so both mutually
+    // recursive score vectors replay bitwise with the rounds unrolled.
+    GateQuery(
+      "q74_hits",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"))
+        val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        graft.graph.Hits.hubsAndAuthorities(edges, "cust", "part",
+            rounds = 2)
+          .orderBy("role", "node")
+      },
+      Some {
+        val sc = graft.graph.Hits.Scale
+        def half(outName: String, inName: String, fromKey: String,
+            toKey: String): String =
+          s"""${outName}_raw AS (SELECT e.$toKey AS node,
+             |    CAST(SUM($inName.score) AS BIGINT) AS raw
+             |  FROM e JOIN $inName ON e.$fromKey = $inName.node
+             |  GROUP BY 1),
+             |${outName}_d AS (SELECT GREATEST(SUM(raw) // $sc, 1)
+             |    AS denom FROM ${outName}_raw),
+             |$outName AS (SELECT node,
+             |    CAST(raw // denom AS BIGINT) AS score
+             |  FROM ${outName}_raw CROSS JOIN ${outName}_d)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS s, l_partkey AS d
+           |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |h0 AS (SELECT DISTINCT s AS node, CAST($sc AS BIGINT) AS score
+           |       FROM e),
+           |${half("a1", "h0", "s", "d")},
+           |${half("h1", "a1", "d", "s")},
+           |${half("a2", "h1", "s", "d")},
+           |${half("h2", "a2", "d", "s")}
+           |SELECT node, role, score FROM (
+           |  SELECT node, 'hub' AS role, score FROM h2
+           |  UNION ALL
+           |  SELECT node, 'authority', score FROM a2)
+           |ORDER BY role, node""".stripMargin
+      })
   )
 }
