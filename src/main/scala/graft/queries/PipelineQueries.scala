@@ -3416,6 +3416,38 @@ object PipelineQueries {
            |  UNION ALL
            |  SELECT node, 'authority', score FROM a2)
            |ORDER BY role, node""".stripMargin
-      })
+      }),
+
+    // Vocabulary coverage / OOV rate against the corpus's own top-20
+    // vocabulary (deterministic boundary: count DESC, term ASC): the
+    // curation signal separating in-domain text from noise, and the
+    // tokenizer-vocab coverage check before training. The vocabulary
+    // broadcasts; tokens never shuffle for membership — the only
+    // exchange is the per-doc count pair.
+    GateQuery(
+      "t40_vocab_coverage",
+      (s, dir) =>
+        TextAnalysis.vocabCoverage(t(s, dir, "documents"),
+            "doc_id", "text", topK = 20)
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH $tokCte,
+           |occ AS (SELECT doc_id AS id, unnest(toks) AS term FROM tok),
+           |voc AS (SELECT term FROM (
+           |    SELECT term, COUNT(*) AS c FROM occ GROUP BY 1
+           |    ORDER BY c DESC, term LIMIT 20)),
+           |fl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_oov
+           |       FROM occ LEFT JOIN voc v ON occ.term = v.term
+           |       GROUP BY id)
+           |SELECT d.doc_id,
+           |  COALESCE(fl.n_tokens, 0) AS n_tokens,
+           |  COALESCE(fl.n_oov, 0) AS n_oov,
+           |  CASE WHEN fl.n_tokens > 0
+           |       THEN CAST(fl.n_oov AS DOUBLE)
+           |          / CAST(fl.n_tokens AS DOUBLE) END AS oov_rate
+           |FROM documents d LEFT JOIN fl ON d.doc_id = fl.id
+           |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -88,4 +88,44 @@ object TextAnalysis {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), polyHash(col(textCol)).as("fingerprint"))
+
+  /** Vocabulary coverage / OOV rate per document against the corpus's
+    * own top-`topK` vocabulary — the curation signal that separates
+    * in-domain text from noise and foreign material (a doc whose tokens
+    * mostly miss the corpus vocabulary is one or the other), and the
+    * coverage check run against a TOKENIZER's vocab before training.
+    *
+    * Deterministic vocab cut: (count DESC, term ASC) — the boundary tie
+    * is pinned. Scale: the vocabulary (topK rows) BROADCASTS into a
+    * left semi-ish membership join against the exploded tokens — tokens
+    * never shuffle for membership; the only exchange is the per-doc
+    * (id, two longs) count aggregation, map-side combined. Documents
+    * with no tokens report NULL oov_rate.
+    *
+    * Output: (idCol, n_tokens, n_oov, oov_rate — one double division
+    * of exact longs).
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val toks = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term")
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term").asc)
+      .limit(topK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    val flagged = toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

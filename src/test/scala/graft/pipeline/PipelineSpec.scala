@@ -150,4 +150,35 @@ class PipelineSpec extends SparkSpec {
     // (0*31 + 97)*31 + 98 = 3105
     out.collect().head.getAs[Long]("fingerprint") shouldBe 3105L
   }
+
+  it should "measure OOV rates against the corpus's own top-K vocabulary" in {
+    // counts: aa x4, bb x3, cc x2, zz x1 -> top-2 vocab = {aa, bb}
+    val df = docs(
+      1L -> "aa aa bb cc",
+      2L -> "aa aa bb cc",
+      3L -> "bb zz")
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    out(1L) shouldBe ((4L, 1L, 0.25))
+    out(3L) shouldBe ((2L, 1L, 0.5))
+  }
+
+  it should "pin the vocabulary boundary tie by term order" in {
+    // bb and cc tie at 2; top-2 = {aa, bb} (bb < cc)
+    val df = docs(1L -> "aa aa bb cc", 2L -> "bb cc")
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", topK = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_oov")).toMap
+    out(2L) shouldBe 1L // cc is OOV, bb is not
+  }
+
+  it should "report NULL oov_rate for empty documents" in {
+    val r = TextAnalysis.vocabCoverage(docs(1L -> ""), "doc_id", "text", 5)
+      .collect().head
+    r.getAs[Long]("n_tokens") shouldBe 0L
+    r.isNullAt(r.fieldIndex("oov_rate")) shouldBe true
+  }
 }
