@@ -106,6 +106,18 @@ object GraftExtensions {
             "graft_bloom_contains takes two arguments")
           graft.functions.expressions.BloomContains(args(0), args(1))
         }),
+      ("graft_quantiles",
+        info("graft_quantiles",
+          "graft_quantiles(v, capacity, fractions) - mergeable quantile " +
+            "sketch aggregate over an int/bigint column: struct<n_total, " +
+            "n_entries, exact, values array<bigint>>; exact order " +
+            "statistics below capacity distinct values, bounded-state " +
+            "merge-reduce above"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_quantiles takes three arguments")
+          graft.functions.expressions.QuantileSketch(args(0), args(1),
+            args(2))
+        }),
       ("graft_hamming",
         info("graft_hamming",
           "graft_hamming(a, b) - hamming distance between two integral " +

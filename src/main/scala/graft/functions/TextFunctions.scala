@@ -156,4 +156,18 @@ object TextFunctions {
       graft.functions.expressions.BloomContains(
         graft.core.Graft.expression(bloom),
         graft.core.Graft.expression(fp)))
+
+  /** Mergeable quantile-sketch aggregate over an int/bigint column:
+    * struct<n_total, n_entries, exact, values array<bigint>> with
+    * values(i) the ⌈fractionsᵢ·n⌉-th smallest. Exact order statistics
+    * while distinct values stay below capacity (`exact` flag reports
+    * the regime); bounded merge-reduce state above. See
+    * expressions.QuantileSketch.
+    */
+  def quantileSketch(v: Column, capacity: Int, fractions: Seq[Double])
+      : Column =
+    graft.core.Graft.column(
+      graft.functions.expressions.QuantileSketch(
+        graft.core.Graft.expression(v), capacity, fractions)
+        .toAggregateExpression())
 }

@@ -1,0 +1,71 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Budgeted k-core peeling — the density filter that separates a graph's
+  * connected SHELL from its cohesive CORE. Components (`dedup/
+  * Components`) merges everything reachable; PageRank/HITS score
+  * centrality; k-core answers "which nodes survive when low-degree
+  * fringe is stripped, repeatedly" — the standard pre-filter before
+  * community detection on co-occurrence graphs (spam rings in
+  * co-purchase data, boilerplate clusters in near-dup graphs) and the
+  * densest-region seed for curation.
+  *
+  * Semantics: synchronous peeling. Round r removes EVERY node whose
+  * degree within the round-(r−1) survivor subgraph is < k, all at once
+  * — deterministic under any partitioning (the LabelProp convention;
+  * sequential peeling is order-dependent). Rounds are a fixed budget,
+  * not convergence-tested: at 100 TB you budget iterations up front.
+  * A graph typically converges in a handful of rounds because removals
+  * cascade geometrically; survivors of the FIXED point are exactly the
+  * classical k-core.
+  *
+  * Scale: per round, the edge list (cached once — often the expensive
+  * lineage) is semi-joined against the shrinking survivor set on each
+  * endpoint, then ONE map-side-combined degree count. Survivor sets are
+  * 8 bytes/node; edges never carry payloads. Cache lifecycle follows
+  * PageRank.ranks (eager materialize + release by default).
+  */
+object KCore {
+
+  /** Peel for `rounds` synchronous rounds at threshold `k`.
+    *
+    * `nodes` supplies the universe (one row per node, `idCol`
+    * integral); `edges` the undirected adjacency (each pair once,
+    * either orientation; self-loops and duplicate pairs should be
+    * cleaned upstream). Returns the surviving nodes as
+    * (idCol, degree) where degree is measured within the survivor
+    * subgraph — i.e. one more degree pass after the final peel.
+    */
+  def peel(nodes: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, k: Int, rounds: Int,
+      materialize: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame =
+      if (!materialize) df
+      else { cached += df.persist(StorageLevel.MEMORY_AND_DISK); df }
+    val sym = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d"))))
+    def degrees(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("id").as("s")), Seq("s"), "left_semi")
+        .join(alive.select(col("id").as("d")), Seq("d"), "left_semi")
+        .groupBy(col("s").as("id"))
+        .agg(count(lit(1)).as("degree"))
+    var alive = nodes.select(col(idCol).as("id"))
+    for (_ <- 1 to rounds)
+      alive = keep(degrees(alive).filter(col("degree") >= k)
+        .select(col("id")))
+    val out = degrees(alive)
+      .select(col("id").as(idCol), col("degree"))
+    if (materialize) {
+      val m = out.persist(StorageLevel.MEMORY_AND_DISK)
+      m.count()
+      cached.foreach(_.unpersist(false))
+      m
+    } else out
+  }
+}

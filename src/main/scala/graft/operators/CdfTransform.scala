@@ -55,4 +55,39 @@ object CdfTransform {
     val attach = if (broadcastRanks) broadcast(ranked) else ranked
     df.join(attach, partitionCols :+ valueCol, "left")
   }
+
+  /** Equal-frequency discretization — append `bin` ∈ [0, k) for
+    * `valueCol`, the feature-bucketization step before crossing,
+    * hashing, or monotonic-model fitting. NTILE(k) is NOT reproducible
+    * on ties (it splits equal values across bins by physical row
+    * position); here every tie run lands in ONE bin via the mid-rank:
+    * bin = min(k−1, ⌊k·(2·lt+eq)/(2n)⌋) — pure integer arithmetic over
+    * exact longs, deterministic under any partitioning.
+    *
+    * Same scale shape as [[percentileRank]]: one map-side-combined
+    * per-value count aggregation, one window over the compressed table,
+    * ranks broadcast (or hash-joined) back — no global sort.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int,
+      partitionCols: Seq[String] = Seq.empty,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pcols = partitionCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((pcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__eq"))
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(pcols: _*)
+    val w = w0.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = counts
+      .withColumn("__lt", sum("__eq").over(w) - col("__eq"))
+      .withColumn("__n", sum("__eq").over(w0
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select((pcols :+ col(valueCol) :+
+        least(lit(k - 1L),
+          expr(s"(2*__lt + __eq) * ${k}L div (2*__n)")).as("bin")): _*)
+    val attach = if (broadcastRanks) broadcast(binned) else binned
+    df.join(attach, partitionCols :+ valueCol, "left")
+  }
 }

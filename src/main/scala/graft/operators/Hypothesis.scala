@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -84,5 +85,74 @@ object Hypothesis {
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         mean("a").as("mean_a"), mean("b").as("mean_b"),
         tStat.as("t_stat"), dfW.as("df_welch"))
+  }
+
+  /** Pairwise Mann–Whitney U — the rank-sum test Welch's t cannot
+    * replace when the metric is heavy-tailed or ordinal (session counts,
+    * latencies, quality scores). Computed WITHOUT a global row sort via
+    * the compressed-rank discipline (the X95 shape): values collapse to
+    * per-(group, value) counts, each group pair unions its two count
+    * vectors, and ONE window over the |distinct values|-sized pair table
+    * yields doubled mid-ranks 2p + c + 1 — exact integers even under
+    * ties (a run of c equal values after p predecessors has mid-rank
+    * p + (c+1)/2).
+    *
+    * Exact-integer core: u2 = 2·U_a = Σ c_a·(2p+c+1) − n_a(n_a+1) and
+    * the tie term T = Σ(c³−c) are emitted as longs; u = u2/2 is exact in
+    * binary (halves are representable). The normal approximation
+    *   z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − T/(n(n−1))))
+    * is a fixed IEEE shape over those longs (the welchT convention), so
+    * it replays bit-identically in any engine; NULL when the variance is
+    * 0 (all values tied). No continuity correction — z is the decision
+    * statistic, not a p-value.
+    *
+    * Scale: ONE map-side-combined count aggregation touches the rows;
+    * everything after runs on |groups|·|distinct values| sufficient
+    * statistics, and the group-pair frame is a broadcast self-join.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol)
+    val m = floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+    val counts = df.filter(x.isNotNull)
+      .groupBy(col(groupCol).as("g"), m.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.alias("pa").join(broadcast(groups.alias("pb")),
+        col("pa.g") < col("pb.g"))
+      .select(col("pa.g").as("ga"), col("pb.g").as("gb"))
+    // per-pair per-value counts from each side, merged on (pair, value)
+    val sideA = counts.join(broadcast(pairs), col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("v"), col("c").as("ca"),
+        lit(0L).as("cb"))
+    val sideB = counts.join(broadcast(pairs), col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("v"), lit(0L).as("ca"),
+        col("c").as("cb"))
+    val merged = sideA.unionAll(sideB)
+      .groupBy("ga", "gb", "v")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val byV = Window.partitionBy("ga", "gb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = merged.withColumn("p", sum("c").over(byV) - col("c"))
+    val agg = ranked.groupBy("ga", "gb").agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum(col("ca") * (lit(2L) * col("p") + col("c") + 1L)).as("r2a"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie_term"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u2 = col("r2a") - col("n_a") * (col("n_a") + 1L)
+    // fixed IEEE op sequence — mirrored verbatim in the oracle
+    val sigma2 = nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - col("tie_term").cast("double") / (n * (n - lit(1.0))))
+    val z = when(sigma2 > 0.0,
+      (col("u2").cast("double") / lit(2.0) - nA * nB / lit(2.0)) /
+        sqrt(sigma2))
+    agg.withColumn("u2", u2)
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("u2"),
+        (col("u2").cast("double") / lit(2.0)).as("u"),
+        col("tie_term"), z.as("z_score"))
   }
 }

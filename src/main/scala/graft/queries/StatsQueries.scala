@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import GateQuery.{dsum, table => t}
+
+/** Round-10 gate queries: experiment statistics (Mann-Whitney, CUPED),
+  * SQL-surface completions (GROUPING SETS, time-RANGE window frames),
+  * distribution tooling (equal-frequency bins, quantile sketch), graph
+  * density (k-core), market-basket rules, CUSUM changepoints, and
+  * code-modality detection. Oracles follow the house discipline:
+  * identical column aliases, exact-integer cores, fixed IEEE shapes,
+  * total ORDER BY.
+  */
+object StatsQueries {
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // GROUPING SETS ((status), (priority)) — the non-hierarchical
+    // multi-aggregate rollup/cube (q21/q28) cannot express: two
+    // independent subtotal lattices in ONE pass over the scan (Spark
+    // plans a single Expand + one aggregation — one shuffle where two
+    // separate GROUP BYs would scan and shuffle twice). Subtotal slots
+    // surface as 'ALL' labels: the grouping columns are non-NULL in the
+    // data, so the label is unambiguous and engine-portable (grouping_id
+    // bit conventions are not).
+    GateQuery(
+      "q75_grouping_sets",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("sum_price"))
+          .orderBy("status", "priority")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority""")),
+
+    // Time-based RANGE window frame: per user, the trailing-1-hour
+    // event count and value sum at every event — the sliding-window
+    // feature a RANGE BETWEEN frame computes in ONE pass over one
+    // user-partitioned sort, where a self-join formulation (q33's range
+    // join) would re-shuffle both sides. Values micro-quantize per ROW
+    // before the frame sum, so the window aggregates exact longs
+    // (double summation inside a sliding frame is order-dependent);
+    // frame peers (equal timestamps) are included by RANGE semantics in
+    // both engines.
+    GateQuery(
+      "q76_range_frame",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("tus", unix_micros(col("ts")))
+          .withColumn("vmicro",
+            floor(col("value").cast("double") * lit(1000000.0) + lit(0.5))
+              .cast("long"))
+        val w = Window.partitionBy("user_id").orderBy("tus")
+          .rangeBetween(-3600000000L, 0L)
+        ev.select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_trailing"),
+            (sum(col("vmicro")).over(w).cast("double") / lit(1000000.0))
+              .as("value_trailing"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                   AS BIGINT)) OVER w AS DOUBLE) / 1000000.0
+                 AS value_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")),
+
+    // Mann-Whitney U between every pair of return-flag populations on
+    // quantity — the rank test computed WITHOUT a global sort (per-value
+    // counts + one window over the compressed table; ranks are exact
+    // integers 2p+c+1 even under the heavy ties a 1..50 quantity column
+    // produces). The z normal approximation is a fixed IEEE shape over
+    // the exact longs, tie-corrected.
+    GateQuery(
+      "q77_mann_whitney",
+      (s, dir) =>
+        graft.operators.Hypothesis.mannWhitney(
+            t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+          .orderBy("group_a", "group_b"),
+      Some("""
+        WITH c AS (SELECT l_returnflag AS g,
+                CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS v,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        gs AS (SELECT DISTINCT g FROM c),
+        pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+               ON a.g < b.g),
+        m AS (SELECT pr.ga, pr.gb, c.v,
+                SUM(CASE WHEN c.g = pr.ga THEN c.cnt ELSE 0 END) AS ca,
+                SUM(CASE WHEN c.g = pr.gb THEN c.cnt ELSE 0 END) AS cb
+              FROM pr JOIN c ON c.g IN (pr.ga, pr.gb)
+              GROUP BY 1, 2, 3),
+        r AS (SELECT ga, gb, v, ca, cb, ca + cb AS cc,
+                SUM(ca + cb) OVER (PARTITION BY ga, gb ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (ca + cb) AS pp
+              FROM m),
+        a AS (SELECT ga, gb,
+                CAST(SUM(ca) AS BIGINT) AS n_a,
+                CAST(SUM(cb) AS BIGINT) AS n_b,
+                CAST(SUM(ca * (2*pp + cc + 1)) AS BIGINT) AS r2a,
+                CAST(SUM(cc*cc*cc - cc) AS BIGINT) AS tie_term
+              FROM r GROUP BY 1, 2),
+        u AS (SELECT ga, gb, n_a, n_b, tie_term,
+                r2a - n_a * (n_a + 1) AS u2
+              FROM a)
+        SELECT ga AS group_a, gb AS group_b, n_a, n_b, u2,
+          CAST(u2 AS DOUBLE) / 2.0 AS u, tie_term,
+          CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+              ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+               - CAST(tie_term AS DOUBLE)
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
+          THEN (CAST(u2 AS DOUBLE) / 2.0
+                - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+               / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                   ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+          END AS z_score
+        FROM u ORDER BY group_a, group_b""")),
+
+    // CUPED variance-reduced A/B readout: users split into two synthetic
+    // variants (user_id parity); covariate = first-half activity value,
+    // metric = second-half. Unit values are per-event micro-quantized
+    // exact sums re-expressed in units, so both engines quantize the
+    // SAME double; theta/rho2/adjusted means are one moments aggregation
+    // + a broadcast 1-row pooled frame.
+    GateQuery(
+      "q78_cuped",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val units = ev.groupBy(col("user_id"))
+          .agg(
+            (sum(when(col("ts") < lit("2024-01-16").cast("timestamp"),
+              floor(col("value").cast("double") * lit(1000000.0) + lit(0.5))
+                .cast("long")).otherwise(0L)).cast("double") /
+              lit(1000000.0)).as("x"),
+            (sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+              floor(col("value").cast("double") * lit(1000000.0) + lit(0.5))
+                .cast("long")).otherwise(0L)).cast("double") /
+              lit(1000000.0)).as("y"))
+          .withColumn("variant", (col("user_id") % 2).cast("long"))
+        // milli-quantization: per-user sums reach ~2.5e3 units, and
+        // micro-scale product moments would cross 2^53 where
+        // HUGEINT->DOUBLE casts stop agreeing across engines (see
+        // Cuped.adjustedMeans scaladoc)
+        graft.operators.Cuped.adjustedMeans(units, "variant", "x", "y",
+            quantScale = 1000.0)
+          .orderBy("variant")
+      },
+      Some("""
+        WITH units AS (
+          SELECT user_id,
+            CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                THEN CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                     AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0 AS x,
+            CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                THEN CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                     AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0 AS y,
+            user_id % 2 AS variant
+          FROM events GROUP BY user_id),
+        q AS (SELECT variant,
+                CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS xm,
+                CAST(floor(y * 1000.0 + 0.5) AS BIGINT) AS ym
+              FROM units),
+        pv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(xm) AS HUGEINT) AS sx,
+                 CAST(SUM(ym) AS HUGEINT) AS sy,
+                 SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+                 SUM(CAST(xm AS HUGEINT) * xm) AS sxx,
+                 SUM(CAST(ym AS HUGEINT) * ym) AS syy
+               FROM q GROUP BY 1),
+        g AS (SELECT CAST(SUM(n) AS DOUBLE) AS gn,
+                CAST(SUM(sx) AS DOUBLE) AS gsx,
+                CAST(SUM(sy) AS DOUBLE) AS gsy,
+                CAST(SUM(sxy) AS DOUBLE) AS gsxy,
+                CAST(SUM(sxx) AS DOUBLE) AS gsxx,
+                CAST(SUM(syy) AS DOUBLE) AS gsyy
+              FROM pv),
+        k AS (SELECT gn, gsx,
+                gsxy - gsx * gsy / gn AS covn,
+                gsxx - gsx * gsx / gn AS varxn,
+                gsyy - gsy * gsy / gn AS varyn
+              FROM g)
+        SELECT pv.variant, pv.n,
+          CAST(pv.sx AS DOUBLE) / CAST(pv.n AS DOUBLE) / 1.0e3 AS mean_x,
+          CAST(pv.sy AS DOUBLE) / CAST(pv.n AS DOUBLE) / 1.0e3 AS mean_y,
+          CASE WHEN k.varxn > 0.0 THEN k.covn / k.varxn END AS theta,
+          CASE WHEN k.varxn > 0.0 AND k.varyn > 0.0
+               THEN k.covn * k.covn / (k.varxn * k.varyn) END AS rho2,
+          CAST(pv.sy AS DOUBLE) / CAST(pv.n AS DOUBLE) / 1.0e3
+            - (CASE WHEN k.varxn > 0.0 THEN k.covn / k.varxn END)
+              * (CAST(pv.sx AS DOUBLE) / CAST(pv.n AS DOUBLE)
+                 - k.gsx / k.gn) / 1.0e3 AS adj_mean
+        FROM pv CROSS JOIN k ORDER BY variant""")),
+
+    // Budgeted k-core peeling of the customer-part co-purchase graph
+    // (the q74 edge derivation): two synchronous peel rounds at k=20,
+    // then degrees within the survivor subgraph. The oracle unrolls the
+    // EXACT rounds — budgeted iteration is the contract (you budget
+    // rounds up front at 100 TB), so the replay is structural, not
+    // convergence-dependent. Part ids offset by 1e6 to disjoin the
+    // bipartite id spaces.
+    GateQuery(
+      "q79_kcore",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_partkey") + 1000000L).as("dst"))
+          .distinct()
+        val nodes = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        graft.graph.KCore.peel(nodes, "id", edges, "src", "dst",
+            k = 20, rounds = 2)
+          .orderBy("id")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey AS s,
+                l_partkey + 1000000 AS d
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        sym AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d
+                FROM e0),
+        d1 AS (SELECT s AS id, COUNT(*) AS c FROM sym GROUP BY 1),
+        a1 AS (SELECT id FROM d1 WHERE c >= 20),
+        d2 AS (SELECT s AS id, COUNT(*) AS c FROM sym
+               WHERE s IN (SELECT id FROM a1)
+                 AND d IN (SELECT id FROM a1) GROUP BY 1),
+        a2 AS (SELECT id FROM d2 WHERE c >= 20)
+        SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym
+        WHERE s IN (SELECT id FROM a2) AND d IN (SELECT id FROM a2)
+        GROUP BY 1 ORDER BY id""")),
+
+    // Pairwise association rules over order baskets of part brands:
+    // Apriori-pruned (items counted first, infrequent items semi-joined
+    // away BEFORE the per-basket self-join — the pruning that bounds
+    // the pair explosion at scale), presence semantics, exact-ratio
+    // support/confidence/lift.
+    GateQuery(
+      "q80_assoc_rules",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val part = t(s, dir, "part").select("p_partkey", "p_brand")
+        val baskets = li.join(broadcast(part),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        graft.operators.AssocRules.pairRules(baskets, "basket", "item",
+            minCount = 50L)
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""
+        WITH pres AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+               FROM pres),
+        ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM pres
+               GROUP BY 1 HAVING COUNT(*) >= 50),
+        fr AS (SELECT p.b, p.i FROM pres p JOIN ic ON p.i = ic.i),
+        pc AS (SELECT l.i AS ia, r.i AS ib,
+                 CAST(COUNT(*) AS BIGINT) AS n_pair
+               FROM fr l JOIN fr r ON l.b = r.b AND l.i < r.i
+               GROUP BY 1, 2 HAVING COUNT(*) >= 50),
+        dd AS (SELECT ia AS a, ib AS c, n_pair FROM pc
+               UNION ALL SELECT ib AS a, ia AS c, n_pair FROM pc)
+        SELECT dd.a AS antecedent, dd.c AS consequent, dd.n_pair,
+          ia.n_i AS n_a, ib.n_i AS n_b, nb.n_baskets,
+          CAST(dd.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+            AS support,
+          CAST(dd.n_pair AS DOUBLE) / CAST(ia.n_i AS DOUBLE)
+            AS confidence,
+          CAST(nb.n_baskets AS DOUBLE) * CAST(dd.n_pair AS DOUBLE)
+            / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+        FROM dd JOIN ic ia ON dd.a = ia.i JOIN ic ib ON dd.c = ib.i
+        CROSS JOIN nb
+        ORDER BY antecedent, consequent""")),
+
+    // CUSUM changepoint scan over per-type daily event counts — Page's
+    // statistic as an exact-integer ordered fold (deviations scaled by
+    // n so the mean never materializes as a fraction); the oracle
+    // replays the same fold with a list_reduce whose 8-slot BIGINT-list
+    // accumulator is seeded by a prepended zero state (the q67
+    // list-accumulator convention).
+    GateQuery(
+      "q81_cusum",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("n_events"))
+        graft.operators.Changepoint.cusum(daily, "event_type", "day",
+            "n_events")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) * 1000000 AS vm
+              FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type,
+                list(struct_pack(o := day, v := vm) ORDER BY day) AS l,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(vm) AS BIGINT) AS sv
+              FROM daily GROUP BY 1),
+        f AS (SELECT event_type, n, sv,
+            list_reduce(
+              list_prepend(
+                [CAST(NULL AS BIGINT), NULL, 0, 0, NULL, 0, 0, NULL],
+                list_transform(l, e -> [e.o, e.v, NULL, NULL, NULL,
+                                        NULL, NULL, NULL])),
+              (acc, x) -> [
+                NULL, NULL,
+                greatest(0, acc[3] + (n*x[2] - sv)),
+                greatest(acc[4], greatest(0, acc[3] + (n*x[2] - sv))),
+                CASE WHEN greatest(0, acc[3] + (n*x[2] - sv)) > acc[4]
+                     THEN x[1] ELSE acc[5] END,
+                greatest(0, acc[6] + (sv - n*x[2])),
+                greatest(acc[7], greatest(0, acc[6] + (sv - n*x[2]))),
+                CASE WHEN greatest(0, acc[6] + (sv - n*x[2])) > acc[7]
+                     THEN x[1] ELSE acc[8] END]) AS r
+          FROM g)
+        SELECT event_type, n AS n_points,
+          CAST(sv AS DOUBLE) / (CAST(n * 1000000 AS DOUBLE)) AS mean,
+          CAST(r[4] AS DOUBLE) / (CAST(n * 1000000 AS DOUBLE))
+            AS s_pos_max,
+          CASE WHEN r[4] > 0 THEN r[5] END AS pos_at,
+          CAST(r[7] AS DOUBLE) / (CAST(n * 1000000 AS DOUBLE))
+            AS s_neg_max,
+          CASE WHEN r[7] > 0 THEN r[8] END AS neg_at
+        FROM f ORDER BY event_type""")),
+
+    // Equal-frequency discretization of order totals into 8 bins,
+    // reported as a per-bin profile (count, min, max). NTILE(8) would
+    // split tie runs by physical row order — non-reproducible; the
+    // mid-rank bin is pure integer arithmetic over per-value counts
+    // (no global sort), and boundaries land identically in any engine.
+    GateQuery(
+      "q82_quantile_bins",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("price", col("o_totalprice").cast("double"))
+        graft.operators.CdfTransform.quantileBins(o, "price", 8)
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min("price").as("lo"), max("price").as("hi"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                CAST(COUNT(*) AS BIGINT) AS eq
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        w AS (SELECT v, eq,
+                SUM(eq) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) - eq AS lt,
+                SUM(eq) OVER () AS n
+              FROM c),
+        b AS (SELECT v, eq,
+                CAST(least(7, (2*lt + eq) * 8 // (2*n)) AS BIGINT) AS bin
+              FROM w)
+        SELECT bin, CAST(SUM(eq) AS BIGINT) AS n,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM b GROUP BY bin ORDER BY bin""")),
+
+    // Mergeable quantile sketch in its EXACT regime: per return flag,
+    // graft_quantiles over the 1..50-valued quantity column (50
+    // distinct << capacity 128 — compaction never fires, the summary
+    // IS the value histogram and the order statistics are exact). The
+    // approximate regime is spec-bounded; the exact regime is the
+    // driver-checked contract, same split as the X35/X42 frequency
+    // sketch.
+    GateQuery(
+      "t41_quantile_sketch",
+      (s, dir) => {
+        import graft.functions.TextFunctions.quantileSketch
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(quantileSketch(col("l_quantity").cast("long"), 128,
+            Seq(0.25, 0.5, 0.75, 0.9)).as("s"))
+          .select(col("l_returnflag"),
+            col("s.n_total").as("n_total"),
+            col("s.n_entries").as("n_entries"),
+            col("s.exact").cast("boolean").as("exact"),
+            element_at(col("s.values"), 1).as("q25"),
+            element_at(col("s.values"), 2).as("q50"),
+            element_at(col("s.values"), 3).as("q75"),
+            element_at(col("s.values"), 4).as("q90"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH c AS (SELECT l_returnflag AS g,
+                CAST(l_quantity AS BIGINT) AS v,
+                CAST(COUNT(*) AS BIGINT) AS eq
+              FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        w AS (SELECT g, v, eq,
+                SUM(eq) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(eq) OVER (PARTITION BY g) AS n
+              FROM c),
+        q AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n_total,
+                CAST(COUNT(*) AS BIGINT) AS n_entries,
+                MIN(CASE WHEN cum >= CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN v END) AS q25,
+                MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN v END) AS q50,
+                MIN(CASE WHEN cum >= CAST(ceil(0.75 * n) AS BIGINT)
+                    THEN v END) AS q75,
+                MIN(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN v END) AS q90
+              FROM w GROUP BY g)
+        SELECT g AS l_returnflag, n_total, n_entries,
+               TRUE AS exact, q25, q50, q75, q90
+        FROM q ORDER BY l_returnflag""")),
+
+    // Code-vs-prose detection over the documents corpus — the modality
+    // router upstream of the prose-calibrated quality rules. Map-only
+    // plan (pure codegen'd string expressions, no exchange); every
+    // signal is exact integer counting (translate-delete, line splits,
+    // replace-delete) and the score a fixed IEEE combination, so the
+    // full per-document frame replays bitwise.
+    GateQuery(
+      "t42_code_detect",
+      (s, dir) =>
+        graft.text.CodeDetect.score(
+            t(s, dir, "documents").select("doc_id", "text"), "text")
+          .select("doc_id", "n_chars_text", "symbol_chars", "n_lines",
+            "indent_lines", "keyword_hits", "code_score", "is_code")
+          .orderBy("doc_id"),
+      Some {
+        val kwTerms = graft.text.CodeDetect.Keywords.map { kw =>
+          val esc = kw.replace("'", "''")
+          s"(length(t) - length(replace(t, '$esc', ''))) // ${kw.length}"
+        }.mkString(" + ")
+        s"""WITH src AS (SELECT doc_id, COALESCE(text, '') AS t
+           |      FROM documents),
+           |m AS (SELECT doc_id,
+           |        CAST(length(t) AS BIGINT) AS n_chars_text,
+           |        CAST(length(t) - length(translate(t, '{}()[];=<>', ''))
+           |          AS BIGINT) AS symbol_chars,
+           |        CAST(len(string_split(t, chr(10))) AS BIGINT)
+           |          AS n_lines,
+           |        CAST(len(list_filter(string_split(t, chr(10)),
+           |            x -> x LIKE '    %' OR substr(x, 1, 1) = chr(9)))
+           |          AS BIGINT) AS indent_lines,
+           |        CAST($kwTerms AS BIGINT) AS keyword_hits
+           |      FROM src),
+           |sc AS (SELECT doc_id, n_chars_text, symbol_chars, n_lines,
+           |        indent_lines, keyword_hits,
+           |        CASE WHEN n_chars_text = 0 THEN 0.0
+           |             ELSE 1000.0 * CAST(symbol_chars AS DOUBLE)
+           |                    / CAST(n_chars_text AS DOUBLE)
+           |                + 1000.0 * CAST(indent_lines AS DOUBLE)
+           |                    / CAST(n_lines AS DOUBLE)
+           |                + 10.0 * CAST(keyword_hits AS DOUBLE)
+           |                    * 1000.0 / CAST(n_chars_text AS DOUBLE)
+           |        END AS code_score
+           |      FROM m)
+           |SELECT doc_id, n_chars_text, symbol_chars, n_lines,
+           |  indent_lines, keyword_hits, code_score,
+           |  code_score >= 80.0 AS is_code
+           |FROM sc ORDER BY doc_id""".stripMargin
+      })
+  )
+}

@@ -64,4 +64,47 @@ class CdfTransformSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq)
     a shouldBe b
   }
+
+  // ---- equal-frequency bins ----
+
+  "quantileBins" should "split distinct values evenly" in {
+    val vals = (1 to 10).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    val bins = CdfTransform.quantileBins(vals, "v", 2)
+      .collect().map(r => r.getAs[Double]("v") -> r.getAs[Long]("bin"))
+      .toMap
+    (1 to 5).foreach(v => bins(v.toDouble) shouldBe 0L)
+    (6 to 10).foreach(v => bins(v.toDouble) shouldBe 1L)
+  }
+
+  it should "produce k balanced bins on 1..9 with k=3" in {
+    val vals = (1 to 9).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    val counts = CdfTransform.quantileBins(vals, "v", 3)
+      .groupBy("bin").count()
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count"))
+      .toMap
+    counts shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L)
+  }
+
+  it should "place a whole tie run in one bin (unlike NTILE)" in {
+    val vals = (Seq.fill(6)(5.0) ++ Seq(1.0, 9.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val byVal = CdfTransform.quantileBins(vals, "v", 4)
+      .select("v", "bin").distinct().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    byVal.size shouldBe 3 // one bin per distinct value
+    byVal(1.0) shouldBe 0L
+    // ties at 5: midrank2 = 2*1+6 = 8 of 16 -> bin 8*4 div 16 = 2
+    byVal(5.0) shouldBe 2L
+    byVal(9.0) shouldBe 3L
+  }
+
+  it should "clamp the maximum value into bin k-1 and keep NULLs NULL" in {
+    val vals = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None))
+      .toDF("id", "v")
+    val rows = CdfTransform.quantileBins(vals, "v", 2)
+      .select("id", "bin").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    rows(2L) shouldBe 1L // midrank2 = 3 of 4: 3*2 div 4 = 1 (clamped path)
+    rows(3L) shouldBe -1L // NULL value -> NULL bin
+  }
 }

@@ -72,4 +72,71 @@ class HypothesisSpec extends SparkSpec {
       .select("group_a", "group_b").as[(String, String)].collect().sorted
     pairs shouldBe Array(("a", "b"), ("a", "c"), ("b", "c"))
   }
+
+  // ---- Mann–Whitney U ----
+
+  "mannWhitney" should "match the hand-computed U, tie term, and z" in {
+    // A=[1,2,3], B=[2,3,4]: mid-ranks 1, 2.5/2.5, 4.5/4.5, 6
+    // R_a = 8, U_a = 2 (u2 = 4); T = (2^3-2)*2 = 12
+    // sigma2 = 9/12 * (7 - 12/30) = 4.95; z = (2-4.5)/sqrt(4.95)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "x")
+    val r = Hypothesis.mannWhitney(df, "g", "x").collect().head
+    (r.getString(0), r.getString(1)) shouldBe (("a", "b"))
+    (r.getLong(2), r.getLong(3)) shouldBe ((3L, 3L))
+    r.getLong(4) shouldBe 4L // u2
+    r.getDouble(5) shouldBe 2.0 // u exact (halves representable)
+    r.getLong(6) shouldBe 12L // tie term
+    r.getDouble(7) shouldBe -2.5 / math.sqrt(4.95) +- 1e-12
+  }
+
+  it should "give u2 = n_a*n_b (max) when A dominates B entirely" in {
+    val df = Seq(("a", 10.0), ("a", 11.0), ("b", 1.0), ("b", 2.0),
+      ("b", 3.0)).toDF("g", "x")
+    val r = Hypothesis.mannWhitney(df, "g", "x").collect().head
+    r.getLong(4) shouldBe 2L * 2L * 3L // u2 = 2*U = 2*6
+    r.getLong(6) shouldBe 0L
+  }
+
+  it should "emit NULL z when every value is tied" in {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "x")
+    val r = Hypothesis.mannWhitney(df, "g", "x").collect().head
+    // all in one tie run: T = n^3 - n = 60, sigma2 = 0
+    r.isNullAt(7) shouldBe true
+    r.getDouble(5) shouldBe 2.0 // U = n_a*n_b/2 under full ties
+  }
+
+  it should "be invariant under repartitioning" in {
+    val vals = (1 to 100).map(i =>
+      (if (i % 3 == 0) "a" else "b", ((i * 17) % 13).toDouble))
+    val base = Hypothesis.mannWhitney(vals.toDF("g", "x"), "g", "x")
+      .collect().head.toSeq
+    val shuf = Hypothesis
+      .mannWhitney(vals.toDF("g", "x").repartition(7), "g", "x")
+      .collect().head.toSeq
+    shuf shouldBe base
+  }
+
+  it should "order fractional values by their micro-quantization" in {
+    // one micro-unit apart stays ordered; below half a micro-unit ties
+    val apart = Seq(("a", 0.5), ("b", 0.500001)).toDF("g", "x")
+    val r1 = Hypothesis.mannWhitney(apart, "g", "x").collect().head
+    r1.getLong(4) shouldBe 0L // A strictly below B: U_a = 0
+    r1.getLong(6) shouldBe 0L // no tie
+    val tied = Seq(("a", 0.5), ("b", 0.5000004)).toDF("g", "x")
+    val r2 = Hypothesis.mannWhitney(tied, "g", "x").collect().head
+    r2.getLong(6) shouldBe 6L // 2^3-2: quantized into one tie run
+  }
+
+  it should "emit every group pair once with per-pair rank universes" in {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 1.0), ("c", 4.0)).toDF("g", "x")
+    val rows = Hypothesis.mannWhitney(df, "g", "x")
+      .orderBy("group_a", "group_b").collect()
+    rows.map(r => (r.getString(0), r.getString(1))) shouldBe
+      Array(("a", "b"), ("a", "c"), ("b", "c"))
+    // a-vs-b: disjoint, a below: u2 = 0
+    rows(0).getLong(4) shouldBe 0L
+  }
 }
