@@ -481,6 +481,111 @@ object StatsQueries {
            |  indent_lines, keyword_hits, code_score,
            |  code_score >= 80.0 AS is_code
            |FROM sc ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Mutual nearest neighbors over the embedding corpus through the
+    // composed IVF→int8→exact-rerank path (the d11 configuration with
+    // every vector as its own query): a pair survives only if each
+    // vector is the OTHER's top-1 — the hub-free alignment filter. The
+    // oracle replays centroid sampling, assignment, probing,
+    // quantization, rerank, and the mutuality join stage by stage.
+    GateQuery(
+      "q83_mutual_nn",
+      (s, dir) =>
+        graft.similarity.MutualNn.ivfMutualTopOne(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            nlist = 8, nprobe = 2)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1
+                     AS cid,
+                   v AS cv, list_dot_product(v, v) AS cnorm
+                 FROM (SELECT vec_id, v,
+                         (vec_id * 2654435761) % 1000003 AS hk
+                       FROM e ORDER BY hk, vec_id LIMIT 8)),
+        asn AS (SELECT vec_id, v, cid FROM (
+                  SELECT e.vec_id, e.v, cent.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY cent.cnorm
+                          - 2*list_dot_product(e.v, cent.cv),
+                        cent.cid) AS rn
+                  FROM e, cent) WHERE rn = 1),
+        qz AS (SELECT vec_id, cid,
+                 CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v,
+                        x -> floor(x * 127.0 / amax + 0.5))
+                 END AS qv
+               FROM (SELECT vec_id, cid, v,
+                       list_reduce(list_prepend(0.0,
+                           list_transform(v, x -> abs(x))),
+                         (acc, x) -> greatest(acc, x)) AS amax
+                     FROM asn)),
+        n AS (SELECT vec_id, cid, qv,
+                sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+        prb AS (SELECT qid, cid FROM (
+                  SELECT q.vec_id AS qid, cent.cid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY cent.cnorm
+                          - 2*list_dot_product(q.v, cent.cv),
+                        cent.cid) AS rn
+                  FROM e q, cent) WHERE rn <= 2),
+        sc AS (SELECT prb.qid, a.vec_id AS nid,
+                 list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
+               FROM prb JOIN n a ON prb.cid = a.cid
+                        JOIN n qq ON qq.vec_id = prb.qid
+               WHERE prb.qid <> a.vec_id),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY sim DESC, nid) AS rnk
+              FROM sc),
+        r1 AS (SELECT qid, nid FROM r WHERE rnk = 1)
+        SELECT a.qid AS id_a, a.nid AS id_b
+        FROM r1 a JOIN r1 b ON a.nid = b.qid AND b.nid = a.qid
+          AND a.qid < b.qid
+        ORDER BY id_a, id_b""")),
+
+    // Sparse TF-IDF cosine pairs through the term-partitioned inverted
+    // index with a df cap — the lexical near-dup detector next to the
+    // shingle/MinHash family. Weights are exact longs (milli-nat idf —
+    // the quantization scale chosen so norms and dots stay below 2^53,
+    // the q78 cross-engine cast bound); the only floats are two
+    // correctly-rounded sqrts and one division.
+    GateQuery(
+      "t43_tfidf_pairs",
+      (s, dir) =>
+        graft.text.TfidfPairs.cosinePairs(
+            t(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.5, maxDf = 50L)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  t -> t <> '') AS toks
+              FROM documents),
+        occ AS (SELECT doc_id AS id, unnest(toks) AS term FROM tok),
+        tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM occ GROUP BY 1, 2),
+        nd AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS nd FROM tf),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+                GROUP BY 1 HAVING COUNT(*) <= 50),
+        w AS (SELECT tf.id, tf.term,
+                tf.tf * CAST(floor(ln(CAST(nd.nd AS DOUBLE)
+                    / CAST(dft.df AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                  AS w
+              FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd),
+        nrm AS (SELECT id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS nrm
+                FROM w GROUP BY 1),
+        dots AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+                 FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+                 GROUP BY 1, 2)
+        SELECT d.id_a, d.id_b, d.dot,
+          CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) AS cos
+        FROM dots d JOIN nrm na ON d.id_a = na.id
+                    JOIN nrm nb ON d.id_b = nb.id
+        WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -1,0 +1,46 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mutual nearest neighbors — the symmetric filter over an ANN result
+  * that turns "a's closest vector is b" into the far stronger "a and b
+  * each pick the other". The standard alignment/mining heuristic
+  * (bitext mining, cross-snapshot entity matching, embedding-space
+  * dedup seeding): one-directional top-1 matches are dominated by hub
+  * vectors that are everyone's neighbor; mutuality removes hubs with no
+  * threshold to tune.
+  *
+  * Composes with ANY of the engine's top-k backends (X7/X8/X43/X56 —
+  * brute, IVF, int8, stored, projected): the filter itself is one
+  * self-join of the n-row (qid, nid) top-1 frame on 16-byte keys —
+  * negligible next to the search that produced it.
+  */
+object MutualNn {
+
+  /** Mutual pairs from a (qid, rank, nid) top-k frame (rank 1 rows are
+    * used). Output: (id_a, id_b) with id_a < id_b, each pair once.
+    */
+  def pairs(topK: DataFrame): DataFrame = {
+    val r1 = topK.filter(col("rank") === 1)
+      .select(col("qid"), col("nid"))
+    r1.alias("a").join(r1.alias("b"),
+        col("a.nid") === col("b.qid") && col("b.nid") === col("a.qid") &&
+          col("a.qid") < col("b.qid"))
+      .select(col("a.qid").as("id_a"), col("a.nid").as("id_b"))
+  }
+
+  /** Mutual top-1 pairs over a corpus through the composed 100 TB ANN
+    * configuration (IVF cell pruning → int8 quantization → exact
+    * integer-dot rerank, the d11 path): every vector queries its own
+    * probed cells, so the whole operation reads nprobe/nlist of the
+    * corpus per query and the rerank arithmetic replays bitwise.
+    */
+  def ivfMutualTopOne(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val model = Ivf.sampleCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = Ivf.assign(corpus, idCol, vecCol, model)
+    pairs(Quantize.ivfTopK(assigned, corpus, idCol, vecCol, model,
+      k = 1, nprobe = nprobe))
+  }
+}
