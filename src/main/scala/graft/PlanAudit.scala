@@ -34,7 +34,12 @@ object PlanAudit {
       "t36_boilerplate_lines", "q64_triangles", "q65_compaction_plan",
       "t37_rrf_fusion", "m02_audio_meta", "q66_ndcg", "d25_kmeans",
       "q67_holt", "t38_l_diversity", "t39_countmin", "q68_fs_linkage",
-      "q69_attribution", "q70_pct_rank", "q71_kaplan_meier", "q72_benford", "q73_gini", "q74_hits")
+      "q69_attribution", "q70_pct_rank", "q71_kaplan_meier", "q72_benford",
+      "q73_gini", "q74_hits",
+      "q75_grouping_sets", "q76_range_frame", "q77_mann_whitney",
+      "q78_cuped", "q79_kcore", "q80_assoc_rules", "q81_cusum",
+      "q82_quantile_bins", "t41_quantile_sketch", "t42_code_detect",
+      "q83_mutual_nn", "t43_tfidf_pairs")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

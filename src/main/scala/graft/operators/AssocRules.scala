@@ -55,10 +55,16 @@ object AssocRules {
       .groupBy(col("l.i").as("ia"), col("r.i").as("ib"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
-    val directed = pairs.select(col("ia").as("a"), col("ib").as("bb"),
+    // both rule directions via ONE explode of the pair row — a
+    // two-branch union would re-run the whole basket self-join pipeline
+    // per branch (plan-level duplication that only runtime exchange
+    // reuse might recover)
+    val directed = pairs
+      .select(explode(array(
+        struct(col("ia").as("a"), col("ib").as("b")),
+        struct(col("ib").as("a"), col("ia").as("b")))).as("e"),
         col("n_pair"))
-      .unionAll(pairs.select(col("ib").as("a"), col("ia").as("bb"),
-        col("n_pair")))
+      .select(col("e.a").as("a"), col("e.b").as("bb"), col("n_pair"))
     val withCounts = directed
       .join(broadcast(itemCounts.select(col("i").as("a"),
         col("n_i").as("n_a"))), Seq("a"))

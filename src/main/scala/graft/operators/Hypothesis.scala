@@ -121,16 +121,17 @@ object Hypothesis {
     val pairs = groups.alias("pa").join(broadcast(groups.alias("pb")),
         col("pa.g") < col("pb.g"))
       .select(col("pa.g").as("ga"), col("pb.g").as("gb"))
-    // per-pair per-value counts from each side, merged on (pair, value)
-    val sideA = counts.join(broadcast(pairs), col("g") === col("ga"))
-      .select(col("ga"), col("gb"), col("v"), col("c").as("ca"),
-        lit(0L).as("cb"))
-    val sideB = counts.join(broadcast(pairs), col("g") === col("gb"))
-      .select(col("ga"), col("gb"), col("v"), lit(0L).as("ca"),
-        col("c").as("cb"))
-    val merged = sideA.unionAll(sideB)
+    // per-pair per-value counts in ONE pass: a union of two per-side
+    // joins would duplicate the counts subplan (and its scan) in both
+    // branches; the OR-condition broadcast join fans each count row out
+    // to only the pairs containing its group, and conditional sums
+    // split the sides
+    val merged = counts.join(broadcast(pairs),
+        col("g") === col("ga") || col("g") === col("gb"))
       .groupBy("ga", "gb", "v")
-      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .agg(
+        sum(when(col("g") === col("ga"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("gb"), col("c")).otherwise(0L)).as("cb"))
       .withColumn("c", col("ca") + col("cb"))
     val byV = Window.partitionBy("ga", "gb").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
