@@ -284,6 +284,44 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Candidate pairs verified by CONTAINMENT instead of Jaccard:
+    * C(A→B) = |A∩B|/|A|. The quote/subset detector — a short document
+    * embedded verbatim in a long one has high containment but LOW
+    * Jaccard (the union is dominated by the long side), so a Jaccard
+    * threshold misses exactly the pairs a decontamination or
+    * quotation-mining pass cares about. Emits both directions plus
+    * their max; a pair survives when max(C_ab, C_ba) ≥ threshold.
+    *
+    * Honest recall caveat: candidates still come from the MinHash-LSH
+    * generator, whose collision probability tracks JACCARD — extreme
+    * size-ratio pairs (tweet inside a book) may never become
+    * candidates. For those, block on the SHORT side's full signature
+    * or fall back to the X49 span/ExactSubstr machinery, which is
+    * containment-shaped by construction.
+    */
+  def containmentPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = sets.select(col("id").as("id_a"), col("shingle_set").as("set_a"))
+    val sb = sets.select(col("id").as("id_b"), col("shingle_set").as("set_b"))
+    val inter = size(array_intersect(col("set_a"), col("set_b")))
+      .cast("double")
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / size(col("set_a")).cast("double")).as("cont_ab"),
+        (inter / size(col("set_b")).cast("double")).as("cont_ba"))
+      .withColumn("containment", greatest(col("cont_ab"), col("cont_ba")))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** MinHash-LSH candidates verified at containment ≥ threshold. */
+  def containmentNearDuplicates(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.7, maxBucketSize: Int = 0): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cand = minhashCandidates(sig, numHashes, bands, maxBucketSize)
+    containmentPairs(cand, shingleSets(df, idCol, textCol, n), threshold)
+  }
+
   /** SimHash bit-hash constants: multiplier/offset per bit, derived from a
     * fixed recurrence so any engine can regenerate them.
     */

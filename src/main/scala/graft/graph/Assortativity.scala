@@ -1,0 +1,53 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Degree assortativity (Newman 2002, PRL 89.208701) — the one-number
+  * answer to "do hubs link to hubs?": the Pearson correlation of
+  * endpoint degrees over every edge. Positive = social-network-like
+  * core (hubs cluster), negative = hub-and-spoke (the shape of
+  * co-purchase and doc-template graphs, where k-core/X105 peeling pays
+  * off); the diagnostic that tells you WHICH graph-cleanup operator
+  * fits before you run it.
+  *
+  * Computed over the symmetrized edge list so the statistic is exactly
+  * symmetric (each undirected edge contributes both orientations —
+  * Newman's convention). Exact-integer core: degrees are exact counts,
+  * the five moments (M, Σx, Σxy, Σx²) are exact long sums (x/y margins
+  * coincide under symmetrization), and r is one fixed IEEE shape over
+  * them — NULL for degree-regular graphs (zero variance). Bit-replay
+  * bound: Σ(deg·deg) must stay below 2⁵³ (the X104 cast bound) —
+  * holding for |E|·max_deg² < 9·10¹⁵, beyond which quantize degrees.
+  *
+  * Scale: one degree aggregation (map-side combined), two hash joins
+  * attaching 8-byte degrees to the edge list, one moments aggregation.
+  * Nothing wider than the edge list ever shuffles.
+  */
+object Assortativity {
+
+  /** One row: (m2 — directed edge-end count 2|E|, sum_x, sum_xx,
+    * sum_xy — exact moments, assortativity). Self-loops and duplicate
+    * pairs should be cleaned upstream.
+    */
+  def degreeCorrelation(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    val deg = sym.groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val joined = sym
+      .join(deg.select(col("id").as("s"), col("deg").as("dx")), "s")
+      .join(deg.select(col("id").as("d"), col("deg").as("dy")), "d")
+    val m = joined.agg(
+      count(lit(1)).as("m2"),
+      sum(col("dx")).as("sum_x"),
+      sum(col("dx") * col("dx")).as("sum_xx"),
+      sum(col("dx") * col("dy")).as("sum_xy"))
+    def dbl(name: String): Column = col(name).cast("double")
+    val num = dbl("m2") * dbl("sum_xy") - dbl("sum_x") * dbl("sum_x")
+    val den = dbl("m2") * dbl("sum_xx") - dbl("sum_x") * dbl("sum_x")
+    m.select(col("m2"), col("sum_x"), col("sum_xx"), col("sum_xy"),
+      when(den > 0.0, num / den).as("assortativity"))
+  }
+}

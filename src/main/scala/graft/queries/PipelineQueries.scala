@@ -409,6 +409,44 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Containment verification over the same LSH candidates — the
+    // quote/subset detector: |A∩B|/|A| flags a short doc embedded in a
+    // long one where Jaccard (union-normalized) stays low. Same
+    // candidate machinery as d02, different verify arithmetic; both
+    // directions emitted plus their max.
+    GateQuery(
+      "t45_containment",
+      (s, dir) =>
+        NearDup.containmentNearDuplicates(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, numHashes = 8, bands = 4,
+          threshold = 0.7)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"MIN((h*${MinHashA(i)} + ${MinHashB(i)}) % $HashMod) AS mh$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, mh${2 * b}*$HashMod + mh${2 * b + 1} AS bkey FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $tokCte, $setsCte, $hashCte,
+           |sig AS (SELECT doc_id, $sigCols FROM hh GROUP BY doc_id),
+           |bk AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+           |              AND a.doc_id < b.doc_id),
+           |j AS (SELECT id_a, id_b,
+           |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+           |          / CAST(len(sa.ss) AS DOUBLE) AS cont_ab,
+           |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+           |          / CAST(len(sb.ss) AS DOUBLE) AS cont_ba
+           |      FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |                JOIN sets sb ON cand.id_b = sb.doc_id)
+           |SELECT id_a, id_b, cont_ab, cont_ba,
+           |  greatest(cont_ab, cont_ba) AS containment
+           |FROM j WHERE greatest(cont_ab, cont_ba) >= 0.7
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // Near-dup CLUSTER resolution: the MinHash pairs above are only half of
     // dedup — keep-one-per-group needs the transitive closure (a~b, b~c ⇒
     // one cluster {a,b,c}). Spark side runs iterative min-label

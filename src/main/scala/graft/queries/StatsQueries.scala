@@ -586,6 +586,97 @@ object StatsQueries {
         FROM dots d JOIN nrm na ON d.id_a = na.id
                     JOIN nrm nb ON d.id_b = nb.id
         WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // Log-likelihood keyness (Dunning's G²) of the English subcorpus
+    // against the rest: which vocabulary is over-represented on each
+    // side, calibrated at low expected counts where chi-square breaks.
+    // Counts exact; each log factor micro-nat quantized; g2_micro an
+    // exact long. One token pass, one (term, side) aggregation, totals
+    // broadcast-crossed onto the vocabulary-sized table.
+    GateQuery(
+      "t44_keyness",
+      (s, dir) =>
+        graft.text.Keyness.g2(t(s, dir, "documents"), "text",
+            col("lang") === "en", minCount = 5L)
+          .orderBy("term"),
+      Some("""
+        WITH tok AS (SELECT lang = 'en' AS f,
+                list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  t -> t <> '') AS toks
+              FROM documents),
+        occ AS (SELECT f, unnest(toks) AS term FROM tok),
+        c AS (SELECT term,
+                CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT) AS b
+              FROM occ GROUP BY 1 HAVING COUNT(*) >= 5),
+        tt AS (SELECT CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(SUM(CASE WHEN f THEN 0 ELSE 1 END) AS BIGINT)
+                   AS nb
+               FROM occ),
+        k AS (SELECT term, a, b, na, nb,
+                CAST(floor(ln(CAST(a AS DOUBLE)
+                      * CAST(na + nb AS DOUBLE)
+                      / (CAST(na AS DOUBLE) * CAST(a + b AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS la,
+                CAST(floor(ln(CAST(b AS DOUBLE)
+                      * CAST(na + nb AS DOUBLE)
+                      / (CAST(nb AS DOUBLE) * CAST(a + b AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lb
+              FROM c CROSS JOIN tt),
+        g AS (SELECT term, a, b, na, nb,
+                2 * (CASE WHEN a > 0 THEN a * la ELSE 0 END
+                   + CASE WHEN b > 0 THEN b * lb ELSE 0 END) AS g2m
+              FROM k)
+        SELECT term, a AS n_focus, b AS n_ref,
+          CAST(g2m AS BIGINT) AS g2_micro,
+          CAST(g2m AS DOUBLE) / 1000000.0 AS g2,
+          CASE WHEN CAST(a AS DOUBLE) * CAST(nb AS DOUBLE)
+                  > CAST(b AS DOUBLE) * CAST(na AS DOUBLE)
+               THEN 'focus' ELSE 'reference' END AS overused
+        FROM g ORDER BY term""")),
+
+    // Degree assortativity of the co-purchase graph — the hubs-to-hubs
+    // correlation that tells you whether k-core peeling (q79) or hub
+    // capping is the right cleanup. Bipartite co-purchase graphs come
+    // out disassortative; the gate pins the exact moments and the
+    // fixed-IEEE Pearson shape over them.
+    GateQuery(
+      "q84_assortativity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_partkey") + 1000000L).as("dst"))
+          .distinct()
+        graft.graph.Assortativity.degreeCorrelation(edges, "src", "dst")
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT o_custkey AS s,
+                l_partkey + 1000000 AS d
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        sym AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d
+                FROM e0),
+        deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+        j AS (SELECT dx.deg AS x, dy.deg AS y
+              FROM sym JOIN deg dx ON sym.s = dx.id
+                       JOIN deg dy ON sym.d = dy.id),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                CAST(SUM(x) AS BIGINT) AS sum_x,
+                CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+                CAST(SUM(x*y) AS BIGINT) AS sum_xy
+              FROM j)
+        SELECT m2, sum_x, sum_xx, sum_xy,
+          CASE WHEN CAST(m2 AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) > 0.0
+               THEN (CAST(m2 AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                  / (CAST(m2 AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                     - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+          END AS assortativity
+        FROM m"""))
   )
 }
