@@ -2034,6 +2034,61 @@ object PipelineQueries {
           |WHERE epoch_us(ws) + 3600000000 <= wm_us
           |ORDER BY window_start, event_type""".stripMargin)),
 
+    // Native session_window over a REAL file stream — the q85 batch
+    // expression unchanged behind a watermark: the streaming session
+    // aggregation merges windows in state and emits a session once the
+    // watermark passes its end (the d21 withholding semantics). The
+    // oracle is the q85 gaps-and-islands rewrite filtered to sessions
+    // whose end clears the final watermark (max event ms − 30 min).
+    GateQuery(
+      "d27_stream_session_window",
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val stream0 = s.readStream.schema(raw.schema)
+          .parquet(stagedStreamDir(dir, "events"))
+        val stream = stream0
+          .withColumn("ts", GateQuery.normalizeTs(stream0, "ts"))
+          .filter(col("event_id") % 2 === 0)
+          .withWatermark("ts", "30 minutes")
+        val out = graft.streaming.EventStreams
+          .sessionWindowAggregate(stream, "30 minutes")
+        val rows = runStreamToMemory(s, out, "d27_mem_sink") { res =>
+          res.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getDouble(4)))
+            .sortBy(r => (r._1, r._2))
+        }
+        import s.implicits._
+        rows.toSeq.toDF("user_id", "start_us", "end_us", "n_events",
+            "value_sum")
+          .orderBy("user_id", "start_us")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vm
+              FROM events WHERE event_id % 2 = 0),
+        wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 1800000) * 1000
+                 AS wm_us
+               FROM events WHERE event_id % 2 = 0),
+        l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id) AS prev FROM ev),
+        b AS (SELECT *, CASE WHEN prev IS NULL
+                  OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM l),
+        g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS sess FROM b),
+        agg AS (SELECT user_id,
+                  CAST(MIN(tus) AS BIGINT) AS start_us,
+                  CAST(MAX(tus) + 1800000000 AS BIGINT) AS end_us,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(vm) AS DOUBLE) / 1000000.0 AS value_sum
+                FROM g GROUP BY user_id, sess)
+        SELECT user_id, start_us, end_us, n_events, value_sum
+        FROM agg, wm WHERE end_us <= wm_us
+        ORDER BY user_id, start_us""")),
+
     // Cohen's kappa between the NB classifier's language prediction and
     // the gold lang label — the labeling-QA gate run on every annotation
     // or auto-labeling batch. Exact integer contingency/marginals with

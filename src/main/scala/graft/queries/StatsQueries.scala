@@ -677,6 +677,40 @@ object StatsQueries {
                   / (CAST(m2 AS DOUBLE) * CAST(sum_xx AS DOUBLE)
                      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
           END AS assortativity
-        FROM m"""))
+        FROM m""")),
+
+    // Spark's NATIVE session_window in batch — the declarative twin of
+    // the q31/d22 state-machine sessionization: windows merge while
+    // event times fall within the gap of the running session end, and
+    // the same expression runs unchanged over a stream (d27). Value
+    // sums ride per-row micro-quantized longs (double accumulation
+    // inside a merging window is order-dependent). The oracle is the
+    // classic gaps-and-islands rewrite with an event_id tiebreak.
+    GateQuery(
+      "q85_session_window",
+      (s, dir) =>
+        graft.streaming.EventStreams.sessionWindowAggregate(
+            t(s, dir, "events"), "30 minutes")
+          .orderBy("user_id", "start_us"),
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS vm
+              FROM events),
+        l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id) AS prev FROM ev),
+        b AS (SELECT *, CASE WHEN prev IS NULL
+                  OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM l),
+        g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS sess FROM b)
+        SELECT user_id,
+          CAST(MIN(tus) AS BIGINT) AS start_us,
+          CAST(MAX(tus) + 1800000000 AS BIGINT) AS end_us,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(vm) AS DOUBLE) / 1000000.0 AS value_sum
+        FROM g GROUP BY user_id, sess
+        ORDER BY user_id, start_us"""))
   )
 }

@@ -31,6 +31,34 @@ object EventStreams {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("cnt"), col("value_sum"))
 
+  /** Gap-based sessionization through Spark's NATIVE `session_window`
+    * — the declarative twin of the flatMapGroupsWithState machine below
+    * ([[sessionize]]): the built-in merges windows whose event times
+    * fall within `gap` of the running session end, state is managed by
+    * the streaming aggregation operator (no hand-rolled state class),
+    * and the SAME expression works in batch (where it plans as a
+    * sort-based session aggregation). Value sums ride per-row
+    * micro-quantized longs — double accumulation inside a merging
+    * window is order-dependent; exact longs are not.
+    *
+    * Works on batch or streaming input; streaming callers must set the
+    * watermark BEFORE calling (sessions emit when the watermark passes
+    * their end — the d21 withholding semantics).
+    */
+  def sessionWindowAggregate(events: DataFrame, gap: String): DataFrame =
+    events
+      .withColumn("vmicro",
+        floor(col("value").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("vmicro").as("vsum_micro"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"),
+        (col("vsum_micro").cast("double") / lit(1000000.0))
+          .as("value_sum"))
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String,
       value: Double)
 

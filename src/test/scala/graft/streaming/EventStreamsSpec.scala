@@ -62,6 +62,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  it should "aggregate native session windows with batch/stream parity" in {
+    // batch semantics: gap merge + micro-exact sums
+    val batch = Seq(
+      (1L, ts(0), "click", 1.5), (1L, ts(3), "view", 2.25),
+      (1L, ts(20), "click", 4.0), (2L, ts(1), "view", 0.5))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = EventStreams.sessionWindowAggregate(batch, "5 minutes")
+      .orderBy("user_id", "start_us").collect()
+    out.length shouldBe 3
+    out(0).getLong(3) shouldBe 2L // user 1 first session: 2 events
+    out(0).getDouble(4) shouldBe 3.75 +- 1e-12
+    // session end = last event + gap
+    (out(0).getLong(2) - out(0).getLong(1)) shouldBe (3 + 5) * 60000000L
+
+    // stream parity: same rows through a watermarked MemoryStream; the
+    // late-burst session stays withheld (watermark never passes its end)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val stream = EventStreams.sessionWindowAggregate(
+      input.toDS().toDF().withWatermark("ts", "1 minute"), "5 minutes")
+    val q = stream.writeStream.format("memory")
+      .queryName("native_sessions").outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1L, ts(0), "click", 1.5),
+        EventStreams.Event(1L, ts(3), "view", 2.25),
+        EventStreams.Event(2L, ts(1), "view", 0.5))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(1L, ts(20), "click", 4.0))
+      q.processAllAvailable()
+      val emitted = spark.table("native_sessions")
+        .orderBy("user_id", "start_us").collect()
+      // watermark = ts(20) - 1min: both first-burst sessions emitted,
+      // the ts(20) session (end ts(25)) withheld
+      emitted.map(r => (r.getLong(0), r.getLong(3))).toSeq shouldBe
+        Seq((1L, 2L), (2L, 1L))
+      emitted(0).getDouble(4) shouldBe 3.75 +- 1e-12
+    } finally q.stop()
+  }
+
   it should "join purchases to clicks within the horizon, outer past the watermark" in {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp, Long, String)]
