@@ -677,6 +677,84 @@ object Main {
         writeJson(required("stats-output"), report)
         println(s"[graft] monitor wrote ${required("stats-output")}")
 
+      case "codedetect" =>
+        // modality routing: score --input docs, write per-doc signals +
+        // flags to --output, and a JSON modality census to
+        // --stats-output when given
+        import org.apache.spark.sql.functions.{col, sum, when, lit, count}
+        val scored = graft.text.CodeDetect.score(input,
+          o.getOrElse("text-col", "text"),
+          threshold = o.getOrElse("threshold", "80.0").toDouble)
+        write(scored, required("output"))
+        o.get("stats-output").foreach { so =>
+          val c = scored.agg(count(lit(1)).as("n"),
+            sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))
+            .head()
+          writeJson(so, Map("n_docs" -> c.getLong(0),
+            "n_code" -> c.getLong(1)))
+        }
+        println(s"[graft] codedetect wrote ${required("output")}")
+
+      case "rules" =>
+        // market-basket rules: --basket-col/--item-col over --input,
+        // Apriori-pruned at --min-count, written ordered by lift
+        import org.apache.spark.sql.functions.col
+        val out = graft.operators.AssocRules.pairRules(input,
+            o.getOrElse("basket-col", "basket"),
+            o.getOrElse("item-col", "item"),
+            o.getOrElse("min-count", "10").toLong)
+          .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+        write(out, required("output"))
+        println(s"[graft] rules wrote ${required("output")}")
+
+      case "kcore" =>
+        // graph density filter: peel --input edges (--src-col/--dst-col)
+        // at --k for --rounds, write surviving (id, degree)
+        import org.apache.spark.sql.functions.col
+        val srcCol = o.getOrElse("src-col", "src")
+        val dstCol = o.getOrElse("dst-col", "dst")
+        val nodes = input.select(col(srcCol).as("id"))
+          .union(input.select(col(dstCol).as("id"))).distinct()
+        val out = graft.graph.KCore.peel(nodes, "id", input,
+          srcCol, dstCol, o.getOrElse("k", "2").toInt,
+          o.getOrElse("rounds", "3").toInt)
+        write(out.orderBy("id"), required("output"))
+        println(s"[graft] kcore wrote ${required("output")}")
+
+      case "abtest" =>
+        // experiment readout in one pass: Welch t + Mann-Whitney z per
+        // group pair (and CUPED adjustment when --covariate-col is
+        // given), written as one JSON report
+        val g = o.getOrElse("group-col", "variant")
+        val v = o.getOrElse("metric-col", "value")
+        val welch = graft.operators.Hypothesis.welchT(input, g, v)
+          .collect().map(r => Map(
+            "group_a" -> r.get(0).toString, "group_b" -> r.get(1).toString,
+            "n_a" -> r.getLong(2), "n_b" -> r.getLong(3),
+            "mean_a" -> r.getDouble(4), "mean_b" -> r.getDouble(5),
+            "t_stat" -> (if (r.isNullAt(6)) null else r.getDouble(6)),
+            "df_welch" -> (if (r.isNullAt(7)) null else r.getDouble(7))))
+        val mw = graft.operators.Hypothesis.mannWhitney(input, g, v)
+          .collect().map(r => Map(
+            "group_a" -> r.get(0).toString, "group_b" -> r.get(1).toString,
+            "u" -> r.getDouble(5),
+            "z_score" -> (if (r.isNullAt(7)) null else r.getDouble(7))))
+        val cuped = o.get("covariate-col").map { cc =>
+          graft.operators.Cuped.adjustedMeans(input, g, cc, v,
+              quantScale = o.getOrElse("quant-scale", "1000000").toDouble)
+            .collect().map(r => Map(
+              "variant" -> r.get(0).toString, "n" -> r.getLong(1),
+              "mean_y" -> r.getDouble(3),
+              "theta" -> (if (r.isNullAt(4)) null else r.getDouble(4)),
+              "rho2" -> (if (r.isNullAt(5)) null else r.getDouble(5)),
+              "adj_mean" -> (if (r.isNullAt(6)) null
+                             else r.getDouble(6)))).toSeq
+        }
+        writeJson(required("stats-output"), Map(
+          "welch" -> welch.toSeq, "mann_whitney" -> mw.toSeq
+        ) ++ cuped.map("cuped" -> _).toMap)
+        println(s"[graft] abtest wrote ${required("stats-output")}")
+
       case other =>
         sys.error(s"unknown command: $other (see Main scaladoc)")
     }

@@ -349,6 +349,60 @@ class CliSpec extends SparkSpec {
     got shouldBe Map("en" -> 5L, "de" -> 5L)
   }
 
+  it should "dispatch codedetect with a modality census" in {
+    val in = tmp("cd-in"); val out = tmp("cd-out")
+    val rpt = tmp("cd-json") + "/census.json"
+    Seq((1L, "def f(x):\n    return x * 2"),
+        (2L, "The plain prose of an ordinary paragraph goes here."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    dispatch("codedetect", "input" -> in, "output" -> out,
+      "stats-output" -> rpt)
+    val got = spark.read.parquet(out)
+    got.count() shouldBe 2L
+    got.filter(col("is_code")).select("doc_id")
+      .as[Long].collect() shouldBe Array(1L)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(rpt))
+    json should include("\"n_code\":1")
+  }
+
+  it should "dispatch rules ordered by lift" in {
+    val in = tmp("rules-in"); val out = tmp("rules-out")
+    (1L to 20L).flatMap(b => Seq((b, "x"), (b, "y")) ++
+        (if (b <= 5) Seq((b, "z")) else Nil))
+      .toDF("basket", "item").write.mode("overwrite").parquet(in)
+    dispatch("rules", "input" -> in, "output" -> out,
+      "min-count" -> "5")
+    val got = spark.read.parquet(out)
+    got.count() should be >= 2L // x<->y at least, both directions
+    got.columns should contain allOf ("support", "confidence", "lift")
+  }
+
+  it should "dispatch kcore over an edge list" in {
+    val in = tmp("kcore-in"); val out = tmp("kcore-out")
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(in)
+    dispatch("kcore", "input" -> in, "output" -> out, "k" -> "2",
+      "rounds" -> "2")
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L)
+  }
+
+  it should "dispatch abtest with the full experiment readout" in {
+    val in = tmp("ab-in")
+    val rpt = tmp("ab-json") + "/report.json"
+    (1 to 40).map(i => (if (i % 2 == 0) "A" else "B",
+        i % 7 + (if (i % 2 == 0) 3.0 else 0.0), (i % 5).toDouble))
+      .toDF("variant", "value", "pre")
+      .write.mode("overwrite").parquet(in)
+    dispatch("abtest", "input" -> in, "stats-output" -> rpt,
+      "covariate-col" -> "pre")
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(rpt))
+    json should include("\"welch\"")
+    json should include("\"mann_whitney\"")
+    json should include("\"cuped\"")
+    json should include("\"t_stat\"")
+  }
+
   it should "dispatch drift and write the JSON report" in {
     val a = tmp("drift-a"); val b = tmp("drift-b")
     val rpt = tmp("drift-json") + "/report.json"
