@@ -313,6 +313,54 @@ object NearDup {
       .filter(col("containment") >= threshold)
   }
 
+  /** EXACT all-pairs Jaccard join via prefix filtering (SSJoin/AllPairs
+    * /PPJoin lineage — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08): the third point of the dedup design space.
+    * Brute force (d03) is exact but O(n²); MinHash-LSH (X39) is
+    * subquadratic but probabilistic (candidate recall < 1). Prefix
+    * filtering is BOTH: order every set by one global rare-first token
+    * order, index only each set's first |X| − ⌈t·|X|⌉ + 1 tokens, and
+    * any pair with J ≥ t provably shares an indexed token — so
+    * candidates come from an equi-join on prefix tokens and the exact
+    * verify loses nothing. Result ≡ brute force, by construction.
+    *
+    * Scale shape: candidate volume is driven by the RARE end of the
+    * vocabulary (each set's prefix is its rarest tokens, whose postings
+    * lists are the shortest — the reason the rare-first order is not a
+    * heuristic but the load-bearing choice); the size filter
+    * t·|B| ≤ |A| prunes cross-magnitude pairs before verification. Two
+    * token-keyed shuffles (frequency attach, prefix self-join) and one
+    * id-keyed verify join; documents never shuffle.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = shingleSets(df, idCol, textCol, n)
+    val occ = sets.select(col("id"), explode(col("shingle_set")).as("s"))
+    val freq = occ.groupBy("s").agg(count(lit(1)).as("cnt"))
+    // global rare-first total order, ties broken on the token itself so
+    // every engine/run derives the same prefix
+    val ordered = occ.join(freq, "s")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("cnt"), col("s"))))
+        .as("ord"))
+      .select(col("id"), col("ord"), size(col("ord")).as("sz"))
+    val prefixLen =
+      (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")
+    val prefixes = ordered
+      .select(col("id"), col("sz"),
+        explode(slice(col("ord"), lit(1), prefixLen)).as("p"))
+      .select(col("id"), col("sz"), col("p.s").as("s"))
+    val cand = prefixes.alias("a").join(prefixes.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.sz").cast("double") >= col("a.sz") * lit(threshold) &&
+          col("a.sz").cast("double") >= col("b.sz") * lit(threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, sets, threshold)
+  }
+
   /** MinHash-LSH candidates verified at containment ≥ threshold. */
   def containmentNearDuplicates(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 8, bands: Int = 4,
