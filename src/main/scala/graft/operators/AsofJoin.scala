@@ -129,4 +129,76 @@ object AsofJoin {
       left.columns.map(col).toSeq ++
         payload.map(p => when(valid, col("__m").getField(p)).as(p)): _*)
   }
+
+  /** Nearest-mode as-of join: for each left row, the right row with the
+    * SMALLEST |rightTime − leftTime| within the key group, ties toward
+    * the backward (earlier-or-equal) side — completing the
+    * backward/forward pair with the mode pandas calls
+    * `direction='nearest'`. Time columns must be integral (epoch
+    * micros): distance comparison needs arithmetic, not just ordering.
+    *
+    * Same single-shuffle discipline: ONE union, ONE key-partitioned
+    * exchange, TWO in-partition window sorts (ascending carry for the
+    * backward candidate, descending for the forward), and a projection
+    * picks the closer side. Still no join node.
+    *
+    * `toleranceMicros`: matches farther than this are discarded
+    * (payload nulls); None = unbounded.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightOrder: Option[String] = None,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val reserved = Reserved ++ Set("__mb", "__mf")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"as-of join reserves column names ${reserved.mkString(", ")}; " +
+        s"rename ${clash.mkString(", ")} before calling")
+    val leftNonKey = left.columns.filterNot(keys.contains).toSeq
+    val payloadFields = (payload :+ rightTime).distinct
+    val rpType = StructType(payloadFields.map(f => right.schema(f)))
+    val ridType: DataType =
+      rightOrder.map(right.schema(_).dataType).getOrElse(LongType)
+    def nullAs(dt: DataType, name: String): Column =
+      lit(null).cast(dt).as(name)
+    val rightKeyed = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val rSide = rightKeyed.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        rightOrder.map(col).getOrElse(lit(null).cast(ridType)).as("__rid"),
+        struct(payloadFields.map(col): _*).as("__rp")) ++
+      leftNonKey.map(c => nullAs(left.schema(c).dataType, c)): _*)
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        nullAs(ridType, "__rid"), nullAs(rpType, "__rp")) ++
+      leftNonKey.map(col): _*)
+    val pcols = keys.map(col)
+    val wAsc = Window.partitionBy(pcols: _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(pcols: _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__rid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rSide.unionByName(lSide)
+      .withColumn("__mb", last("__rp", ignoreNulls = true).over(wAsc))
+      .withColumn("__mf", last("__rp", ignoreNulls = true).over(wDesc))
+      .filter(col("__side") === 1)
+    val dtb = col("__t") - col("__mb").getField(rightTime)
+    val dtf = col("__mf").getField(rightTime) - col("__t")
+    val pick = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(dtf < dtb, col("__mf"))
+      .otherwise(col("__mb"))
+    val withPick = matched.withColumn("__m", pick)
+    val dist = abs(col("__m").getField(rightTime) - col("__t"))
+    val valid = toleranceMicros match {
+      case Some(tol) => col("__m").isNotNull && dist <= lit(tol)
+      case None => col("__m").isNotNull
+    }
+    withPick.select(
+      left.columns.map(col).toSeq ++
+        payload.map(p => when(valid, col("__m").getField(p)).as(p)): _*)
+  }
 }

@@ -711,6 +711,108 @@ object StatsQueries {
           CAST(COUNT(*) AS BIGINT) AS n_events,
           CAST(SUM(vm) AS DOUBLE) / 1000000.0 AS value_sum
         FROM g GROUP BY user_id, sess
-        ORDER BY user_id, start_us"""))
+        ORDER BY user_id, start_us""")),
+
+    // Interval union per user — events carry synthetic [ts, ts+dur)
+    // exposure windows (dur from the event id, 10–70 min) and the
+    // operator collapses overlaps into covered spans: the
+    // exposure/uptime primitive where summing raw durations
+    // double-counts. One window pass + one aggregation, exact integral
+    // micros.
+    GateQuery(
+      "q86_interval_union",
+      (s, dir) => {
+        val iv = t(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("ivs"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 7 + 1) * 600000000L).as("ive"))
+        graft.operators.Intervals.mergeOverlaps(iv, "user_id",
+            "ivs", "ive")
+          .orderBy("user_id", "span_start")
+      },
+      Some("""
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                epoch_us(ts) + (event_id % 7 + 1) * 600000000 AS e
+              FROM events),
+        w AS (SELECT *, MAX(e) OVER (PARTITION BY user_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) AS pmax FROM iv),
+        b AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                THEN 1 ELSE 0 END AS brk FROM w),
+        g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS isl FROM b)
+        SELECT user_id,
+          CAST(MIN(s) AS BIGINT) AS span_start,
+          CAST(MAX(e) AS BIGINT) AS span_end,
+          CAST(COUNT(*) AS BIGINT) AS n_merged,
+          CAST(MAX(e) - MIN(s) AS BIGINT) AS covered
+        FROM g GROUP BY user_id, isl
+        ORDER BY user_id, span_start""")),
+
+    // Nearest-mode as-of join — each purchase picks the CLOSER of its
+    // latest-preceding and earliest-following click within ±1 h, ties
+    // toward the backward side (the X1 family's third direction).
+    // Still join-free: one union, one key exchange, two in-partition
+    // window sorts. The oracle materializes both candidates per
+    // purchase with the operator's exact tie rules and picks the same
+    // side.
+    GateQuery(
+      "q87_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_t_us"),
+            col("value").as("click_value"))
+        graft.operators.AsofJoin.nearest(purchases, clicks,
+            keys = Seq("user_id"), leftTime = "t_us",
+            rightTime = "click_t_us",
+            payload = Seq("click_id", "click_t_us", "click_value"),
+            rightOrder = Some("click_id"),
+            toleranceMicros = Some(3600000000L))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pt
+              FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS ct,
+                CAST(value AS DOUBLE) AS cv
+              FROM events WHERE event_type = 'click'),
+        bk AS (SELECT p.event_id, p.user_id, p.pt, c.cid, c.ct, c.cv
+               FROM p LEFT JOIN c ON p.user_id = c.user_id
+                 AND c.ct <= p.pt
+               QUALIFY row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY c.ct DESC NULLS LAST, c.cid DESC) = 1),
+        fw AS (SELECT p.event_id, c.cid, c.ct, c.cv
+               FROM p LEFT JOIN c ON p.user_id = c.user_id
+                 AND c.ct >= p.pt
+               QUALIFY row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY c.ct ASC NULLS LAST, c.cid ASC) = 1),
+        pick AS (SELECT bk.event_id, bk.user_id, bk.pt,
+                  CASE WHEN bk.ct IS NULL THEN fw.cid
+                       WHEN fw.ct IS NULL THEN bk.cid
+                       WHEN fw.ct - bk.pt < bk.pt - bk.ct THEN fw.cid
+                       ELSE bk.cid END AS cid,
+                  CASE WHEN bk.ct IS NULL THEN fw.ct
+                       WHEN fw.ct IS NULL THEN bk.ct
+                       WHEN fw.ct - bk.pt < bk.pt - bk.ct THEN fw.ct
+                       ELSE bk.ct END AS ct,
+                  CASE WHEN bk.ct IS NULL THEN fw.cv
+                       WHEN fw.ct IS NULL THEN bk.cv
+                       WHEN fw.ct - bk.pt < bk.pt - bk.ct THEN fw.cv
+                       ELSE bk.cv END AS cv
+                FROM bk JOIN fw ON bk.event_id = fw.event_id)
+        SELECT event_id, user_id, CAST(pt AS BIGINT) AS t_us,
+          CASE WHEN ct IS NOT NULL AND abs(ct - pt) <= 3600000000
+               THEN cid END AS click_id,
+          CASE WHEN ct IS NOT NULL AND abs(ct - pt) <= 3600000000
+               THEN CAST(ct AS BIGINT) END AS click_t_us,
+          CASE WHEN ct IS NOT NULL AND abs(ct - pt) <= 3600000000
+               THEN cv END AS click_value
+        FROM pick ORDER BY event_id"""))
   )
 }

@@ -125,4 +125,44 @@ class AsofJoinSpec extends SparkSpec {
     graft.core.Bucketing.shuffleCount(out) shouldBe 1
     out.queryExecution.executedPlan.toString.contains("Join") shouldBe false
   }
+
+  // ---- nearest mode ----
+
+  it should "pick the closer side with ties toward backward" in {
+    val out = AsofJoin.nearest(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("qid", "bid"),
+      rightOrder = Some("qid"))
+    rowsOf(out, "sym", "t", "qid", "bid") shouldBe Set(
+      Seq("A", 3L, 1L, 99.5), // back dt=1 beats forward dt=5
+      Seq("A", 8L, 3L, 100.6), // dt=0 both sides: backward (max qid)
+      Seq("A", 15L, 4L, 101.5), // only backward exists
+      Seq("B", 1L, 5L, 49.5), // only forward exists
+      Seq("B", 10L, 5L, 49.5))
+  }
+
+  it should "prefer backward on equal distance" in {
+    val l = Seq(("k", 10L, 1L)).toDF("sym", "t", "lid")
+    val r = Seq(("k", 7L, 1L, 1.0), ("k", 13L, 2L, 2.0))
+      .toDF("sym", "qt", "rid", "v")
+    val out = AsofJoin.nearest(l, r, Seq("sym"), "t", "qt",
+      Seq("rid", "v"), rightOrder = Some("rid"))
+    rowsOf(out, "lid", "rid") shouldBe Set(Seq(1L, 1L))
+  }
+
+  it should "null matches beyond the tolerance" in {
+    val l = Seq(("k", 100L, 1L), ("k", 11L, 2L)).toDF("sym", "t", "lid")
+    val r = Seq(("k", 10L, 1L, 1.0)).toDF("sym", "qt", "rid", "v")
+    val out = AsofJoin.nearest(l, r, Seq("sym"), "t", "qt",
+      Seq("rid"), rightOrder = Some("rid"),
+      toleranceMicros = Some(5L))
+    rowsOf(out, "lid", "rid") shouldBe Set(Seq(1L, null), Seq(2L, 1L))
+  }
+
+  it should "keep the nearest plan join-free with one exchange" in {
+    val out = AsofJoin.nearest(trades, quotes, Seq("sym"),
+      leftTime = "t", rightTime = "qt", payload = Seq("qid"),
+      rightOrder = Some("qid"))
+    graft.core.Bucketing.shuffleCount(out) shouldBe 1
+    out.queryExecution.executedPlan.toString.contains("Join") shouldBe false
+  }
 }
