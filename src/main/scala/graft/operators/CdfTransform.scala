@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,5 +89,55 @@ object CdfTransform {
           expr(s"(2*__lt + __eq) * ${k}L div (2*__n)")).as("bin")): _*)
     val attach = if (broadcastRanks) broadcast(binned) else binned
     df.join(attach, partitionCols :+ valueCol, "left")
+  }
+
+  /** Winsorization — clamp `valueCol` into its [pLo, pHi] empirical
+    * quantile range per group, the outlier-capping step before any
+    * moment-based statistic (means, CUPED, Welch) that a heavy tail
+    * would otherwise own. Caps are exact order statistics — the
+    * smallest value with cum_count ≥ ⌈p·n⌉ (the X109 sketch's exact
+    * rule) — computed from per-value counts with no global sort, then
+    * broadcast back as two scalars per group.
+    *
+    * Appends `<valueCol>_capped` plus `clipped` ∈ {-1, 0, 1} marking
+    * which side (if any) clamped the row. NULL values pass through.
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double,
+      pHi: Double, partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val pcols = partitionCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((pcols :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__eq"))
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(pcols: _*)
+    val wc = w0.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("__cum", sum("__eq").over(wc))
+      .withColumn("__n", sum("__eq").over(w0
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def capAt(p: Double): Column =
+      min(when(col("__cum") >=
+        greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long")),
+        col(valueCol)))
+    val caps = ranked.groupBy(pcols: _*)
+      .agg(capAt(pLo).as("__lo"), capAt(pHi).as("__hi"))
+    val joined =
+      if (partitionCols.isEmpty) df.crossJoin(broadcast(caps))
+      else df.join(broadcast(caps), partitionCols)
+    joined
+      .withColumn(s"${valueCol}_capped",
+        when(col(valueCol).isNull, col(valueCol))
+          .when(col(valueCol) < col("__lo"), col("__lo"))
+          .when(col(valueCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valueCol)))
+      .withColumn("clipped",
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .when(col(valueCol) < col("__lo"), lit(-1))
+          .when(col(valueCol) > col("__hi"), lit(1))
+          .otherwise(lit(0)))
+      .drop("__lo", "__hi")
   }
 }

@@ -813,6 +813,102 @@ object StatsQueries {
                THEN CAST(ct AS BIGINT) END AS click_t_us,
           CASE WHEN ct IS NOT NULL AND abs(ct - pt) <= 3600000000
                THEN cv END AS click_value
-        FROM pick ORDER BY event_id"""))
+        FROM pick ORDER BY event_id""")),
+
+    // Winsorization at the [p05, p95] empirical quantiles per return
+    // flag — outlier capping with caps as EXACT order statistics from
+    // the compressed value table (no sort, no interpolation), verified
+    // through the per-flag census of clipped rows and the
+    // decimal-exact sum of the capped column.
+    GateQuery(
+      "q88_winsorize",
+      (s, dir) => {
+        val capped = graft.operators.CdfTransform.winsorize(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"),
+              col("l_extendedprice").cast("double").as("price")),
+          "price", 0.05, 0.95, Seq("l_returnflag"))
+        capped.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("clipped") === -1, 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("clipped") === 1, 1L).otherwise(0L)).as("n_hi"),
+            min("price_capped").as("cap_lo"),
+            max("price_capped").as("cap_hi"),
+            GateQuery.dsum(col("price_capped")).as("sum_capped"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH v AS (SELECT l_returnflag AS g,
+                CAST(l_extendedprice AS DOUBLE) AS price
+              FROM lineitem),
+        c AS (SELECT g, price, CAST(COUNT(*) AS BIGINT) AS eq
+              FROM v WHERE price IS NOT NULL GROUP BY 1, 2),
+        w AS (SELECT g, price, eq,
+                SUM(eq) OVER (PARTITION BY g ORDER BY price ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(eq) OVER (PARTITION BY g) AS n
+              FROM c),
+        caps AS (SELECT g,
+                   MIN(CASE WHEN cum >= greatest(1,
+                       CAST(ceil(0.05 * n) AS BIGINT))
+                     THEN price END) AS lo,
+                   MIN(CASE WHEN cum >= greatest(1,
+                       CAST(ceil(0.95 * n) AS BIGINT))
+                     THEN price END) AS hi
+                 FROM w GROUP BY g),
+        x AS (SELECT v.g, v.price,
+                CASE WHEN v.price < caps.lo THEN caps.lo
+                     WHEN v.price > caps.hi THEN caps.hi
+                     ELSE v.price END AS capped,
+                CASE WHEN v.price < caps.lo THEN -1
+                     WHEN v.price > caps.hi THEN 1 ELSE 0 END AS clip
+              FROM v JOIN caps ON v.g = caps.g)
+        SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN clip = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_lo,
+          CAST(SUM(CASE WHEN clip = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hi,
+          MIN(capped) AS cap_lo, MAX(capped) AS cap_hi,
+          CAST(SUM(CAST(capped AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_capped
+        FROM x GROUP BY g ORDER BY l_returnflag""")),
+
+    // Type-1 MERGE/upsert — today's extract applied to the running
+    // table in one full-outer key join with an auditable action
+    // column: matched rows take the source version, new keys insert,
+    // unmatched targets survive. The current-state complement to the
+    // history-keeping SCD2 (q53); bucket both sides on the key at
+    // scale and the exchange disappears.
+    GateQuery(
+      "q89_merge_upsert",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val extract = base.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .unionByName(base.filter(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+        graft.operators.Merge.upsert(base, extract, Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        extract AS (
+          SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM base
+          WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, lang, n_chars FROM base
+          WHERE doc_id < 20)
+        SELECT COALESCE(b.doc_id, e.doc_id) AS doc_id,
+          CASE WHEN e.doc_id IS NOT NULL THEN e.lang ELSE b.lang END
+            AS lang,
+          CASE WHEN e.doc_id IS NOT NULL THEN e.n_chars
+               ELSE b.n_chars END AS n_chars,
+          CASE WHEN b.doc_id IS NOT NULL AND e.doc_id IS NOT NULL
+                 THEN 'updated'
+               WHEN e.doc_id IS NOT NULL THEN 'inserted'
+               ELSE 'kept' END AS action
+        FROM base b FULL OUTER JOIN extract e ON b.doc_id = e.doc_id
+        ORDER BY doc_id"""))
   )
 }

@@ -107,4 +107,44 @@ class CdfTransformSpec extends SparkSpec {
     rows(2L) shouldBe 1L // midrank2 = 3 of 4: 3*2 div 4 = 1 (clamped path)
     rows(3L) shouldBe -1L // NULL value -> NULL bin
   }
+
+  // ---- winsorization ----
+
+  "winsorize" should "clamp tails to the exact order-statistic caps" in {
+    // 1..100: p10 cap = 10th smallest = 10, p90 = ceil(90) = 90
+    val vals = (1 to 100).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    val out = CdfTransform.winsorize(vals, "v", 0.10, 0.90)
+      .collect().map(r => r.getAs[Double]("v") ->
+        (r.getAs[Double]("v_capped"), r.getAs[Int]("clipped"))).toMap
+    out(5.0) shouldBe ((10.0, -1))
+    out(10.0) shouldBe ((10.0, 0)) // at the cap: untouched
+    out(50.0) shouldBe ((50.0, 0))
+    out(95.0) shouldBe ((90.0, 1))
+  }
+
+  it should "cap per group independently and pass NULLs through" in {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(100.0)),
+      ("b", Some(1000.0)), ("b", Some(2000.0)), ("b", Some(3000.0)),
+      ("a", None)).toDF("g", "v")
+    // caps at (0.2, 0.5): lo = 1st smallest, hi = ceil(n/2)-th = 2nd
+    val out = CdfTransform.winsorize(df, "v", 0.2, 0.5, Seq("g"))
+      .collect()
+    val aHi = out.filter(r => r.getString(0) == "a" && !r.isNullAt(1) &&
+      r.getDouble(1) == 100.0).head
+    aHi.getAs[Double]("v_capped") shouldBe 2.0 // a's p50 cap
+    val bLo = out.filter(r => r.getString(0) == "b" &&
+      r.getDouble(1) == 1000.0).head
+    bLo.getAs[Int]("clipped") shouldBe 0 // b's own caps, not a's
+    out.filter(_.isNullAt(1)).head.isNullAt(2) shouldBe true
+  }
+
+  it should "be invariant under repartitioning" in {
+    val vals = (1 to 200).map(v => (v.toLong, ((v * 37) % 50).toDouble))
+      .toDF("id", "v")
+    val a = CdfTransform.winsorize(vals, "v", 0.05, 0.95)
+      .orderBy("id").collect().map(_.toSeq)
+    val b = CdfTransform.winsorize(vals.repartition(9), "v", 0.05, 0.95)
+      .orderBy("id").collect().map(_.toSeq)
+    a shouldBe b
+  }
 }
