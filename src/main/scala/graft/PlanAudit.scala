@@ -39,7 +39,10 @@ object PlanAudit {
       "q75_grouping_sets", "q76_range_frame", "q77_mann_whitney",
       "q78_cuped", "q79_kcore", "q80_assoc_rules", "q81_cusum",
       "q82_quantile_bins", "t41_quantile_sketch", "t42_code_detect",
-      "q83_mutual_nn", "t43_tfidf_pairs")
+      "q83_mutual_nn", "t43_tfidf_pairs",
+      "t44_keyness", "q84_assortativity", "t45_containment",
+      "t46_prefix_jaccard", "q85_session_window", "q86_interval_union",
+      "q87_asof_nearest", "q88_winsorize", "q89_merge_upsert")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
