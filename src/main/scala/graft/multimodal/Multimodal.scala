@@ -175,6 +175,164 @@ object Multimodal {
     out
   }
 
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** Parsed MP4/ISO-BMFF movie metadata. durationMs is exact integral
+    * duration·1000 div timescale (the mvhd units contract).
+    */
+  final case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+      nTracks: Int, durationMs: Long)
+
+  /** MP4 (ISO base media): a walk of length-prefixed boxes —
+    * [size u32BE][type 4cc][payload], size 1 = 64-bit largesize
+    * follows, size 0 = to end of file. ftyp carries the major brand;
+    * moov is a container whose mvhd child holds timescale/duration
+    * (version 0: u32 fields at +12/+16 past the box header; version 1:
+    * u32 timescale at +20, u64 duration at +24) and whose trak children
+    * are counted. Boxes are located by the walk, not fixed offsets
+    * (real muxers emit free/udta/meta siblings in any order). Returns
+    * None for non-BMFF bytes, truncation, a missing ftyp/moov/mvhd, or
+    * a zero timescale (duration undefined).
+    */
+  def mp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    if (b == null || b.length < 16) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return None
+    var brand: Option[String] = None
+    var timescale = -1L
+    var duration = -1L
+    var tracks = 0
+    var sawMoov = false
+    // returns the payload (start, end) of a box header at i, or None
+    def boxAt(i: Int, limit: Int): Option[(String, Int, Int)] = {
+      if (i + 8 > limit) return None
+      val size32 = be32(b, i)
+      val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+      val (pStart, boxEnd) =
+        if (size32 == 1L) {
+          if (i + 16 > limit) return None
+          (i + 16, i + be64(b, i + 8))
+        } else if (size32 == 0L) (i + 8, limit.toLong)
+        else (i + 8, i + size32)
+      if (boxEnd < pStart || boxEnd > limit) None
+      else Some((tpe, pStart, boxEnd.toInt))
+    }
+    var i = 0
+    while (i + 8 <= b.length) {
+      boxAt(i, b.length) match {
+        case None => return None // desynced / truncated walk
+        case Some(("ftyp", p, e)) =>
+          if (p + 4 > e) return None
+          brand = Some(new String(b, p, 4, "ISO-8859-1"))
+          i = e
+        case Some(("moov", p, e)) =>
+          sawMoov = true
+          var j = p
+          while (j + 8 <= e) {
+            boxAt(j, e) match {
+              case None => return None
+              case Some(("mvhd", mp, me)) =>
+                if (mp + 4 > me) return None
+                val version = u8(b, mp)
+                if (version == 1) {
+                  if (mp + 32 > me) return None
+                  timescale = be32(b, mp + 20)
+                  duration = be64(b, mp + 24)
+                } else {
+                  if (mp + 20 > me) return None
+                  timescale = be32(b, mp + 12)
+                  duration = be32(b, mp + 16)
+                }
+                j = me
+              case Some(("trak", _, te)) =>
+                tracks += 1
+                j = te
+              case Some((_, _, oe)) => j = oe
+            }
+          }
+          i = e
+        case Some((_, _, e)) => i = e
+      }
+    }
+    (brand, sawMoov) match {
+      case (Some(br), true) if timescale > 0 && duration >= 0 =>
+        Some(Mp4Meta(br, timescale, duration, tracks,
+          duration * 1000L / timescale))
+      case _ => None
+    }
+  }
+
+  /** Build a minimal valid ISO-BMFF blob — ftyp(brand) +
+    * moov(mvhd v0 + nTracks empty trak boxes). The synthesis twin of
+    * [[mp4Meta]] (the synthWav convention): gates and specs round-trip
+    * parameters through REAL container bytes.
+    */
+  def synthMp4(brand: String, timescale: Long, duration: Long,
+      nTracks: Int): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: $brand")
+    val mvhdSize = 108 // canonical v0 mvhd
+    val moovSize = 8 + mvhdSize + 8 * nTracks
+    val out = new Array[Byte](16 + moovSize)
+    def w32(i: Int, v: Long): Unit = {
+      out(i) = ((v >> 24) & 0xff).toByte
+      out(i + 1) = ((v >> 16) & 0xff).toByte
+      out(i + 2) = ((v >> 8) & 0xff).toByte
+      out(i + 3) = (v & 0xff).toByte
+    }
+    def wType(i: Int, t: String): Unit =
+      t.getBytes("ISO-8859-1").copyToArray(out, i)
+    w32(0, 16L); wType(4, "ftyp"); wType(8, brand); w32(12, 0L)
+    w32(16, moovSize.toLong); wType(20, "moov")
+    w32(24, mvhdSize.toLong); wType(28, "mvhd")
+    // version 0 + flags already zero; creation/modification zero
+    w32(32 + 12, timescale); w32(32 + 16, duration)
+    var t = 16 + 8 + mvhdSize
+    (0 until nTracks).foreach { _ =>
+      w32(t, 8L); wType(t + 4, "trak"); t += 8
+    }
+    out
+  }
+
+  /** Video decode pass: fills (brand, timescale, duration, n_tracks,
+    * duration_ms) from REAL ISO-BMFF bytes via [[mp4Meta]]; unparseable
+    * bytes get deterministic byte-hash synthetic meta (the
+    * [[decodeDims]] convention). Batched mapPartitions, schema in/out.
+    */
+  def decodeVideoMeta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("brand", StringType),
+      StructField("timescale", LongType),
+      StructField("duration", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    df.select("asset_id", "media_type", "media")
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]]("media")
+            val m = mp4Meta(bytes).getOrElse {
+              var h = 0L
+              var i = 0
+              val n = if (bytes == null) 0 else bytes.length
+              while (i < math.min(n, 256)) {
+                h = (h * 31 + (bytes(i) & 0xff)) & 0x7fffffffL
+                i += 1
+              }
+              Mp4Meta("none", 1000L, n.toLong, 1 + (h % 3).toInt,
+                n.toLong)
+            }
+            Row(r.getLong(0), r.getString(1), m.brand, m.timescale,
+              m.duration, m.nTracks, m.durationMs)
+          }
+        }
+      }(enc)
+  }
+
   /** Count the image frames of a GIF by walking its block structure — no
     * LZW decode needed: each 0x2C image descriptor is one frame;
     * extensions (0x21) and pixel data are skipped via their length-
@@ -228,6 +386,8 @@ object Multimodal {
     else if (b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b.length >= 8 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
     else "unknown"
 
   /** Decode (width, height) from real container headers; bytes that are
@@ -280,6 +440,7 @@ object Multimodal {
     case "jpeg" => "image/jpeg"
     case "gif"  => "image/gif"
     case "wav"  => "audio/wav"
+    case "mp4"  => "video/mp4"
     case _      => "application/octet-stream"
   }
 

@@ -2925,6 +2925,40 @@ object PipelineQueries {
           |    // (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms
           |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // Video metadata through a REAL ISO-BMFF box walk — the m02 WAV
+    // convention for the third modality: synthMp4 round-trips
+    // per-document parameters through genuine container bytes
+    // (ftyp + moov(mvhd + traks)), decodeVideoMeta parses them back
+    // with the box-walking codec, and the oracle is the parameter
+    // arithmetic (duration·1000 div timescale).
+    GateQuery(
+      "m03_video_meta",
+      (s, dir) => {
+        import s.implicits._
+        val assets = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val timescale = 600L + (id % 4) * 600L
+            val duration = nc * 25L
+            val tracks = 1 + (id % 3).toInt
+            (id, graft.multimodal.Multimodal.synthMp4("isom", timescale,
+              duration, tracks), "video/mp4")
+          }
+          .toDF("asset_id", "media", "media_type")
+        graft.multimodal.Multimodal.decodeVideoMeta(assets)
+          .orderBy("asset_id")
+      },
+      Some(
+        """SELECT doc_id AS asset_id, 'video/mp4' AS media_type,
+          |  'isom' AS brand,
+          |  CAST(600 + (doc_id % 4) * 600 AS BIGINT) AS timescale,
+          |  CAST(n_chars * 25 AS BIGINT) AS duration,
+          |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+          |  CAST((CAST(n_chars AS BIGINT) * 25 * 1000)
+          |    // (600 + (doc_id % 4) * 600) AS BIGINT) AS duration_ms
+          |FROM documents ORDER BY asset_id""".stripMargin)),
+
     // NDCG@10 of the token-count ranking against n_chars-derived grades,
     // per source: the graded position-weighted eval closing the metric
     // family (AUC/AP = binary order, recall@k = set overlap). The

@@ -185,4 +185,64 @@ class MultimodalSpec extends SparkSpec {
     idx shouldBe idx.sorted
     idx.foreach(_ % 2 shouldBe 0)
   }
+
+  // ---- MP4 / ISO-BMFF ----
+
+  it should "round-trip movie parameters through real BMFF bytes" in {
+    val b = Multimodal.synthMp4("isom", timescale = 1000L,
+      duration = 48000L, nTracks = 2)
+    val m = Multimodal.mp4Meta(b).get
+    m.brand shouldBe "isom"
+    m.timescale shouldBe 1000L
+    m.duration shouldBe 48000L
+    m.nTracks shouldBe 2
+    m.durationMs shouldBe 48000L
+    Multimodal.sniffFormat(b) shouldBe "mp4"
+  }
+
+  it should "locate moov children by the walk, not fixed offsets" in {
+    // splice a free box between ftyp and moov, and a udta before mvhd
+    val base = Multimodal.synthMp4("mp42", 600L, 1234L, 1)
+    val free = Array[Byte](0, 0, 0, 12, 'f', 'r', 'e', 'e', 1, 2, 3, 4)
+    val (ftyp, moov) = base.splitAt(16)
+    val spliced = ftyp ++ free ++ moov
+    val m = Multimodal.mp4Meta(spliced).get
+    m.brand shouldBe "mp42"
+    m.timescale shouldBe 600L
+    m.nTracks shouldBe 1
+  }
+
+  it should "parse version-1 mvhd 64-bit durations" in {
+    val b = Multimodal.synthMp4("isom", 1000L, 0L, 0)
+    // rewrite the mvhd payload as version 1: v1 timescale at +20,
+    // u64 duration at +24 (payload starts at byte 32)
+    b(32) = 1
+    def w32(i: Int, v: Long): Unit = {
+      b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+      b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+    }
+    w32(32 + 20, 90000L)
+    w32(32 + 24, 1L) // duration high word
+    w32(32 + 28, 180000L) // duration low word: 2^32 + 180000
+    val m = Multimodal.mp4Meta(b).get
+    m.timescale shouldBe 90000L
+    m.duration shouldBe (1L << 32) + 180000L
+    m.durationMs shouldBe ((1L << 32) + 180000L) * 1000L / 90000L
+  }
+
+  it should "reject truncated or non-BMFF bytes" in {
+    Multimodal.mp4Meta("not a movie".getBytes) shouldBe None
+    val b = Multimodal.synthMp4("isom", 1000L, 500L, 1)
+    Multimodal.mp4Meta(b.take(40)) shouldBe None // cut inside moov
+    Multimodal.mp4Meta(Array.empty[Byte]) shouldBe None
+  }
+
+  it should "fall back deterministically for unparseable video bytes" in {
+    val junk = assets((9L, "definitely not bmff bytes".getBytes,
+      "video/mp4"))
+    val a = Multimodal.decodeVideoMeta(junk).collect().head
+    val b2 = Multimodal.decodeVideoMeta(junk).collect().head
+    a.getAs[String]("brand") shouldBe "none"
+    a.getAs[Long]("duration_ms") shouldBe b2.getAs[Long]("duration_ms")
+  }
 }
