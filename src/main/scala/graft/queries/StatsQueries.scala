@@ -909,6 +909,33 @@ object StatsQueries {
                WHEN e.doc_id IS NOT NULL THEN 'inserted'
                ELSE 'kept' END AS action
         FROM base b FULL OUTER JOIN extract e ON b.doc_id = e.doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Trailing-7-day distinct actives per day (the WAU curve) — exact
+    // sliding DISTINCT via the presence smear: each (user, day)
+    // presence row contributes to ≤ 7 report days, one explode + one
+    // distinct + one count instead of 7 re-scans per day or an HLL
+    // approximation. The reference's DAU/MAU machinery
+    // (utils.py:16,34-43) re-expressed as a single declarative pass.
+    GateQuery(
+      "q90_rolling_actives",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        graft.operators.Engagement.rollingActives(ev, "user_id", "day",
+            windowDays = 7)
+          .orderBy("day")
+      },
+      Some("""
+        WITH pres AS (SELECT DISTINCT user_id AS u,
+                epoch_us(ts) // 86400000000 AS d
+              FROM events),
+        bounds AS (SELECT MAX(d) AS d_max FROM pres),
+        sm AS (SELECT DISTINCT u, d + g.x AS day
+               FROM pres, (SELECT unnest(range(0, 7)) AS x) g)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM sm, bounds WHERE day <= d_max
+        GROUP BY day ORDER BY day"""))
   )
 }
