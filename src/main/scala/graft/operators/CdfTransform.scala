@@ -140,4 +140,45 @@ object CdfTransform {
           .otherwise(lit(0)))
       .drop("__lo", "__hi")
   }
+
+  /** Weighted quantiles — order statistics where each row carries an
+    * integral weight (quantity, tokens, bytes): "the median PRICE by
+    * traded volume" weights every unit, not every row. The unweighted
+    * percentile machinery (X17) is this with weight 1.
+    *
+    * Fully integer-exact target selection: the p-th weighted percentile
+    * is the smallest value whose cumulative weight satisfies
+    * 100·cumW ≥ p·W — an integer comparison, so there is no ⌈⌉/epsilon
+    * ambiguity for any p and both engines pick the identical value.
+    * Percentiles are integers in [0, 100].
+    *
+    * Same scale shape as the family: one map-side-combined per-value
+    * weight aggregation, one window over the compressed table, one
+    * closing aggregation. No row sort.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String,
+      weightCol: String, percentiles: Seq[Int],
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0, 100]: $percentiles")
+    val gcols = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy((gcols :+ col(valueCol)): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w0 = if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(gcols: _*)
+    val ranked = counts
+      .withColumn("__cum", sum("__w").over(w0.orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum("__w").over(w0
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qcols = percentiles.map(p =>
+      min(when(col("__cum") * 100L >= lit(p.toLong) * col("__tot"),
+        col(valueCol))).as(s"p$p"))
+    ranked.groupBy(gcols: _*)
+      .agg(max("__tot").as("w_total"), qcols: _*)
+  }
 }

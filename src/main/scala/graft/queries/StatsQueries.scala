@@ -652,6 +652,7 @@ object StatsQueries {
             (col("l_partkey") + 1000000L).as("dst"))
           .distinct()
         graft.graph.Assortativity.degreeCorrelation(edges, "src", "dst")
+          .orderBy("m2")
       },
       Some("""
         WITH e0 AS (SELECT DISTINCT o_custkey AS s,
@@ -677,7 +678,7 @@ object StatsQueries {
                   / (CAST(m2 AS DOUBLE) * CAST(sum_xx AS DOUBLE)
                      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
           END AS assortativity
-        FROM m""")),
+        FROM m ORDER BY m2""")),
 
     // Spark's NATIVE session_window in batch — the declarative twin of
     // the q31/d22 state-machine sessionization: windows merge while
@@ -936,6 +937,39 @@ object StatsQueries {
                FROM pres, (SELECT unnest(range(0, 7)) AS x) g)
         SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active
         FROM sm, bounds WHERE day <= d_max
-        GROUP BY day ORDER BY day"""))
+        GROUP BY day ORDER BY day""")),
+
+    // Volume-weighted price quantiles per return flag — order
+    // statistics where every unit of quantity votes, selected by the
+    // PURE-INTEGER rule 100·cumW ≥ p·W (no ceil/epsilon ambiguity, so
+    // both engines pick the identical value for any percentile).
+    GateQuery(
+      "q91_weighted_quantiles",
+      (s, dir) =>
+        graft.operators.CdfTransform.weightedQuantiles(
+            t(s, dir, "lineitem")
+              .select(col("l_returnflag"),
+                col("l_extendedprice").cast("double").as("price"),
+                col("l_quantity").cast("long").as("qty")),
+            "price", "qty", Seq(25, 50, 75, 90), Seq("l_returnflag"))
+          .orderBy("l_returnflag"),
+      Some("""
+        WITH c AS (SELECT l_returnflag AS g,
+                CAST(l_extendedprice AS DOUBLE) AS v,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+              GROUP BY 1, 2),
+        r AS (SELECT g, v, w,
+                SUM(w) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(w) OVER (PARTITION BY g) AS tot
+              FROM c)
+        SELECT g AS l_returnflag, CAST(MAX(tot) AS BIGINT) AS w_total,
+          MIN(CASE WHEN cum * 100 >= 25 * tot THEN v END) AS p25,
+          MIN(CASE WHEN cum * 100 >= 50 * tot THEN v END) AS p50,
+          MIN(CASE WHEN cum * 100 >= 75 * tot THEN v END) AS p75,
+          MIN(CASE WHEN cum * 100 >= 90 * tot THEN v END) AS p90
+        FROM r GROUP BY g ORDER BY l_returnflag"""))
   )
 }

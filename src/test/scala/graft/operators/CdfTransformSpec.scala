@@ -147,4 +147,46 @@ class CdfTransformSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq)
     a shouldBe b
   }
+
+  // ---- weighted quantiles ----
+
+  "weightedQuantiles" should "weight every unit, not every row" in {
+    // values 1 (w 9), 10 (w 1): median by weight = 1, p95 = 10
+    val df = Seq((1.0, 9L), (10.0, 1L)).toDF("v", "w")
+    val r = CdfTransform.weightedQuantiles(df, "v", "w", Seq(50, 95))
+      .collect().head
+    r.getLong(0) shouldBe 10L // w_total
+    r.getDouble(1) shouldBe 1.0 // p50
+    r.getDouble(2) shouldBe 10.0 // p95
+  }
+
+  it should "reduce to plain order statistics at weight 1" in {
+    val df = (1 to 100).map(v => (v.toDouble, 1L)).toDF("v", "w")
+    val r = CdfTransform.weightedQuantiles(df, "v", "w", Seq(25, 50, 100))
+      .collect().head
+    r.getDouble(1) shouldBe 25.0
+    r.getDouble(2) shouldBe 50.0
+    r.getDouble(3) shouldBe 100.0
+  }
+
+  it should "scope groups and drop non-positive weights" in {
+    val df = Seq(("a", 1.0, 5L), ("a", 2.0, 5L), ("b", 7.0, 1L),
+      ("a", 99.0, 0L), ("a", 98.0, -3L)).toDF("g", "v", "w")
+    val m = CdfTransform.weightedQuantiles(df, "v", "w", Seq(50),
+        Seq("g")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    m("a") shouldBe ((10L, 1.0)) // 50% of weight reached at v=1
+    m("b") shouldBe ((1L, 7.0))
+  }
+
+  it should "be invariant under repartitioning" in {
+    val rows = (1 to 300).map(i => (((i * 13) % 40).toDouble,
+      (i % 7 + 1).toLong))
+    val a = CdfTransform.weightedQuantiles(rows.toDF("v", "w"), "v",
+      "w", Seq(10, 50, 90)).collect().head.toSeq
+    val b = CdfTransform.weightedQuantiles(
+      rows.toDF("v", "w").repartition(11), "v", "w",
+      Seq(10, 50, 90)).collect().head.toSeq
+    a shouldBe b
+  }
 }
