@@ -42,7 +42,8 @@ object PlanAudit {
       "q83_mutual_nn", "t43_tfidf_pairs",
       "t44_keyness", "q84_assortativity", "t45_containment",
       "t46_prefix_jaccard", "q85_session_window", "q86_interval_union",
-      "q87_asof_nearest", "q88_winsorize", "q89_merge_upsert")
+      "q87_asof_nearest", "q88_winsorize", "q89_merge_upsert",
+      "m03_video_meta", "q90_rolling_actives", "q91_weighted_quantiles")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
