@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CUSUM changepoint scan per key — Page's cumulative-sum statistic
@@ -81,5 +82,126 @@ object Changepoint {
         when(col("__r.spmax") > 0L, col("__r.spo")).as("pos_at"),
         (col("__r.snmax").cast("double") / norm).as("s_neg_max"),
         when(col("__r.snmax") > 0L, col("__r.sno")).as("neg_at"))
+  }
+
+  /** Fixed-target CUSUM — Page's original monitoring form: deviations
+    * measured against a GIVEN reference mean μ₀ (from a baseline
+    * period), not the series' own mean. This is the variant an
+    * incremental pipeline can actually run: [[cusum]] needs the whole
+    * series before any deviation is defined; against a fixed target
+    * the fold is causal, so it CHUNKS with a carried state
+    * ([[cusumFixedChunked]]) exactly as Ewma.latestChunked carries its
+    * level — the daily-ingest shape.
+    *
+    * Same exact-integer discipline (micro-quantized values and target,
+    * pure long fold, FIRST-argmax ties); output columns as [[cusum]]
+    * minus the series mean (the target is the caller's).
+    */
+  def cusumFixed(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, targetMean: Double,
+      slack: Double = 0.0): DataFrame = {
+    require(slack >= 0.0, s"slack must be >= 0, got $slack")
+    val tm = math.floor(targetMean * 1000000.0 + 0.5).toLong
+    val slackMicro = math.floor(slack * 1000000.0 + 0.5).toLong
+    val vMicro = floor(col(valueCol).cast("double") * lit(1000000.0) +
+      lit(0.5)).cast("long")
+    val sorted = array_sort(
+      collect_list(struct(col(ordCol).as("o"), vMicro.as("v"))))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sorted.as("__s"))
+      .withColumn("__r",
+        aggregate(col("__s"), FixedZero,
+          fixedStep(tm, slackMicro)))
+      .select(col(keyCol), size(col("__s")).cast("long").as("n_points"),
+        (col("__r.spmax").cast("double") / lit(1.0e6)).as("s_pos_max"),
+        when(col("__r.spmax") > 0L, col("__r.spo")).as("pos_at"),
+        (col("__r.snmax").cast("double") / lit(1.0e6)).as("s_neg_max"),
+        when(col("__r.snmax") > 0L, col("__r.sno")).as("neg_at"))
+  }
+
+  private def FixedZero: Column =
+    struct(lit(0L).as("sp"), lit(0L).as("spmax"),
+      lit(null).cast("long").as("spo"), lit(0L).as("sn"),
+      lit(0L).as("snmax"), lit(null).cast("long").as("sno"))
+
+  private def fixedStep(tm: Long, slackMicro: Long)
+      : (Column, Column) => Column = (acc, x) => {
+    val sp = greatest(lit(0L),
+      acc.getField("sp") + (x.getField("v") - lit(tm) - lit(slackMicro)))
+    val sn = greatest(lit(0L),
+      acc.getField("sn") + (lit(tm) - x.getField("v") - lit(slackMicro)))
+    struct(
+      sp.as("sp"),
+      greatest(acc.getField("spmax"), sp).as("spmax"),
+      when(sp > acc.getField("spmax"), x.getField("o"))
+        .otherwise(acc.getField("spo")).as("spo"),
+      sn.as("sn"),
+      greatest(acc.getField("snmax"), sn).as("snmax"),
+      when(sn > acc.getField("snmax"), x.getField("o"))
+        .otherwise(acc.getField("sno")).as("sno"))
+  }
+
+  /** Chunked fixed-target CUSUM: per-key ordered chunks folded with the
+    * carried (sp, spmax, spo, sn, snmax, sno) state — bit-identical to
+    * [[cusumFixed]] by construction (the fold is a left fold; chunking
+    * only re-associates the iteration, never the arithmetic). Bounds
+    * the per-key aggregation buffer to `chunkSize` for unbounded
+    * series; the daily-ingest entry point.
+    */
+  def cusumFixedChunked(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String, targetMean: Double, slack: Double = 0.0,
+      chunkSize: Int = 65536): DataFrame = {
+    require(chunkSize >= 2, s"chunkSize must be at least 2: $chunkSize")
+    import org.apache.spark.storage.StorageLevel
+    val tm = math.floor(targetMean * 1000000.0 + 0.5).toLong
+    val slackMicro = math.floor(slack * 1000000.0 + 0.5).toLong
+    val w = Window.partitionBy("__k").orderBy("__o")
+    val vMicro = floor(col(valueCol).cast("double") * lit(1000000.0) +
+      lit(0.5)).cast("long")
+    val chunked = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(ordCol).as("__o"),
+        vMicro.as("__v"))
+      .withColumn("__chunk",
+        ((row_number().over(w) - 1) / chunkSize).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxChunk = chunked.agg(max("__chunk")).head().get(0)
+      if (maxChunk == null)
+        return chunked.select(col("__k").as(keyCol),
+          lit(0L).as("n_points"), lit(0.0).as("s_pos_max"),
+          lit(null).cast("long").as("pos_at"),
+          lit(0.0).as("s_neg_max"),
+          lit(null).cast("long").as("neg_at")).limit(0)
+          .localCheckpoint(true)
+      val sorted = array_sort(
+        collect_list(struct(col("__o").as("o"), col("__v").as("v"))))
+      var state: DataFrame = null // (__k, n_points, __r)
+      (0 to maxChunk.asInstanceOf[Int]).foreach { c =>
+        val grouped = chunked.filter(col("__chunk") === c)
+          .groupBy(col("__k")).agg(sorted.as("__s"))
+        val next =
+          if (c == 0)
+            grouped.select(col("__k"),
+              size(col("__s")).cast("long").as("n_points"),
+              aggregate(col("__s"), FixedZero,
+                fixedStep(tm, slackMicro)).as("__r"))
+          else
+            state.join(grouped, Seq("__k"), "left")
+              .select(col("__k"),
+                (col("n_points") +
+                  coalesce(size(col("__s")), lit(0)).cast("long"))
+                  .as("n_points"),
+                when(col("__s").isNull, col("__r"))
+                  .otherwise(aggregate(col("__s"), col("__r"),
+                    fixedStep(tm, slackMicro))).as("__r"))
+        state = next.localCheckpoint(true)
+      }
+      state.select(col("__k").as(keyCol), col("n_points"),
+        (col("__r.spmax").cast("double") / lit(1.0e6)).as("s_pos_max"),
+        when(col("__r.spmax") > 0L, col("__r.spo")).as("pos_at"),
+        (col("__r.snmax").cast("double") / lit(1.0e6)).as("s_neg_max"),
+        when(col("__r.snmax") > 0L, col("__r.sno")).as("neg_at"))
+    } finally chunked.unpersist(false)
   }
 }

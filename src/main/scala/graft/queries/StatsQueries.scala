@@ -970,6 +970,135 @@ object StatsQueries {
           MIN(CASE WHEN cum * 100 >= 50 * tot THEN v END) AS p50,
           MIN(CASE WHEN cum * 100 >= 75 * tot THEN v END) AS p75,
           MIN(CASE WHEN cum * 100 >= 90 * tot THEN v END) AS p90
-        FROM r GROUP BY g ORDER BY l_returnflag"""))
+        FROM r GROUP BY g ORDER BY l_returnflag""")),
+
+    // Fixed-target CUSUM through the CHUNKED fold (chunkSize 7 forces
+    // several carried-state hops over the 30-day series) — gating the
+    // carry logic end-to-end: the left fold re-associates over chunks
+    // without touching the arithmetic, so the oracle is the UNCHUNKED
+    // fold (the q49/q42 chunked-EWMA convention). Target mean is a
+    // fixed baseline literal, the causal monitoring form a daily
+    // ingest can actually run.
+    GateQuery(
+      "q92_cusum_fixed",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("n_events"))
+        graft.operators.Changepoint.cusumFixedChunked(daily,
+            "event_type", "day", "n_events", targetMean = 66.0,
+            chunkSize = 7)
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) * 1000000 AS vm
+              FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type,
+                list(struct_pack(o := day, v := vm) ORDER BY day) AS l,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM daily GROUP BY 1),
+        f AS (SELECT event_type, n,
+            list_reduce(
+              list_prepend(
+                [CAST(NULL AS BIGINT), NULL, 0, 0, NULL, 0, 0, NULL],
+                list_transform(l, e -> [e.o, e.v, NULL, NULL, NULL,
+                                        NULL, NULL, NULL])),
+              (acc, x) -> [
+                NULL, NULL,
+                greatest(0, acc[3] + (x[2] - 66000000)),
+                greatest(acc[4], greatest(0, acc[3] + (x[2] - 66000000))),
+                CASE WHEN greatest(0, acc[3] + (x[2] - 66000000)) > acc[4]
+                     THEN x[1] ELSE acc[5] END,
+                greatest(0, acc[6] + (66000000 - x[2])),
+                greatest(acc[7], greatest(0, acc[6] + (66000000 - x[2]))),
+                CASE WHEN greatest(0, acc[6] + (66000000 - x[2])) > acc[7]
+                     THEN x[1] ELSE acc[8] END]) AS r
+          FROM g)
+        SELECT event_type, n AS n_points,
+          CAST(r[4] AS DOUBLE) / 1000000.0 AS s_pos_max,
+          CASE WHEN r[4] > 0 THEN r[5] END AS pos_at,
+          CAST(r[7] AS DOUBLE) / 1000000.0 AS s_neg_max,
+          CASE WHEN r[7] > 0 THEN r[8] END AS neg_at
+        FROM f ORDER BY event_type""")),
+
+    // Analytic-window surface suite: lag/lead, nth_value over the full
+    // frame, dense_rank, and cume_dist in ONE window pass with a
+    // unique (price, key) tie-break so every function is
+    // deterministic. Completes the W-family coverage with the
+    // less-travelled analytic functions.
+    GateQuery(
+      "q93_window_suite",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            col("o_totalprice").cast("double").as("price"))
+        val byPk = Window.partitionBy("status")
+          .orderBy(col("price"), col("o_orderkey"))
+        val full = byPk.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val byPrice = Window.partitionBy("status").orderBy(col("price"))
+        o.select(col("o_orderkey"), col("status"), col("price"),
+            lag("price", 1).over(byPk).as("prev_price"),
+            lead("price", 1).over(byPk).as("next_price"),
+            nth_value(col("price"), 3).over(full).as("third_lowest"),
+            dense_rank().over(byPrice).as("price_dense_rank"),
+            cume_dist().over(byPrice).as("price_cume_dist"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_orderstatus AS status,
+                CAST(o_totalprice AS DOUBLE) AS price
+              FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT o_orderkey, status, price,
+          lag(price, 1) OVER wk AS prev_price,
+          lead(price, 1) OVER wk AS next_price,
+          nth_value(price, 3) OVER (PARTITION BY status
+            ORDER BY price, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+            AND UNBOUNDED FOLLOWING) AS third_lowest,
+          CAST(dense_rank() OVER wp AS INT) AS price_dense_rank,
+          cume_dist() OVER wp AS price_cume_dist
+        FROM o
+        WINDOW wk AS (PARTITION BY status ORDER BY price, o_orderkey),
+               wp AS (PARTITION BY status ORDER BY price)
+        ORDER BY o_orderkey""")),
+
+    // Multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicity (min / truncated difference of counts),
+    // which the q27 DISTINCT variants erase; the gate compares the
+    // resulting multisets as grouped counts.
+    GateQuery(
+      "q94_setops_all",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_quantity").cast("long").as("qty"))
+        val a = li.filter(col("qty") % 2 === 0)
+        val b = li.filter(col("qty") % 3 === 0)
+        val ia = a.intersectAll(b).groupBy("flag", "qty")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        val ea = a.exceptAll(b).groupBy("flag", "qty")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+        ia.unionByName(ea).orderBy("op", "flag", "qty")
+      },
+      Some("""
+        WITH a AS (SELECT l_returnflag AS flag,
+                CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem WHERE CAST(l_quantity AS BIGINT) % 2 = 0),
+        b AS (SELECT l_returnflag AS flag,
+                CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem WHERE CAST(l_quantity AS BIGINT) % 3 = 0),
+        ia AS (SELECT flag, qty FROM a INTERSECT ALL
+               SELECT flag, qty FROM b),
+        ea AS (SELECT flag, qty FROM a EXCEPT ALL
+               SELECT flag, qty FROM b),
+        u AS (SELECT flag, qty, CAST(COUNT(*) AS BIGINT) AS n,
+                'intersect' AS op FROM ia GROUP BY 1, 2
+              UNION ALL
+              SELECT flag, qty, CAST(COUNT(*) AS BIGINT) AS n,
+                'except' AS op FROM ea GROUP BY 1, 2)
+        SELECT flag, qty, n, op FROM u ORDER BY op, flag, qty"""))
   )
 }

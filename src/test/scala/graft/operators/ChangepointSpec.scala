@@ -70,4 +70,39 @@ class ChangepointSpec extends SparkSpec {
     m("a") shouldBe 2.0 +- 1e-12
     m("b") shouldBe 0.0
   }
+
+  // ---- fixed-target + chunked ----
+
+  "cusumFixed" should "ramp against the given baseline mean" in {
+    val df = Seq(("k", 1L, 5.0), ("k", 2L, 5.0), ("k", 3L, 8.0),
+      ("k", 4L, 8.0)).toDF("key", "o", "v")
+    val r = Changepoint.cusumFixed(df, "key", "o", "v",
+      targetMean = 5.0).collect().head
+    r.getDouble(2) shouldBe 6.0 +- 1e-12 // (8-5)*2
+    r.getLong(3) shouldBe 4L
+    r.getDouble(4) shouldBe 0.0
+  }
+
+  "cusumFixedChunked" should "be bit-identical to the unchunked fold " +
+      "at every chunk size" in {
+    val rows = (1 to 60).map(i =>
+      (s"k${i % 3}", i.toLong, ((i * 13) % 11).toDouble))
+    val df = rows.toDF("key", "o", "v")
+    val whole = Changepoint.cusumFixed(df, "key", "o", "v", 5.0, 1.0)
+      .orderBy("key").collect().map(_.toSeq)
+    for (cs <- Seq(2, 7, 64)) {
+      val chunked = Changepoint.cusumFixedChunked(
+          df.repartition(5), "key", "o", "v", 5.0, 1.0, chunkSize = cs)
+        .orderBy("key").collect().map(_.toSeq)
+      chunked shouldBe whole
+    }
+  }
+
+  it should "return an empty typed frame on empty input" in {
+    val df = Seq.empty[(String, Long, Double)].toDF("key", "o", "v")
+    val out = Changepoint.cusumFixedChunked(df, "key", "o", "v", 1.0)
+    out.count() shouldBe 0L
+    out.columns shouldBe Array("key", "n_points", "s_pos_max", "pos_at",
+      "s_neg_max", "neg_at")
+  }
 }
