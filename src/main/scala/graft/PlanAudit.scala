@@ -43,7 +43,8 @@ object PlanAudit {
       "t44_keyness", "q84_assortativity", "t45_containment",
       "t46_prefix_jaccard", "q85_session_window", "q86_interval_union",
       "q87_asof_nearest", "q88_winsorize", "q89_merge_upsert",
-      "m03_video_meta", "q90_rolling_actives", "q91_weighted_quantiles")
+      "m03_video_meta", "q90_rolling_actives", "q91_weighted_quantiles",
+      "q92_cusum_fixed", "q93_window_suite", "q94_setops_all")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

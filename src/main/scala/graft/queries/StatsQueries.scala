@@ -1099,6 +1099,97 @@ object StatsQueries {
               UNION ALL
               SELECT flag, qty, CAST(COUNT(*) AS BIGINT) AS n,
                 'except' AS op FROM ea GROUP BY 1, 2)
-        SELECT flag, qty, n, op FROM u ORDER BY op, flag, qty"""))
+        SELECT flag, qty, n, op FROM u ORDER BY op, flag, qty""")),
+
+    // 1-D Wasserstein distance between the A- and R-flag quantity
+    // distributions — the drift measure that charges TRANSPORT
+    // distance where PSI/JS treat bins as unordered symbols. Exact
+    // integer numerator (|cumA·WB − cumB·WA|·gap summed over the
+    // merged value axis), one double division at the end.
+    GateQuery(
+      "q95_wasserstein",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        graft.text.Divergence.wasserstein1(
+            li.filter(col("l_returnflag") === "A")
+              .select(col("l_quantity").as("v")),
+            li.filter(col("l_returnflag") === "R")
+              .select(col("l_quantity").as("v")),
+            "v")
+          .orderBy("n_values")
+      },
+      Some("""
+        WITH ca AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                CAST(COUNT(*) AS BIGINT) AS ca
+              FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        cb AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                CAST(COUNT(*) AS BIGINT) AS cb
+              FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        m AS (SELECT COALESCE(ca.v, cb.v) AS v,
+                COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        st AS (SELECT v, ca, cb,
+                SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cuma,
+                SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cumb,
+                SUM(ca) OVER () AS wa, SUM(cb) OVER () AS wb,
+                COALESCE(lead(v, 1) OVER (ORDER BY v) - v, 0) AS gap
+              FROM m)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+          CAST(MAX(wa) AS BIGINT) AS wa, CAST(MAX(wb) AS BIGINT) AS wb,
+          CAST(SUM(abs(cuma * wb - cumb * wa) * gap) AS BIGINT)
+            AS emd_num,
+          CASE WHEN MAX(wa) > 0 AND MAX(wb) > 0
+               THEN CAST(SUM(abs(cuma * wb - cumb * wa) * gap)
+                      AS DOUBLE)
+                  / (CAST(MAX(wa) AS DOUBLE) * CAST(MAX(wb) AS DOUBLE))
+          END AS emd
+        FROM st ORDER BY n_values""")),
+
+    // Embedding centroid drift per label between two snapshots
+    // (vec_id parity): the vector-space drift leg — cosine between
+    // snapshot mean embeddings from milli-quantized exact-integer
+    // moments (cosine of sums = cosine of means).
+    GateQuery(
+      "d28_centroid_drift",
+      (s, dir) =>
+        graft.similarity.EmbeddingDrift.centroidCosine(
+            t(s, dir, "embeddings")
+              .withColumn("snap_a", col("vec_id") % 2 === 0),
+            "label", "snap_a", "embedding")
+          .orderBy("label"),
+      Some("""
+        WITH raw AS (SELECT label, vec_id,
+                generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding) AS comp
+              FROM embeddings WHERE embedding IS NOT NULL),
+        cells AS (SELECT label, vec_id % 2 = 0 AS a, dim,
+                CAST(floor(CAST(comp AS DOUBLE) * 1000.0 + 0.5)
+                  AS BIGINT) AS m
+              FROM raw),
+        perdim AS (SELECT label, dim,
+                CAST(SUM(CASE WHEN a THEN m ELSE 0 END) AS BIGINT)
+                  AS sa,
+                CAST(SUM(CASE WHEN a THEN 0 ELSE m END) AS BIGINT)
+                  AS sb
+              FROM cells GROUP BY 1, 2),
+        mom AS (SELECT label, CAST(SUM(sa*sb) AS BIGINT) AS dot,
+                CAST(SUM(sa*sa) AS BIGINT) AS norm2_a,
+                CAST(SUM(sb*sb) AS BIGINT) AS norm2_b
+              FROM perdim GROUP BY 1),
+        cnt AS (SELECT label,
+                CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_b
+              FROM embeddings WHERE embedding IS NOT NULL GROUP BY 1)
+        SELECT c.label, n_a, n_b, dot, norm2_a, norm2_b,
+          CASE WHEN norm2_a > 0 AND norm2_b > 0
+               THEN CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(norm2_a AS DOUBLE))
+                     * sqrt(CAST(norm2_b AS DOUBLE))) END
+            AS centroid_cos
+        FROM cnt c JOIN mom USING (label) ORDER BY label"""))
   )
 }

@@ -128,4 +128,51 @@ class DivergenceSpec extends SparkSpec {
     seen(0L) shouldBe 0.0 +- 1e-6
     seen(1L) shouldBe math.log(2.0) +- 1e-6
   }
+
+  // ---- 1-D Wasserstein ----
+
+  "wasserstein1" should "match the hand-computed transport distance" in {
+    import spark.implicits._
+    // A = {0,0}, B = {2,2}: all mass moves distance 2 -> W1 = 2
+    val a = Seq(0L, 0L).toDF("v")
+    val b = Seq(2L, 2L).toDF("v")
+    val r = graft.text.Divergence.wasserstein1(a, b, "v").collect().head
+    r.getLong(3) shouldBe 8L // |cumA*WB - cumB*WA|*gap = |4-0|*2 at v=0
+    r.getDouble(4) shouldBe 2.0 +- 1e-12
+  }
+
+  it should "be zero for identical distributions and metric-aware" in {
+    import spark.implicits._
+    val base = Seq(1L, 2L, 3L).toDF("v")
+    graft.text.Divergence.wasserstein1(base, base, "v")
+      .collect().head.getDouble(4) shouldBe 0.0
+    // near shift costs less than far shift (PSI/JS cannot tell)
+    val near = graft.text.Divergence.wasserstein1(
+      Seq(10L).toDF("v"), Seq(11L).toDF("v"), "v")
+      .collect().head.getDouble(4)
+    val far = graft.text.Divergence.wasserstein1(
+      Seq(10L).toDF("v"), Seq(50L).toDF("v"), "v")
+      .collect().head.getDouble(4)
+    near shouldBe 1.0 +- 1e-12
+    far shouldBe 40.0 +- 1e-12
+  }
+
+  it should "handle unequal sample sizes via the CDF normalization" in {
+    import spark.implicits._
+    // A = {0}, B = {0,0,1}: F_a = [1, 1], F_b = [2/3, 1] -> W1 = 1/3
+    val r = graft.text.Divergence.wasserstein1(
+      Seq(0L).toDF("v"), Seq(0L, 0L, 1L).toDF("v"), "v").collect().head
+    r.getDouble(4) shouldBe 1.0 / 3.0 +- 1e-12
+  }
+
+  it should "be invariant under repartitioning" in {
+    import spark.implicits._
+    val a = (1 to 200).map(i => ((i * 13) % 17).toLong).toDF("v")
+    val b = (1 to 150).map(i => ((i * 7) % 23).toLong).toDF("v")
+    val x = graft.text.Divergence.wasserstein1(a, b, "v")
+      .collect().head.toSeq
+    val y = graft.text.Divergence.wasserstein1(
+      a.repartition(7), b.repartition(5), "v").collect().head.toSeq
+    x shouldBe y
+  }
 }
