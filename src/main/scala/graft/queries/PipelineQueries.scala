@@ -160,18 +160,28 @@ object PipelineQueries {
     * which is lossless by construction, so the two gates MUST share the
     * oracle or a drift between hand-kept copies would break the claim.
     */
-  private val ivfQuantizedOracle: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private val ivfQuantizedOracle: String = ivfQuantizedOracleFor(
+    corpusWhere = "1=1", queryWhere = "vec_id < 10", k = 5)
+
+  /** Parameterized d11/d16/d29 oracle: IVF probe → int8 quantize →
+    * exact integer rerank, replayed stage by stage. `corpusWhere`
+    * filters the ASSIGNED corpus (post-filter semantics: centroids and
+    * assignment always come from the full corpus — the filtered search
+    * contract); `queryWhere` selects the probe rows.
+    */
+  private def ivfQuantizedOracleFor(corpusWhere: String,
+      queryWhere: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
       |                v AS cv, list_dot_product(v, v) AS cnorm
       |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
       |               FROM e ORDER BY hk, vec_id LIMIT 8)),
       |asn AS (SELECT vec_id, v, cid FROM (
-      |          SELECT e.vec_id, e.v, cent.cid,
+      |          SELECT e.vec_id, e.label, e.v, cent.cid,
       |                 row_number() OVER (PARTITION BY e.vec_id
       |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
       |                            cent.cid) AS rn
-      |          FROM e, cent) WHERE rn = 1),
+      |          FROM e, cent) WHERE rn = 1 AND ($corpusWhere)),
       |qz AS (SELECT vec_id, cid,
       |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
       |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
@@ -187,7 +197,7 @@ object PipelineQueries {
       |                 row_number() OVER (PARTITION BY q.vec_id
       |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
       |                            cent.cid) AS rn
-      |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+      |          FROM (SELECT * FROM e WHERE $queryWhere) q, cent) WHERE rn <= 2),
       |sc AS (SELECT prb.qid, a.vec_id AS nid,
       |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
       |       FROM prb JOIN n a ON prb.cid = a.cid
@@ -196,7 +206,7 @@ object PipelineQueries {
       |r AS (SELECT qid, nid,
       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
       |      FROM sc)
-      |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+      |SELECT qid, rnk, nid FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
   /** Fixed probe query for the t06 BM25 gate (distinct lowercase tokens). */
   val Bm25QueryTerms: Seq[String] =
@@ -380,6 +390,33 @@ object PipelineQueries {
           .orderBy("qid", "rnk")
       },
       Some(ivfQuantizedOracle)),
+
+    // FILTERED vector search — the tenant/attribute-constrained ANN
+    // every vector store ships: centroids and cell assignment come
+    // from the FULL corpus (the index is shared), the label predicate
+    // filters the assigned corpus before quantization/scoring
+    // (post-filter semantics), queries are the label's own vectors.
+    // Pure composition of the audited d11 pieces; the oracle is the
+    // parameterized d11 replay with the same predicate.
+    GateQuery(
+      "d29_ann_filtered",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e.select(col("vec_id"), col("embedding"), col("label")),
+          "vec_id", "embedding", model)
+        graft.similarity.Quantize.ivfTopK(
+            assigned.filter(col("label") === 3),
+            e.filter(col("label") === 3 && col("vec_id") < 100),
+            "vec_id", "embedding", model, k = 3, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracleFor(
+        corpusWhere = "label = 3",
+        queryWhere = "label = 3 AND vec_id < 100", k = 3))),
 
     // MinHash + banded LSH near-dup detection, LSH candidates verified by
     // exact shingle Jaccard — finds the corpus's planted near-dup pairs.

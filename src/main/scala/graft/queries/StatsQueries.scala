@@ -1190,6 +1190,62 @@ object StatsQueries {
                   / (sqrt(CAST(norm2_a AS DOUBLE))
                      * sqrt(CAST(norm2_b AS DOUBLE))) END
             AS centroid_cos
-        FROM cnt c JOIN mom USING (label) ORDER BY label"""))
+        FROM cnt c JOIN mom USING (label) ORDER BY label""")),
+
+    // Wald's SPRT over each variant's purchase stream — the
+    // always-valid sequential A/B readout (a fixed-horizon test peeked
+    // daily is invalid; the LLR walk with Wald boundaries is designed
+    // to be read after every observation). Bernoulli LLR is linear in
+    // the conversion count, so the walk is ONE running-sum window and
+    // crossing detection pure integer comparison; the micro-nat
+    // constants are shared verbatim with the oracle (the Benford
+    // convention).
+    GateQuery(
+      "q96_sprt",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select((col("user_id") % 2).as("variant"), col("event_id"),
+            (col("event_type") === "purchase").cast("int").as("converted"))
+        graft.operators.Sprt.bernoulli(ev, "variant", "event_id",
+            "converted", p0 = 0.10, p1 = 0.15)
+          .orderBy("variant")
+      },
+      Some {
+        val a = graft.operators.Sprt.llrA(0.10, 0.15)
+        val b = graft.operators.Sprt.llrB(0.10, 0.15)
+        val up = graft.operators.Sprt.upperBound(0.05, 0.05)
+        val lo = graft.operators.Sprt.lowerBound(0.05, 0.05)
+        s"""WITH ev AS (SELECT user_id % 2 AS variant, event_id,
+           |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           |          AS x
+           |      FROM events),
+           |w AS (SELECT variant, event_id,
+           |        ROW_NUMBER() OVER (PARTITION BY variant
+           |          ORDER BY event_id) AS k,
+           |        SUM(x) OVER (PARTITION BY variant ORDER BY event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS conv
+           |      FROM ev),
+           |l AS (SELECT variant, event_id, k, conv,
+           |        $a * conv + ($b) * (k - conv) AS llr FROM w),
+           |ag AS (SELECT variant, CAST(MAX(k) AS BIGINT) AS n_obs,
+           |         CAST(MAX(conv) AS BIGINT) AS n_conv,
+           |         CAST(max_by(llr, k) AS BIGINT) AS llr_final_micro,
+           |         MIN(CASE WHEN llr >= $up THEN event_id END)
+           |           AS up_at,
+           |         MIN(CASE WHEN llr <= $lo THEN event_id END)
+           |           AS lo_at
+           |       FROM l GROUP BY 1)
+           |SELECT variant, n_obs, n_conv, llr_final_micro,
+           |  CASE WHEN up_at IS NOT NULL
+           |         AND (lo_at IS NULL OR up_at <= lo_at)
+           |       THEN 'accept_h1'
+           |       WHEN lo_at IS NOT NULL THEN 'accept_h0'
+           |       ELSE 'continue' END AS decision,
+           |  CASE WHEN up_at IS NOT NULL
+           |         AND (lo_at IS NULL OR up_at <= lo_at)
+           |       THEN up_at ELSE lo_at END AS decided_at
+           |FROM ag ORDER BY variant""".stripMargin
+      })
   )
 }
