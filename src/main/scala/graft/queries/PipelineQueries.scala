@@ -2145,6 +2145,87 @@ object PipelineQueries {
         FROM agg, wm WHERE end_us <= wm_us
         ORDER BY user_id, start_us""")),
 
+    // Decile gains/lift of the NB classifier's confidence — the
+    // model-quality readout a targeting pipeline runs before spending
+    // budget: rank by score, cut into confidence deciles (the X108
+    // tie-stable integer bins, no sort), and report per-decile response
+    // rate, cumulative capture, and lift over the base rate. Response =
+    // the prediction being CORRECT, so the curve measures whether
+    // confidence ranks correctness. Exact integer counts; rates/lift
+    // fixed IEEE shapes; rides the shared NB replay like t26/q59.
+    GateQuery(
+      "q97_decile_lift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pred = graft.text.NbClassifier.trainScore(docs,
+          "doc_id", "lang", "text", numBuckets = 1024)
+        val scored = pred
+          .join(docs.select(col("doc_id"), col("lang").as("gold")),
+            "doc_id")
+          .withColumn("resp",
+            (col("pred") === col("gold")).cast("long"))
+        val binned = graft.operators.CdfTransform.quantileBins(
+          scored, "score_lw", 10)
+        val per = binned.groupBy(col("bin").as("decile"))
+          .agg(count(lit(1)).as("n"), sum("resp").as("responders"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("decile").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        per
+          .withColumn("cum_n", sum("n").over(w))
+          .withColumn("cum_resp", sum("responders").over(w))
+          .withColumn("tot_n", sum("n").over(tot))
+          .withColumn("tot_resp", sum("responders").over(tot))
+          .select(col("decile"), col("n"), col("responders"),
+            (col("responders").cast("double") / col("n").cast("double"))
+              .as("rate"),
+            (col("cum_resp").cast("double") /
+              col("tot_resp").cast("double")).as("cum_capture"),
+            (col("cum_resp").cast("double") * col("tot_n").cast("double") /
+              (col("cum_n").cast("double") *
+                col("tot_resp").cast("double"))).as("lift"))
+          .orderBy(col("decile").desc)
+      },
+      Some(
+        s"""WITH $nbPredCtes,
+           |pr AS (SELECT b.doc_id, b.lang AS pred, b.score_lw,
+           |         CASE WHEN b.lang = d.lang THEN 1 ELSE 0 END AS resp
+           |       FROM best b JOIN documents d USING (doc_id)
+           |       WHERE b.rn = 1),
+           |c AS (SELECT score_lw, CAST(COUNT(*) AS BIGINT) AS eq
+           |      FROM pr GROUP BY 1),
+           |wdw AS (SELECT score_lw, eq,
+           |         SUM(eq) OVER (ORDER BY score_lw ROWS BETWEEN
+           |           UNBOUNDED PRECEDING AND CURRENT ROW) - eq AS lt,
+           |         SUM(eq) OVER () AS nn
+           |       FROM c),
+           |bins AS (SELECT score_lw,
+           |           CAST(least(9, (2*lt + eq) * 10 // (2*nn))
+           |             AS BIGINT) AS decile
+           |         FROM wdw),
+           |per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           |          CAST(SUM(resp) AS BIGINT) AS responders
+           |        FROM pr JOIN bins USING (score_lw) GROUP BY 1),
+           |cums AS (SELECT decile, n, responders,
+           |           SUM(n) OVER (ORDER BY decile DESC ROWS BETWEEN
+           |             UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           |           SUM(responders) OVER (ORDER BY decile DESC
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+           |             ROW) AS cum_resp,
+           |           SUM(n) OVER () AS tot_n,
+           |           SUM(responders) OVER () AS tot_resp
+           |         FROM per)
+           |SELECT decile, n, responders,
+           |  CAST(responders AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           |  CAST(cum_resp AS DOUBLE) / CAST(tot_resp AS DOUBLE)
+           |    AS cum_capture,
+           |  CAST(cum_resp AS DOUBLE) * CAST(tot_n AS DOUBLE)
+           |    / (CAST(cum_n AS DOUBLE) * CAST(tot_resp AS DOUBLE))
+           |    AS lift
+           |FROM cums ORDER BY decile DESC""".stripMargin)),
+
     // Cohen's kappa between the NB classifier's language prediction and
     // the gold lang label — the labeling-QA gate run on every annotation
     // or auto-labeling batch. Exact integer contingency/marginals with

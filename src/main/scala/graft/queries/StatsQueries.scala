@@ -1246,6 +1246,33 @@ object StatsQueries {
            |         AND (lo_at IS NULL OR up_at <= lo_at)
            |       THEN up_at ELSE lo_at END AS decided_at
            |FROM ag ORDER BY variant""".stripMargin
-      })
+      }),
+
+    // BPE first-merge table — the pair counts tokenizer induction
+    // learns from: word-internal adjacent character pairs over the
+    // lowercased corpus, top-20 by (count DESC, pair ASC). One
+    // character-pair Generate pass; the shuffle carries bigram cells,
+    // never text.
+    GateQuery(
+      "t47_bpe_pairs",
+      (s, dir) =>
+        graft.text.Bpe.topPairs(t(s, dir, "documents"), "text",
+            k = 20, minCount = 2L)
+          .orderBy("rank"),
+      Some("""
+        WITH tok AS (SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                t -> len(t) >= 2)) AS tok
+              FROM documents),
+        pairs AS (SELECT unnest(list_transform(
+                range(1, length(tok)), i -> substr(tok, i, 2))) AS pair
+              FROM tok),
+        c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM pairs GROUP BY 1 HAVING COUNT(*) >= 2),
+        r AS (SELECT pair, cnt, CAST(row_number() OVER (
+                ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+              FROM c)
+        SELECT rank, pair, cnt FROM r WHERE rank <= 20
+        ORDER BY rank"""))
   )
 }
