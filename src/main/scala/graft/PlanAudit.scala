@@ -44,7 +44,9 @@ object PlanAudit {
       "t46_prefix_jaccard", "q85_session_window", "q86_interval_union",
       "q87_asof_nearest", "q88_winsorize", "q89_merge_upsert",
       "m03_video_meta", "q90_rolling_actives", "q91_weighted_quantiles",
-      "q92_cusum_fixed", "q93_window_suite", "q94_setops_all")
+      "q92_cusum_fixed", "q93_window_suite", "q94_setops_all",
+      "q95_wasserstein", "d28_centroid_drift", "q96_sprt",
+      "d29_ann_filtered", "q97_decile_lift", "t47_bpe_pairs")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
