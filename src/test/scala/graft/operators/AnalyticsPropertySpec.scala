@@ -119,4 +119,81 @@ class AnalyticsPropertySpec extends SparkSpec {
         .toSet shouldBe expected
     }
   }
+
+  behavior of "Hypothesis.mannWhitney (random samples vs sequential reference)"
+
+  it should "match a brute-force rank computation on random data" in {
+    (0 until 6).foreach { seed =>
+      val vals = sample(Gen.listOfN(40, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 8)
+      } yield (g, v.toDouble)), 100L + seed)
+      val df = vals.toDF("g", "x")
+      if (vals.exists(_._1 == "a") && vals.exists(_._1 == "b")) {
+        val r = Hypothesis.mannWhitney(df, "g", "x").collect().head
+        // reference: U_a = #(a>b pairs) + 0.5 * ties, via brute pairs
+        val as = vals.filter(_._1 == "a").map(_._2)
+        val bs = vals.filter(_._1 == "b").map(_._2)
+        val u2Ref = as.map(a => bs.map(b =>
+          if (a > b) 2L else if (a == b) 1L else 0L).sum).sum
+        r.getLong(4) shouldBe u2Ref
+        r.getLong(2) shouldBe as.length.toLong
+        r.getLong(3) shouldBe bs.length.toLong
+      }
+    }
+  }
+
+  behavior of "Divergence.wasserstein1 (random counts vs sequential CDF walk)"
+
+  it should "match a driver-side CDF integration and be symmetric" in {
+    (0 until 6).foreach { seed =>
+      val va = sample(Gen.listOfN(30, Gen.choose(0L, 12L)), 200L + seed)
+      val vb = sample(Gen.listOfN(20, Gen.choose(0L, 12L)), 300L + seed)
+      val a = va.toDF("v"); val b = vb.toDF("v")
+      val emd = graft.text.Divergence.wasserstein1(a, b, "v")
+        .collect().head.getDouble(4)
+      // reference: integrate |F_a - F_b| over the merged grid
+      val grid = (va ++ vb).distinct.sorted
+      val ref = grid.zip(grid.tail).map { case (v, nxt) =>
+        val fa = va.count(_ <= v).toDouble / va.length
+        val fb = vb.count(_ <= v).toDouble / vb.length
+        math.abs(fa - fb) * (nxt - v)
+      }.sum
+      emd shouldBe ref +- 1e-9
+      val sym = graft.text.Divergence.wasserstein1(b, a, "v")
+        .collect().head.getDouble(4)
+      sym shouldBe emd +- 1e-12
+    }
+  }
+
+  behavior of "CdfTransform bins/caps invariants (random data)"
+
+  it should "assign monotone bins and respect winsorize bounds" in {
+    (0 until 4).foreach { seed =>
+      val vals = sample(Gen.listOfN(50, Gen.choose(0, 30)), 400L + seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+      val df = vals.toDF("id", "v")
+      val bins = CdfTransform.quantileBins(df, "v", 5)
+        .select("v", "bin").collect()
+        .map(r => r.getDouble(0) -> r.getLong(1))
+      // monotone: a larger value never lands in a smaller bin
+      bins.sortBy(_._1).map(_._2).sliding(2).foreach {
+        case Array(x, y) => x should be <= y
+        case _ =>
+      }
+      val capped = CdfTransform.winsorize(df, "v", 0.1, 0.9)
+        .select("v", "v_capped").collect()
+      val (lo, hi) = (capped.map(_.getDouble(1)).min,
+        capped.map(_.getDouble(1)).max)
+      capped.foreach { r =>
+        r.getDouble(1) should (be >= lo and be <= hi)
+      }
+      // capping never reorders: v1 <= v2 => capped(v1) <= capped(v2)
+      capped.sortBy(_.getDouble(0)).map(_.getDouble(1))
+        .sliding(2).foreach {
+          case Array(x, y) => x should be <= y
+          case _ =>
+        }
+    }
+  }
 }
