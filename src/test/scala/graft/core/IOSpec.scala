@@ -53,6 +53,25 @@ class IOSpec extends SparkSpec {
     scala.io.Source.fromFile(f).getLines().length shouldBe 2
   }
 
+  it should "round-trip through ORC with full fidelity" in {
+    // ORC is the second built-in columnar lake format; the IO layer's
+    // format parameter must carry every logical type both directions
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      .toString
+    val data = spark.range(500).selectExpr(
+      "id", "CAST(id % 7 AS STRING) AS s", "id * 1.5 AS d",
+      "id % 2 = 0 AS b", "timestamp_micros(id * 1000000) AS ts",
+      "array(id, id + 1) AS arr")
+    IO.write(data, s"$tmp/t", format = "orc")
+    val back = IO.read(spark, s"$tmp/t", format = "orc")
+    // ORC surfaces everything nullable (standard) — names and logical
+    // types must survive exactly
+    back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq shouldBe
+      data.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
+    back.orderBy("id").collect() shouldBe
+      data.orderBy("id").collect()
+  }
+
   it should "estimate distinct counts within tolerance (approx HLL)" in {
     val ids = spark.range(100000).select((col("id") % 34567).as("k"))
     val approx = ids.agg(approx_count_distinct("k")).collect().head.getLong(0)
