@@ -1273,6 +1273,107 @@ object StatsQueries {
                 ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
               FROM c)
         SELECT rank, pair, cnt FROM r WHERE rank <= 20
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // Least-squares trend per event type: slope of daily event counts
+    // over the day index — the "how fast is this metric drifting"
+    // number, from one moments pass at milli quantization (day·count
+    // products at micro would cross the 2^53 cast bound).
+    GateQuery(
+      "q98_trendline",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).cast("double").as("n_events"))
+          .withColumn("day_d", col("day").cast("double"))
+        graft.operators.Trendline.fit(daily, "event_type", "day_d",
+            "n_events", quantScale = 1000.0)
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+        q AS (SELECT event_type,
+                CAST(floor(CAST(day AS DOUBLE) * 1000.0 + 0.5)
+                  AS BIGINT) AS xm,
+                CAST(floor(CAST(n_events AS DOUBLE) * 1000.0 + 0.5)
+                  AS BIGINT) AS ym
+              FROM daily),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(xm) AS HUGEINT) AS sx,
+                CAST(SUM(ym) AS HUGEINT) AS sy,
+                SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+                SUM(CAST(xm AS HUGEINT) * xm) AS sxx,
+                SUM(CAST(ym AS HUGEINT) * ym) AS syy
+              FROM q GROUP BY 1),
+        k AS (SELECT event_type, n,
+                CAST(n AS DOUBLE) AS nd,
+                CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                CAST(sxy AS DOUBLE) AS sxyd,
+                CAST(sxx AS DOUBLE) AS sxxd,
+                CAST(syy AS DOUBLE) AS syyd
+              FROM m)
+        SELECT event_type, n,
+          CASE WHEN sxxd - sxd * sxd / nd > 0.0
+               THEN (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd)
+          END AS slope,
+          CASE WHEN sxxd - sxd * sxd / nd > 0.0
+               THEN (syd / nd - ((sxyd - sxd * syd / nd)
+                      / (sxxd - sxd * sxd / nd)) * (sxd / nd)) / 1000.0
+          END AS intercept,
+          CASE WHEN sxxd - sxd * sxd / nd > 0.0
+                 AND syyd - syd * syd / nd > 0.0
+               THEN (sxyd - sxd * syd / nd) * (sxyd - sxd * syd / nd)
+                  / ((sxxd - sxd * sxd / nd) * (syyd - syd * syd / nd))
+          END AS r2
+        FROM k ORDER BY event_type""")),
+
+    // Day-of-week seasonality index per event type: mean daily count
+    // on each weekday vs the overall mean, as exact integer ratios
+    // plus ONE fixed-shape double — the trends family's seasonal leg
+    // (index 1.0 = no weekday effect).
+    GateQuery(
+      "q99_dow_seasonality",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("dow", col("day") % 7)
+        val perDow = daily.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"), sum("n_events").as("sum_ev"))
+        val overall = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("tot_days"), sum("n_events").as("tot_ev"))
+        perDow.join(overall, "event_type")
+          .select(col("event_type"), col("dow"), col("n_days"),
+            col("sum_ev"), col("tot_days"), col("tot_ev"),
+            ((col("sum_ev") * col("tot_days")).cast("double") /
+              (col("n_days") * col("tot_ev")).cast("double"))
+              .as("seasonality_index"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2),
+        d2 AS (SELECT event_type, day % 7 AS dow, n_events FROM daily),
+        per AS (SELECT event_type, dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(n_events) AS BIGINT) AS sum_ev
+               FROM d2 GROUP BY 1, 2),
+        org AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS tot_days,
+                 CAST(SUM(n_events) AS BIGINT) AS tot_ev
+               FROM d2 GROUP BY 1)
+        SELECT p.event_type, p.dow, p.n_days, p.sum_ev,
+          o.tot_days, o.tot_ev,
+          CAST(p.sum_ev * o.tot_days AS DOUBLE)
+            / CAST(p.n_days * o.tot_ev AS DOUBLE) AS seasonality_index
+        FROM per p JOIN org o ON p.event_type = o.event_type
+        ORDER BY p.event_type, dow"""))
   )
 }
