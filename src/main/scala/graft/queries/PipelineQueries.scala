@@ -979,6 +979,84 @@ object PipelineQueries {
            |ORDER BY m.doc_id""".stripMargin
       }),
 
+    // The curation FUNNEL census — the composed pipeline every corpus
+    // release runs, gated end to end: input → exact dedup (keep the
+    // smallest id per identical text) → Gopher quality keep → language
+    // filter, reported as per-stage survivor counts. The stages'
+    // individual oracles exist (d01, t07); this pins their COMPOSITION
+    // (flags evaluated on the dedup survivors, counts telescoping),
+    // which is what a release dashboard actually shows.
+    GateQuery(
+      "q100_curation_funnel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        import org.apache.spark.sql.expressions.Window
+        val keepOne = Window.partitionBy("text").orderBy("doc_id")
+        val deduped = docs
+          .withColumn("__rn", row_number().over(keepOne))
+          .filter(col("__rn") === 1).drop("__rn")
+        val quality = graft.text.QualityRules.gopherQuality(deduped,
+          "doc_id", "text", minWords = 40, maxWords = 100000,
+          minMeanLen = 3.0, maxMeanLen = 10.0, minAlphaFrac = 0.8,
+          maxTopBigramFrac = 0.1, minStopHits = 2)
+          .select(col("doc_id"), col("keep"))
+        val staged = deduped.join(quality, "doc_id")
+        import s.implicits._
+        val counts = Seq(
+          ("0_input", docs.count()),
+          ("1_dedup", staged.count()),
+          ("2_quality", staged.filter(col("keep") === 1).count()),
+          ("3_english", staged.filter(col("keep") === 1 &&
+            col("lang") === "en").count()))
+        counts.toDF("stage", "n_surviving").orderBy("stage")
+      },
+      Some {
+        val stops = "['the', 'a', 'and', 'of', 'is']"
+        s"""WITH dd AS (SELECT * FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY text ORDER BY doc_id) AS rn
+           |      FROM documents) WHERE rn = 1),
+           |tok AS (SELECT doc_id, list_filter(
+           |        regexp_split_to_array(lower(text), '\\s+'),
+           |        t -> t <> '') AS toks FROM dd),
+           |m AS (SELECT doc_id,
+           |        CAST(len(toks) AS BIGINT) AS n_words,
+           |        CASE WHEN len(toks) > 0 THEN
+           |          CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+           |            / CAST(len(toks) AS DOUBLE) END AS mean_word_len,
+           |        CASE WHEN len(toks) > 0 THEN
+           |          CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |            / CAST(len(toks) AS DOUBLE) END AS frac_alpha_words,
+           |        CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS BIGINT) AS stop_hits
+           |      FROM tok),
+           |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           |         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           |         ELSE toks END) AS g FROM tok),
+           |bs AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+           |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+           |       GROUP BY doc_id),
+           |flags AS (SELECT m.doc_id,
+           |        CAST(n_words >= 40 AND n_words <= 100000
+           |             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |             AND frac_alpha_words >= 0.8
+           |             AND COALESCE(top_bigram_frac, CAST(0 AS DOUBLE)) <= 0.1
+           |             AND stop_hits >= 2 AS INT) AS keep
+           |      FROM m LEFT JOIN bs ON m.doc_id = bs.doc_id),
+           |j AS (SELECT dd.doc_id, dd.lang, flags.keep
+           |      FROM dd JOIN flags ON dd.doc_id = flags.doc_id),
+           |c AS (SELECT '0_input' AS stage,
+           |        CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+           |          AS n_surviving
+           |      UNION ALL
+           |      SELECT '1_dedup', CAST(COUNT(*) AS BIGINT) FROM j
+           |      UNION ALL
+           |      SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM j
+           |        WHERE keep = 1
+           |      UNION ALL
+           |      SELECT '3_english', CAST(COUNT(*) AS BIGINT) FROM j
+           |        WHERE keep = 1 AND lang = 'en')
+           |SELECT stage, n_surviving FROM c ORDER BY stage""".stripMargin
+      }),
+
     // Eval-set decontamination: per-document n-gram overlap against a
     // probe shingle set (simulated benchmark data: the fixture's most
     // frequent trigrams), shipped as one broadcast literal → the whole
