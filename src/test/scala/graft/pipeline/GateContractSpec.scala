@@ -67,4 +67,19 @@ class GateContractSpec extends SparkSpec {
     val oracleless = SparkEntry.gateQueries.filter(_.oracle.isEmpty).map(_.name)
     oracleless shouldBe empty
   }
+
+  it should "contain no unresolved interpolation artifacts in any oracle" in {
+    // a shared oracle fragment edited from an s-string into a plain
+    // string (or vice versa) leaves literal $identifier text in the
+    // SQL — DuckDB parse error at driver time, invisible at compile
+    // time. JSONPath '$.field' is the one legitimate dollar.
+    val leak = "\\$[A-Za-z_]".r
+    SparkEntry.gateQueries.foreach { q =>
+      q.oracle.foreach { sql =>
+        withClue(s"${q.name}: ") {
+          leak.findFirstIn(sql) shouldBe None
+        }
+      }
+    }
+  }
 }
