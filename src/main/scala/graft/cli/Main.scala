@@ -601,11 +601,34 @@ object Main {
           Map(s"psi_$pc" ->
             (if (p.isNullAt(3)) null else p.getDouble(3)))
         }.getOrElse(Map.empty)
+        // transport-aware numeric drift (W1) — PSI sees bins as
+        // symbols, Wasserstein charges distance
+        val w1Part = o.get("wasserstein-col").map { wc =>
+          val w = graft.text.Divergence.wasserstein1(input, ref, wc)
+            .head()
+          Map(s"wasserstein_$wc" ->
+            (if (w.isNullAt(4)) null else w.getDouble(4)))
+        }.getOrElse(Map.empty)
+        // embedding-space drift: centroid cosine per the whole corpus
+        // (one group) when --vec-col is given
+        val vecPart = o.get("vec-col").map { vc =>
+          import org.apache.spark.sql.functions.lit
+          val both = input.select(org.apache.spark.sql.functions
+              .col(vc).as("v")).withColumn("side", lit(true))
+            .unionByName(ref.select(org.apache.spark.sql.functions
+              .col(vc).as("v")).withColumn("side", lit(false)))
+            .withColumn("g", lit("all"))
+          val c = graft.similarity.EmbeddingDrift.centroidCosine(
+            both, "g", "side", "v").head()
+          Map("centroid_cos" ->
+            (if (c.isNullAt(6)) null else c.getDouble(6)))
+        }.getOrElse(Map.empty)
         val report = Map(
           "n_terms" -> row.getLong(0), "tot_a" -> row.getLong(1),
           "tot_b" -> row.getLong(2),
           "js_nats" -> (if (row.isNullAt(3)) null
-                        else row.getDouble(3))) ++ psiPart
+                        else row.getDouble(3))) ++
+          psiPart ++ w1Part ++ vecPart
         writeJson(required("stats-output"), report)
         println(s"[graft] drift wrote ${required("stats-output")}")
 

@@ -419,6 +419,26 @@ class CliSpec extends SparkSpec {
     json should include("\"psi_doc_id\"")
   }
 
+  it should "extend drift with Wasserstein and centroid legs" in {
+    val a = tmp("d2-a"); val b = tmp("d2-b")
+    val rpt = tmp("d2-json") + "/report.json"
+    Seq((1L, "alpha beta", 10L, Seq(1.0f, 0.0f)),
+        (2L, "beta gamma", 12L, Seq(1.0f, 0.1f)))
+      .toDF("doc_id", "text", "n", "vec")
+      .write.mode("overwrite").parquet(a)
+    Seq((9L, "alpha beta", 40L, Seq(0.0f, 1.0f)))
+      .toDF("doc_id", "text", "n", "vec")
+      .write.mode("overwrite").parquet(b)
+    dispatch("drift", "input" -> a, "reference" -> b,
+      "stats-output" -> rpt, "wasserstein-col" -> "n",
+      "vec-col" -> "vec")
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(rpt))
+    json should include("\"wasserstein_n\":")
+    json should include("\"centroid_cos\":")
+    // W1 between {10,12} and {40}: |F diff| integration = 29
+    json should include("29.0")
+  }
+
   it should "dispatch monitor: bootstrap, then SCD2-merge + drift report" in {
     // day 1: bootstrap — history comes out all-open, report self-drift-free
     val day1 = tmp("mon-day1"); val hist1 = tmp("mon-hist1")
