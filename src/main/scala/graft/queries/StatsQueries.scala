@@ -1374,6 +1374,78 @@ object StatsQueries {
           CAST(p.sum_ev * o.tot_days AS DOUBLE)
             / CAST(p.n_days * o.tot_ev AS DOUBLE) AS seasonality_index
         FROM per p JOIN org o ON p.event_type = o.event_type
-        ORDER BY p.event_type, dow"""))
+        ORDER BY p.event_type, dow""")),
+
+    // Zipf-law fit of the token frequency distribution — the corpus
+    // "law" check (natural text slopes near −1; generated/templated
+    // text deviates): OLS of ln(freq) on ln(rank) over the top-100
+    // terms, composing the X133 trend line over micro-nat-quantized
+    // logs (both axes exact longs; top-100 keeps the moment products
+    // inside the 2^53 bound; rank cut pinned by (count DESC, term)).
+    GateQuery(
+      "t48_zipf",
+      (s, dir) => {
+        import graft.functions.TextFunctions._
+        val counts = t(s, dir, "documents")
+          .select(explode(tokens(lower(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        val ranked = counts
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+          .filter(col("rank") <= 100)
+          .select(
+            (floor(log(col("rank").cast("double")) * lit(1000000.0) +
+              lit(0.5)) / lit(1000000.0)).as("ln_rank"),
+            (floor(log(col("cnt").cast("double")) * lit(1000000.0) +
+              lit(0.5)) / lit(1000000.0)).as("ln_freq"))
+          .withColumn("g", lit("corpus"))
+        graft.operators.Trendline.fit(ranked, "g", "ln_rank", "ln_freq")
+          .select(col("g").as("corpus"), col("n"),
+            col("slope").as("zipf_slope"), col("intercept"), col("r2"))
+          .orderBy("corpus")
+      },
+      Some("""
+        WITH tok AS (SELECT list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                t -> t <> '') AS toks FROM documents),
+        occ AS (SELECT unnest(toks) AS term FROM tok),
+        c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM occ GROUP BY 1),
+        r AS (SELECT cnt, row_number() OVER (
+                ORDER BY cnt DESC, term) AS rank FROM c),
+        pts AS (SELECT
+                 CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS xm,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5)
+                   AS BIGINT) AS ym
+               FROM r WHERE rank <= 100),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(xm) AS HUGEINT) AS sx,
+                CAST(SUM(ym) AS HUGEINT) AS sy,
+                SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+                SUM(CAST(xm AS HUGEINT) * xm) AS sxx,
+                SUM(CAST(ym AS HUGEINT) * ym) AS syy
+              FROM pts),
+        k AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                CAST(sxy AS DOUBLE) AS sxyd,
+                CAST(sxx AS DOUBLE) AS sxxd,
+                CAST(syy AS DOUBLE) AS syyd
+              FROM m)
+        SELECT 'corpus' AS corpus, n,
+          CASE WHEN sxxd - sxd * sxd / nd > 0.0
+               THEN (sxyd - sxd * syd / nd) / (sxxd - sxd * sxd / nd)
+          END AS zipf_slope,
+          CASE WHEN sxxd - sxd * sxd / nd > 0.0
+               THEN (syd / nd - ((sxyd - sxd * syd / nd)
+                      / (sxxd - sxd * sxd / nd)) * (sxd / nd))
+                    / 1000000.0
+          END AS intercept,
+          CASE WHEN sxxd - sxd * sxd / nd > 0.0
+                 AND syyd - syd * syd / nd > 0.0
+               THEN (sxyd - sxd * syd / nd) * (sxyd - sxd * syd / nd)
+                  / ((sxxd - sxd * sxd / nd) * (syyd - syd * syd / nd))
+          END AS r2
+        FROM k ORDER BY corpus"""))
   )
 }
