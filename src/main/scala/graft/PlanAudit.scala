@@ -47,7 +47,8 @@ object PlanAudit {
       "q92_cusum_fixed", "q93_window_suite", "q94_setops_all",
       "q95_wasserstein", "d28_centroid_drift", "q96_sprt",
       "d29_ann_filtered", "q97_decile_lift", "t47_bpe_pairs",
-      "q98_trendline", "q99_dow_seasonality", "q100_curation_funnel")
+      "q98_trendline", "q99_dow_seasonality", "q100_curation_funnel",
+      "t48_zipf")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
