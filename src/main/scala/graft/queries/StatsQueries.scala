@@ -1446,6 +1446,93 @@ object StatsQueries {
                THEN (sxyd - sxd * syd / nd) * (sxyd - sxd * syd / nd)
                   / ((sxxd - sxd * sxd / nd) * (syyd - syd * syd / nd))
           END AS r2
-        FROM k ORDER BY corpus"""))
+        FROM k ORDER BY corpus""")),
+
+    // Per-document lexical diversity: type-token ratio + corpus-hapax
+    // density — templated text sits at low TTR, OCR noise and novelty
+    // both surface as hapax spikes. One tokenize pass; the hapax set
+    // is a vocabulary-sized aggregation semi-joined back.
+    GateQuery(
+      "t49_lexical_diversity",
+      (s, dir) =>
+        graft.text.CorpusStats.lexicalDiversity(
+            t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'),
+                t -> t <> '') AS toks FROM documents),
+        occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types
+               FROM occ GROUP BY 1),
+        hx AS (SELECT term FROM occ GROUP BY term HAVING COUNT(*) = 1),
+        hd AS (SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hapax
+               FROM occ JOIN hx ON occ.term = hx.term GROUP BY 1)
+        SELECT per.doc_id, n_tokens, n_types,
+          CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+          COALESCE(hd.n_hapax, 0) AS n_hapax
+        FROM per LEFT JOIN hd ON per.doc_id = hd.doc_id
+        ORDER BY per.doc_id""")),
+
+    // Cliff's delta effect size from the Mann-Whitney machinery:
+    // δ = 2U/(n_a·n_b) − 1, the ordinal effect-size companion to the
+    // q77 significance readout (a tiny p with negligible δ is the
+    // classic big-data trap); pure exact-ratio arithmetic off the
+    // doubled-U longs, with the conventional magnitude labels.
+    GateQuery(
+      "q101_cliffs_delta",
+      (s, dir) => {
+        val mw = graft.operators.Hypothesis.mannWhitney(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        val nab = (col("n_a") * col("n_b")).cast("double")
+        val delta = (col("u2").cast("double") - nab) / nab
+        mw.select(col("group_a"), col("group_b"), col("n_a"),
+            col("n_b"), col("u2"), delta.as("cliffs_delta"),
+            when(abs(delta) < 0.147, "negligible")
+              .when(abs(delta) < 0.33, "small")
+              .when(abs(delta) < 0.474, "medium")
+              .otherwise("large").as("magnitude"))
+          .orderBy("group_a", "group_b")
+      },
+      Some("""
+        WITH c AS (SELECT l_returnflag AS g,
+                CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS v,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        gs AS (SELECT DISTINCT g FROM c),
+        pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+               ON a.g < b.g),
+        m AS (SELECT pr.ga, pr.gb, c.v,
+                SUM(CASE WHEN c.g = pr.ga THEN c.cnt ELSE 0 END) AS ca,
+                SUM(CASE WHEN c.g = pr.gb THEN c.cnt ELSE 0 END) AS cb
+              FROM pr JOIN c ON c.g IN (pr.ga, pr.gb)
+              GROUP BY 1, 2, 3),
+        r AS (SELECT ga, gb, v, ca, cb, ca + cb AS cc,
+                SUM(ca + cb) OVER (PARTITION BY ga, gb ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (ca + cb) AS pp
+              FROM m),
+        a AS (SELECT ga, gb,
+                CAST(SUM(ca) AS BIGINT) AS n_a,
+                CAST(SUM(cb) AS BIGINT) AS n_b,
+                CAST(SUM(ca * (2*pp + cc + 1)) AS BIGINT) AS r2a
+              FROM r GROUP BY 1, 2),
+        u AS (SELECT ga, gb, n_a, n_b,
+                r2a - n_a * (n_a + 1) AS u2
+              FROM a),
+        dd AS (SELECT ga, gb, n_a, n_b, u2,
+                (CAST(u2 AS DOUBLE)
+                 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS delta
+              FROM u)
+        SELECT ga AS group_a, gb AS group_b, n_a, n_b, u2,
+          delta AS cliffs_delta,
+          CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+               WHEN abs(delta) < 0.33 THEN 'small'
+               WHEN abs(delta) < 0.474 THEN 'medium'
+               ELSE 'large' END AS magnitude
+        FROM dd ORDER BY group_a, group_b"""))
   )
 }

@@ -35,4 +35,34 @@ object CorpusStats {
         (sum(when(col("__nt") < shortTokens, 1L).otherwise(0L))
           .cast("double") / count(lit(1)).cast("double")).as("short_frac"))
   }
+
+  /** Per-document lexical diversity — type-token ratio plus the count
+    * of corpus-hapax tokens (words appearing exactly ONCE in the whole
+    * corpus) the document contains: TTR separates repetitive/templated
+    * text from varied prose, and hapax density flags novelty
+    * (or OCR noise — both ends of the tail matter for curation).
+    *
+    * Shape: one tokenize pass; types per doc is a (doc, term) distinct
+    * + count; the corpus hapax set is a vocabulary-sized aggregation
+    * semi-joined back per (doc, term). Exact integers + one ratio.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val occ = df
+      .select(col(idCol).as("id"), tokens(lower(col(textCol))).as("__t"))
+      .select(col("id"), explode(col("__t")).as("term"))
+    val perDoc = occ.groupBy("id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_types"))
+    val hapax = occ.groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1L).select("term")
+    val hapaxPerDoc = occ.join(hapax, Seq("term"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hapax"))
+    perDoc.join(hapaxPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+  }
 }
