@@ -1533,6 +1533,57 @@ object StatsQueries {
                WHEN abs(delta) < 0.33 THEN 'small'
                WHEN abs(delta) < 0.474 THEN 'medium'
                ELSE 'large' END AS magnitude
-        FROM dd ORDER BY group_a, group_b"""))
+        FROM dd ORDER BY group_a, group_b""")),
+
+    // Uniformity audit of the q30 hash sampler: chi-square occupancy
+    // of the 100 polyhash slices over orders — the check that the
+    // deterministic sampling substrate is actually unbiased before any
+    // slice-based sample is trusted. Exact integer observed counts;
+    // expected as exact ratios; chi2 terms fixed IEEE shapes (the q72
+    // Benford machinery applied to the engine's own sampler).
+    GateQuery(
+      "q102_sampler_uniformity",
+      (s, dir) => {
+        val sliced = t(s, dir, "orders")
+          .withColumn("slice",
+            graft.functions.TextFunctions.polyHash(
+              col("o_orderkey").cast("string")) % 100)
+        val per = sliced.groupBy("slice")
+          .agg(count(lit(1)).as("n_observed"))
+        val tot = per.agg(sum("n_observed").as("n_total"),
+          count(lit(1)).as("n_slices"))
+        per.crossJoin(broadcast(tot))
+          .select(col("slice"), col("n_observed"), col("n_total"),
+            ((col("n_observed").cast("double") -
+              col("n_total").cast("double") /
+                col("n_slices").cast("double")) *
+              (col("n_observed").cast("double") -
+                col("n_total").cast("double") /
+                  col("n_slices").cast("double")) /
+              (col("n_total").cast("double") /
+                col("n_slices").cast("double"))).as("chi2_term"))
+          .orderBy("slice")
+      },
+      Some("""
+        WITH sl AS (SELECT
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    string_split(CAST(o_orderkey AS VARCHAR), ''),
+                    ch -> CAST(ascii(ch) AS BIGINT))),
+                  (h, ch) -> (h*31 + ch) % 1000000007) % 100 AS slice
+              FROM orders),
+        per AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_observed
+               FROM sl GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) AS BIGINT) AS n_slices
+               FROM per)
+        SELECT slice, n_observed, n_total,
+          (CAST(n_observed AS DOUBLE)
+             - CAST(n_total AS DOUBLE) / CAST(n_slices AS DOUBLE))
+          * (CAST(n_observed AS DOUBLE)
+             - CAST(n_total AS DOUBLE) / CAST(n_slices AS DOUBLE))
+          / (CAST(n_total AS DOUBLE) / CAST(n_slices AS DOUBLE))
+            AS chi2_term
+        FROM per CROSS JOIN tot ORDER BY slice"""))
   )
 }
