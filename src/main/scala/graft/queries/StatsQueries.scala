@@ -1584,6 +1584,89 @@ object StatsQueries {
              - CAST(n_total AS DOUBLE) / CAST(n_slices AS DOUBLE))
           / (CAST(n_total AS DOUBLE) / CAST(n_slices AS DOUBLE))
             AS chi2_term
-        FROM per CROSS JOIN tot ORDER BY slice"""))
+        FROM per CROSS JOIN tot ORDER BY slice""")),
+
+    // N-gram novelty in ingestion order: the fraction of a document's
+    // distinct trigrams whose FIRST corpus occurrence is this document
+    // (attribution by min doc_id — deterministic, order-defined).
+    // High novelty = genuinely new material; low = recombination of
+    // what the corpus already holds. One shingle pass + one
+    // vocabulary-sized first-seen aggregation joined back.
+    GateQuery(
+      "t50_ngram_novelty",
+      (s, dir) => {
+        val sets = graft.dedup.NearDup.shingleSets(
+          t(s, dir, "documents"), "doc_id", "text", 3)
+        val occ = sets.select(col("id"),
+          explode(col("shingle_set")).as("g"))
+        val firstSeen = occ.groupBy("g").agg(min("id").as("first_id"))
+        occ.join(firstSeen, "g")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("id") === col("first_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_grams").cast("double"))
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, list_filter(
+                regexp_split_to_array(text, '\s+'), t -> t <> '')
+                AS toks FROM documents),
+        sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE toks END) AS ss FROM tok),
+        sets AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0),
+        occ AS (SELECT doc_id AS id, unnest(ss) AS g FROM sets),
+        fs AS (SELECT g, MIN(id) AS first_id FROM occ GROUP BY 1)
+        SELECT occ.id AS doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN occ.id = fs.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN occ.id = fs.first_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM occ JOIN fs ON occ.g = fs.g
+        GROUP BY occ.id ORDER BY doc_id""")),
+
+    // Stickiness (DAU/WAU): the engagement-intensity ratio composed
+    // from two presence-smear curves — per day, what fraction of the
+    // week's actives showed up today. Exact integer actives on both
+    // sides, one fixed-shape division.
+    GateQuery(
+      "q103_stickiness",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val dau = graft.operators.Engagement.rollingActives(
+          ev, "user_id", "day", windowDays = 1)
+          .select(col("day"), col("n_active").as("dau"))
+        val wau = graft.operators.Engagement.rollingActives(
+          ev, "user_id", "day", windowDays = 7)
+          .select(col("day"), col("n_active").as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double"))
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH pres AS (SELECT DISTINCT user_id AS u,
+                epoch_us(ts) // 86400000000 AS d
+              FROM events),
+        bounds AS (SELECT MAX(d) AS d_max FROM pres),
+        dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+               FROM pres GROUP BY 1),
+        sm AS (SELECT DISTINCT u, d + g.x AS day
+               FROM pres, (SELECT unnest(range(0, 7)) AS x) g),
+        wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+               FROM sm, bounds WHERE day <= d_max GROUP BY day)
+        SELECT dau.day, dau.dau, wau.wau,
+          CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+            AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day
+        ORDER BY dau.day"""))
   )
 }
