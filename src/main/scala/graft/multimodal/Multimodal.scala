@@ -178,6 +178,103 @@ object Multimodal {
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
 
+  /** BMP (BITMAPINFOHEADER): "BM", then width/height as s32LE at file
+    * offsets 18/22; height may be negative (top-down rows) — dims
+    * report its magnitude. None for non-BMP or truncated bytes.
+    */
+  def bmpDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b == null || b.length < 26 || b(0) != 'B' || b(1) != 'M') None
+    else {
+      val w = le32(b, 18).toInt
+      val h = le32(b, 22).toInt
+      if (w <= 0 || h == 0) None else Some((w, math.abs(h)))
+    }
+
+  /** Minimal valid BMP blob (54-byte headers + no pixel payload — the
+    * metadata pass never reads samples). Synthesis twin of [[bmpDims]].
+    */
+  def synthBmp(width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](54)
+    def w32(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'; w32(2, 54L); w32(10, 54L)
+    w32(14, 40L); w32(18, width.toLong); w32(22, height.toLong)
+    out(26) = 1; out(28) = 24
+    out
+  }
+
+  /** TIFF: a byte-order flag ("II" little / "MM" big), magic 42, an
+    * IFD offset, then IFD entries of 12 bytes — width is tag 256,
+    * height tag 257, each SHORT or LONG typed. The walk honors the
+    * declared endianness; None for non-TIFF, truncation, or a missing
+    * dimension tag.
+    */
+  def tiffDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 8) return None
+    val little =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(i: Int): Int = if (little) le16(b, i) else be16(b, i)
+    def u32(i: Int): Long = if (little) le32(b, i) else be32(b, i)
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd)
+    if (ifd + 2 + 12 * n > b.length) return None
+    var w = -1L
+    var h = -1L
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      val tag = u16(e)
+      val tpe = u16(e + 2)
+      // SHORT (3) payloads sit in the first two value bytes; LONG (4)
+      // uses all four
+      val value = if (tpe == 3) u16(e + 8).toLong else u32(e + 8)
+      if (tag == 256) w = value
+      if (tag == 257) h = value
+      i += 1
+    }
+    if (w > 0 && h > 0) Some((w.toInt, h.toInt)) else None
+  }
+
+  /** Minimal single-IFD TIFF with width/height LONG entries, in either
+    * byte order. Synthesis twin of [[tiffDims]].
+    */
+  def synthTiff(width: Int, height: Int,
+      littleEndian: Boolean): Array[Byte] = {
+    val out = new Array[Byte](8 + 2 + 12 * 2 + 4)
+    def w16(i: Int, v: Int): Unit =
+      if (littleEndian) {
+        out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      } else {
+        out(i) = ((v >> 8) & 0xff).toByte; out(i + 1) = (v & 0xff).toByte
+      }
+    def w32(i: Int, v: Long): Unit =
+      if (littleEndian) {
+        out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+        out(i + 2) = ((v >> 16) & 0xff).toByte
+        out(i + 3) = ((v >> 24) & 0xff).toByte
+      } else {
+        out(i) = ((v >> 24) & 0xff).toByte
+        out(i + 1) = ((v >> 16) & 0xff).toByte
+        out(i + 2) = ((v >> 8) & 0xff).toByte
+        out(i + 3) = (v & 0xff).toByte
+      }
+    val m = if (littleEndian) 'I' else 'M'
+    out(0) = m.toByte; out(1) = m.toByte
+    w16(2, 42); w32(4, 8L) // IFD directly after the header
+    w16(8, 2) // two entries
+    w16(10, 256); w16(12, 4); w32(14, 1L); w32(18, width.toLong)
+    w16(22, 257); w16(24, 4); w32(26, 1L); w32(30, height.toLong)
+    w32(34, 0L) // next-IFD terminator
+    out
+  }
+
   /** Parsed MP4/ISO-BMFF movie metadata. durationMs is exact integral
     * duration·1000 div timescale (the mvhd units contract).
     */
@@ -388,6 +485,12 @@ object Multimodal {
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else if (b.length >= 8 &&
       b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
+      (if (tiffDims(b).isDefined || (b.length >= 4 &&
+        ((b(0) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0) ||
+         (b(0) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 42)))) "tiff"
+       else "unknown")
     else "unknown"
 
   /** Decode (width, height) from real container headers; bytes that are
@@ -397,7 +500,8 @@ object Multimodal {
     */
   def decodeDims(bytes: Array[Byte]): (Int, Int) = {
     if (bytes == null || bytes.isEmpty) return (0, 0)
-    pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes)).getOrElse {
+    pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
+      .orElse(bmpDims(bytes)).orElse(tiffDims(bytes)).getOrElse {
       var h = 0L
       var i = 0
       while (i < math.min(bytes.length, 256)) {
@@ -441,6 +545,8 @@ object Multimodal {
     case "gif"  => "image/gif"
     case "wav"  => "audio/wav"
     case "mp4"  => "video/mp4"
+    case "bmp"  => "image/bmp"
+    case "tiff" => "image/tiff"
     case _      => "application/octet-stream"
   }
 

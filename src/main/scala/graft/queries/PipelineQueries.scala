@@ -3155,6 +3155,45 @@ object PipelineQueries {
           |    // (600 + (doc_id % 4) * 600) AS BIGINT) AS duration_ms
           |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // BMP + TIFF dimension decode through real container bytes — the
+    // remaining ubiquitous image containers after PNG/JPEG/GIF (m01):
+    // BMP's fixed-offset little-endian header and TIFF's IFD walk in
+    // BOTH byte orders (doc parity picks the container; doc_id % 4
+    // picks TIFF endianness). decodeDims routes by magic bytes.
+    GateQuery(
+      "m04_image_dims",
+      (s, dir) => {
+        import s.implicits._
+        val assets = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = 16 + (nc % 640).toInt
+            val h = 16 + (id % 480).toInt
+            val bytes =
+              if (id % 2 == 0) graft.multimodal.Multimodal.synthBmp(w, h)
+              else graft.multimodal.Multimodal.synthTiff(w, h,
+                littleEndian = id % 4 == 1)
+            (id, bytes,
+              graft.multimodal.Multimodal.sniffFormat(bytes))
+          }
+          .toDF("asset_id", "media", "sniffed")
+        val dims = assets.as[(Long, Array[Byte], String)]
+          .map { case (id, bytes, sniffed) =>
+            val (w, h) = graft.multimodal.Multimodal.decodeDims(bytes)
+            (id, sniffed, w, h)
+          }
+          .toDF("asset_id", "sniffed", "width", "height")
+        dims.orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'tiff' END
+            AS sniffed,
+          CAST(16 + n_chars % 640 AS INT) AS width,
+          CAST(16 + doc_id % 480 AS INT) AS height
+        FROM documents ORDER BY asset_id""")),
+
     // NDCG@10 of the token-count ranking against n_chars-derived grades,
     // per source: the graded position-weighted eval closing the metric
     // family (AUC/AP = binary order, recall@k = set overlap). The

@@ -245,4 +245,31 @@ class MultimodalSpec extends SparkSpec {
     a.getAs[String]("brand") shouldBe "none"
     a.getAs[Long]("duration_ms") shouldBe b2.getAs[Long]("duration_ms")
   }
+
+  // ---- BMP / TIFF ----
+
+  it should "round-trip BMP dims and report top-down heights positive" in {
+    val b = Multimodal.synthBmp(640, 480)
+    Multimodal.bmpDims(b) shouldBe Some((640, 480))
+    Multimodal.sniffFormat(b) shouldBe "bmp"
+    // top-down BMP: negative stored height reads as magnitude
+    b(25) = 0xff.toByte; b(24) = 0xff.toByte
+    b(23) = 0xfe.toByte; b(22) = 0x20.toByte // -480 LE
+    Multimodal.bmpDims(b).get._2 shouldBe 480
+  }
+
+  it should "walk TIFF IFDs in both byte orders" in {
+    for (le <- Seq(true, false)) {
+      val t = Multimodal.synthTiff(800, 600, littleEndian = le)
+      Multimodal.tiffDims(t) shouldBe Some((800, 600))
+      Multimodal.sniffFormat(t) shouldBe "tiff"
+    }
+  }
+
+  it should "reject truncated or alien bytes in the new codecs" in {
+    Multimodal.bmpDims("BMxx".getBytes) shouldBe None
+    Multimodal.tiffDims("IIer".getBytes) shouldBe None
+    Multimodal.tiffDims(Multimodal.synthTiff(10, 10, true).take(9))
+      .shouldBe(None)
+  }
 }
