@@ -49,7 +49,8 @@ object PlanAudit {
       "d29_ann_filtered", "q97_decile_lift", "t47_bpe_pairs",
       "q98_trendline", "q99_dow_seasonality", "q100_curation_funnel",
       "t48_zipf", "t49_lexical_diversity", "q101_cliffs_delta",
-      "q102_sampler_uniformity")
+      "q102_sampler_uniformity", "t50_ngram_novelty", "q103_stickiness",
+      "m04_image_dims")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")
