@@ -1667,6 +1667,93 @@ object StatsQueries {
           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
             AS stickiness
         FROM dau JOIN wau ON dau.day = wau.day
-        ORDER BY dau.day"""))
+        ORDER BY dau.day""")),
+
+    // Week-over-week net revenue retention: for each week, the prior
+    // week's active cohort's revenue this week over their revenue last
+    // week — the expansion/contraction gauge (NRR > 1 = the existing
+    // base grew). Per-event micro-quantized value sums keep both
+    // numerator and denominator exact; one self-join on (user,
+    // adjacent week).
+    GateQuery(
+      "q104_revenue_retention",
+      (s, dir) => {
+        val weekly = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("week"))
+          .agg(sum(floor(col("value").cast("double") * lit(1000000.0) +
+            lit(0.5)).cast("long")).as("rev_micro"))
+        val prev = weekly.select(col("user_id"),
+          (col("week") + 1L).as("week"),
+          col("rev_micro").as("prev_micro"))
+        prev.join(weekly, Seq("user_id", "week"), "left")
+          .groupBy("week")
+          .agg(count(lit(1)).as("n_cohort"),
+            sum("prev_micro").as("base_micro"),
+            sum(coalesce(col("rev_micro"), lit(0L))).as("retained_micro"))
+          .select(col("week"), col("n_cohort"), col("base_micro"),
+            col("retained_micro"),
+            (col("retained_micro").cast("double") /
+              col("base_micro").cast("double")).as("nrr"))
+          .orderBy("week")
+      },
+      Some("""
+        WITH weekly AS (SELECT user_id,
+                epoch_us(ts) // 604800000000 AS week,
+                CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0
+                  + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1, 2),
+        j AS (SELECT p.user_id, p.week + 1 AS week,
+                p.rev_micro AS prev_micro, w.rev_micro
+              FROM weekly p LEFT JOIN weekly w
+                ON w.user_id = p.user_id AND w.week = p.week + 1)
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_cohort,
+          CAST(SUM(prev_micro) AS BIGINT) AS base_micro,
+          CAST(SUM(COALESCE(rev_micro, 0)) AS BIGINT) AS retained_micro,
+          CAST(SUM(COALESCE(rev_micro, 0)) AS DOUBLE)
+            / CAST(SUM(prev_micro) AS DOUBLE) AS nrr
+        FROM j GROUP BY week ORDER BY week""")),
+
+    // Burstiness (Fano factor) of daily event counts per type — the
+    // overdispersion gauge separating Poisson-like arrivals (≈1) from
+    // bursty traffic (>1): the WHOLE statistic is one exact integer
+    // ratio, (n·Σx² − (Σx)²) / (n·Σx), emitted with its exact
+    // numerator and denominator.
+    GateQuery(
+      "t51_burstiness",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("x"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .as("fano_num"),
+            (col("n") * col("sx")).as("fano_den"),
+            ((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("n") * col("sx")).cast("double")).as("fano"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                epoch_us(ts) // 86400000000 AS day,
+                CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx,
+                CAST(SUM(x*x) AS BIGINT) AS sxx
+              FROM daily GROUP BY 1)
+        SELECT event_type, n, sx, sxx,
+          CAST(n * sxx - sx * sx AS BIGINT) AS fano_num,
+          CAST(n * sx AS BIGINT) AS fano_den,
+          CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+            AS fano
+        FROM m ORDER BY event_type"""))
   )
 }
