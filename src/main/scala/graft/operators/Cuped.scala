@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** CUPED — variance-reduced experiment readout (Deng, Xu, Kohavi &
   * Walker, WSDM 2013: "Improving the Sensitivity of Online Controlled
@@ -49,11 +48,8 @@ object Cuped {
   def adjustedMeans(units: DataFrame, variantCol: String,
       covariateCol: String, metricCol: String,
       quantScale: Double = 1000000.0): DataFrame = {
-    def micro(c: Column): Column =
-      floor(c.cast("double") * lit(quantScale) + lit(0.5))
-        .cast("long").cast(DecimalType(18, 0))
-    val x = micro(col(covariateCol))
-    val y = micro(col(metricCol))
+    val x = Quant.fixedPoint(col(covariateCol), quantScale)
+    val y = Quant.fixedPoint(col(metricCol), quantScale)
     val perVariant = units
       .filter(col(covariateCol).isNotNull && col(metricCol).isNotNull)
       .groupBy(col(variantCol))

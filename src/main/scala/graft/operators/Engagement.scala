@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Engagement {
 
-  /** (day, n_active) for every day in the observed range, where
-    * n_active = distinct `userCol` values with ≥1 row in
-    * [day − windowDays + 1, day]. `dayCol` must be integral (epoch
-    * days).
+  /** (day, n_active) for every day in the observed range whose trailing
+    * window saw ≥1 active user, where n_active = distinct `userCol`
+    * values with ≥1 row in [day − windowDays + 1, day]. The series is
+    * SPARSE: an activity gap longer than `windowDays` yields missing
+    * rows, not n_active = 0 (join a `sequence(d_min, d_max)` day spine
+    * downstream if dense zeros are needed). `dayCol` must be integral
+    * (epoch days).
     */
   def rollingActives(df: DataFrame, userCol: String, dayCol: String,
       windowDays: Int): DataFrame = {

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Two-sample hypothesis testing — Welch's unequal-variance t-test over
   * every pair of groups. This is the experiment-readout shape behind the
@@ -49,8 +48,8 @@ object Hypothesis {
       : DataFrame = {
     val x = col(valueCol)
     // integer micro-units; DECIMAL(18,0) so the square stays exact
-    val m = floor(x.cast("double") * lit(1000000.0) + lit(0.5))
-      .cast("long").cast(DecimalType(18, 0))
+    // (guarded — out-of-range input raises instead of silently nulling)
+    val m = Quant.fixedPoint(x, 1000000.0)
     val stats = df.filter(x.isNotNull)
       .groupBy(col(groupCol).as("g"))
       .agg(

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is ONE full-outer join on the keys + a per-column
   * coalesce projection (source side wins), with an `action` column
-  * (updated / inserted / kept / would-delete) so callers can audit the
-  * merge before committing it. Both sides shuffle once on the keys; at
-  * scale, bucket both tables on the keys (core/Bucketing) and the
-  * exchange disappears entirely.
+  * (updated / inserted / kept) so callers can audit the merge. For the
+  * full-snapshot case, `auditDeletes` is the dry run: same merged
+  * output, but the rows `deleteMissing = true` WOULD drop are retained
+  * and labeled `would-delete` for pre-commit review. Both sides shuffle
+  * once on the keys; at scale, bucket both tables on the keys
+  * (core/Bucketing) and the exchange disappears entirely.
   *
   * Schemas must match on the non-key columns (the reference's jobs
   * align schemas upstream; so does this engine's SCD machinery).
@@ -26,6 +28,7 @@ object Merge {
   val ActionUpdated = "updated"
   val ActionInserted = "inserted"
   val ActionKept = "kept"
+  val ActionWouldDelete = "would-delete"
 
   /** Merged current state. Output: target schema + `action`. With
     * `deleteMissing = true`, target rows absent from the source are
@@ -33,7 +36,20 @@ object Merge {
     * `kept`.
     */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
-      deleteMissing: Boolean = false): DataFrame = {
+      deleteMissing: Boolean = false): DataFrame =
+    merge(target, source, keys, deleteMissing, ActionKept)
+
+  /** Dry run of `deleteMissing = true`: identical merged output, but the
+    * target rows a full-snapshot merge WOULD drop are retained and
+    * labeled `would-delete` — the pre-commit audit frame.
+    */
+  def auditDeletes(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame =
+    merge(target, source, keys, deleteMissing = false, ActionWouldDelete)
+
+  private def merge(target: DataFrame, source: DataFrame,
+      keys: Seq[String], deleteMissing: Boolean,
+      targetOnlyLabel: String): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val nonKey = target.columns.filterNot(keys.contains).toSeq
     require(nonKey.forall(source.columns.contains),
@@ -49,7 +65,7 @@ object Merge {
     val action = when(col("__in_t").isNotNull && col("__in_s").isNotNull,
         lit(ActionUpdated))
       .when(col("__in_s").isNotNull, lit(ActionInserted))
-      .otherwise(lit(ActionKept))
+      .otherwise(lit(targetOnlyLabel))
     val merged = joined.select(
       keys.map(col) ++ nonKey.map(c =>
         when(col("__in_s").isNotNull, col(s"__s_$c"))

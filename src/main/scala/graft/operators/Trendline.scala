@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Per-group least-squares trend line — the "is this metric drifting,
   * and how fast" answer as a NUMBER (slope per unit of x) where X23's
@@ -27,11 +26,8 @@ object Trendline {
 
   def fit(df: DataFrame, groupCol: String, xCol: String, yCol: String,
       quantScale: Double = 1000000.0): DataFrame = {
-    def q(c: Column): Column =
-      floor(c.cast("double") * lit(quantScale) + lit(0.5))
-        .cast("long").cast(DecimalType(18, 0))
-    val x = q(col(xCol))
-    val y = q(col(yCol))
+    val x = Quant.fixedPoint(col(xCol), quantScale)
+    val y = Quant.fixedPoint(col(yCol), quantScale)
     val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),

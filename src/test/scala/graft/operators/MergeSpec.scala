@@ -31,6 +31,19 @@ class MergeSpec extends SparkSpec {
     m.keySet shouldBe Set(2L, 4L)
   }
 
+  "auditDeletes" should "retain and label the rows deleteMissing would drop" in {
+    val m = byId(Merge.auditDeletes(target, source, Seq("id")))
+    m(1L) shouldBe (("a", 10L, "would-delete"))
+    m(2L) shouldBe (("B", 99L, "updated"))
+    m(3L) shouldBe (("c", 30L, "would-delete"))
+    m(4L) shouldBe (("d", 40L, "inserted"))
+    // the audit is exactly the deleteMissing=true survivor set plus the
+    // labeled would-drops
+    val dropped = byId(Merge.upsert(target, source, Seq("id"),
+      deleteMissing = true))
+    m.filterNot(_._2._3 == "would-delete") shouldBe dropped
+  }
+
   it should "fail fast when the source misses target columns" in {
     an[IllegalArgumentException] should be thrownBy
       Merge.upsert(target, source.drop("v"), Seq("id"))
