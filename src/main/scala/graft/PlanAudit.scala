@@ -50,7 +50,9 @@ object PlanAudit {
       "q98_trendline", "q99_dow_seasonality", "q100_curation_funnel",
       "t48_zipf", "t49_lexical_diversity", "q101_cliffs_delta",
       "q102_sampler_uniformity", "t50_ngram_novelty", "q103_stickiness",
-      "m04_image_dims", "q104_revenue_retention", "t51_burstiness")
+      "m04_image_dims", "q104_revenue_retention", "t51_burstiness",
+      "q105_logreg_gd", "q106_kde_grid", "q107_merge_vintage",
+      "t52_bpe_merges")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

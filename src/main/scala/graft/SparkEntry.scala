@@ -9,7 +9,7 @@ object SparkEntry {
   /** All gate queries, collected from the per-family modules. */
   def gateQueries: Seq[GateQuery] =
     Relational.queries ++ RelationalExt.queries ++ TemporalQueries.queries ++
-      PipelineQueries.queries ++ StatsQueries.queries
+      PipelineQueries.queries ++ StatsQueries.queries ++ MlQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

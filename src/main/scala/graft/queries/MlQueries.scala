@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import GateQuery.{table => t}
+
+/** Round-11 gate queries: the last two spec-only ML families promoted to
+  * oracle rows (integer-GD logistic regression for the ensemble trainer,
+  * fixed-grid Epanechnikov KDE for the similarity scorer), the
+  * multi-vintage mergeSchema read contract, and the iterated BPE merge
+  * loop. Oracles follow the house discipline: identical column aliases,
+  * exact-integer cores (integer division truncates toward zero in Spark
+  * `div`, DuckDB `//` and the JVM alike — verified), fixed IEEE shapes,
+  * total ORDER BY.
+  */
+object MlQueries {
+
+  /** One unrolled GD round for the q105 oracle: probabilities from the
+    * previous round's weights, gradient sums, weight update. Mirrors
+    * LogisticGd.fit exactly (hard-sigmoid link, η = 1/10).
+    */
+  private def gdRound(r: Int): String = {
+    val xs = 0 to 3
+    val prev = if (r == 1) "w0" else s"w${r - 1}"
+    val zSql = xs.map(i => s"w$i * x$i").mkString(" + ")
+    val grads = xs.map(i => s"SUM((ym - p) * x$i) AS g$i").mkString(", ")
+    val upd = xs.map(i => s"CAST(w$i + g$i // (10 * n) AS BIGINT) AS w$i")
+      .mkString(", ")
+    s"""p$r AS (SELECT ym, x0, x1, x2, x3,
+       |    LEAST(GREATEST(500000 + ($zSql) // 4, 0), 1000000) AS p
+       |  FROM feat CROSS JOIN $prev),
+       |g$r AS (SELECT COUNT(*) AS n, $grads FROM p$r),
+       |w$r AS (SELECT $upd FROM g$r CROSS JOIN $prev)""".stripMargin
+  }
+
+  /** One unrolled BPE merge round for the t52 oracle: adjacent-pair
+    * counts over the space-joined symbol strings, deterministic winner,
+    * greedy left-to-right fold (list_reduce with a prepended empty-string
+    * seed — the house ordered-fold convention). Mirrors Bpe.mergeLoop.
+    */
+  private def bpeRound(r: Int): String =
+    s"""px$r AS (SELECT string_split(sym, ' ') AS l FROM s${r - 1}
+       |        WHERE len(string_split(sym, ' ')) >= 2),
+       |pi$r AS (SELECT l, unnest(range(1, len(l))) AS i FROM px$r),
+       |m$r AS (SELECT l[i] AS sa, l[i + 1] AS sb,
+       |          CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM pi$r GROUP BY 1, 2
+       |        ORDER BY cnt DESC, sa || ' ' || sb ASC LIMIT 1),
+       |s$r AS (SELECT list_reduce(list_prepend('', string_split(sym, ' ')),
+       |          (acc, ch) -> CASE
+       |            WHEN ch = m.sb AND (acc = m.sa
+       |                 OR ends_with(acc, ' ' || m.sa)) THEN acc || ch
+       |            WHEN acc = '' THEN ch
+       |            ELSE acc || ' ' || ch END) AS sym
+       |        FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Integer-quantized gradient-descent logistic regression (M2's
+    // oracle row): predict R-returnflag from bucketed lineitem features
+    // with 3 budgeted rounds of the hard-sigmoid trainer. The emitted
+    // model IS the full training trajectory — any drift in any round's
+    // gradient sums or integral updates changes the weights.
+    GateQuery(
+      "q105_logreg_gd",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+          lit(1L).as("x_bias"),
+          expr("CAST(l_quantity AS BIGINT) div 10").as("x_qty"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+            .as("x_disc"),
+          expr("CAST(floor(l_extendedprice) AS BIGINT) div 20000")
+            .as("x_price"))
+        val w = graft.ml.LogisticGd.fit(li, "y",
+          Seq("x_bias", "x_qty", "x_disc", "x_price"),
+          rounds = 3, etaDen = 10L)
+        import s.implicits._
+        Seq(("x0_bias", w(0)), ("x1_qty", w(1)), ("x2_disc", w(2)),
+            ("x3_price", w(3)))
+          .toDF("feature", "w_micro").orderBy("feature")
+      },
+      Some(s"""
+        WITH feat AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 1000000 ELSE 0 END AS ym,
+                 CAST(1 AS BIGINT) AS x0,
+                 CAST(l_quantity AS BIGINT) // 10 AS x1,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+                 CAST(floor(l_extendedprice) AS BIGINT) // 20000 AS x3
+          FROM lineitem),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                      CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        ${gdRound(1)},
+        ${gdRound(2)},
+        ${gdRound(3)}
+        SELECT 'x0_bias' AS feature, w0 AS w_micro FROM w3
+        UNION ALL SELECT 'x1_qty', w1 FROM w3
+        UNION ALL SELECT 'x2_disc', w2 FROM w3
+        UNION ALL SELECT 'x3_price', w3 FROM w3
+        ORDER BY feature""")),
+
+    // Fixed-grid Epanechnikov KDE (M4/M3's oracle row): document-length
+    // density over a 101-point grid, bandwidth 500 chars. Exact integer
+    // kernel sums; density is one fixed IEEE shape over them.
+    GateQuery(
+      "q106_kde_grid",
+      (s, dir) =>
+        graft.ml.Kde.densityGrid(
+            t(s, dir, "documents").select(col("n_chars")),
+            "n_chars", gridLo = 0L, gridStep = 200L, nPoints = 101,
+            bandwidth = 500L)
+          .orderBy("k"),
+      Some("""
+        WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+                   WHERE n_chars IS NOT NULL),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        g AS (SELECT CAST(unnest(range(0, 101)) AS BIGINT) AS k),
+        d AS (SELECT k, SUM(CASE WHEN ABS(k * 200 - x) < 500
+                THEN (750000 * (250000 - (k * 200 - x) * (k * 200 - x)))
+                     // 250000
+                ELSE 0 END) AS kernel_sum
+              FROM g CROSS JOIN v GROUP BY k)
+        SELECT k, CAST(k * 200 AS BIGINT) AS gx,
+          CAST(kernel_sum AS BIGINT) AS kernel_sum,
+          CAST(kernel_sum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+            / 500.0 AS density
+        FROM d CROSS JOIN nn ORDER BY k""")),
+
+    // Multi-vintage mergeSchema read (the r8 events-ts lesson as a
+    // CONTRACT row, not a spec): the gate WRITES a two-vintage table —
+    // one parquet file predating the `event_type` column, one carrying
+    // it — then reads the directory back through Graft.table with
+    // mergeSchema and aggregates the unified frame. Pre-schema rows
+    // surface with NULL event_type (labeled '_pre_schema_'), exactly the
+    // evolving-schema reads the reference leans on four times
+    // (clientsdaily/rollup.py:23, addon_aggregates.py:61,
+    // sync/bookmark_validation.py:25, experimentsdaily/rollup.py:12).
+    GateQuery(
+      "q107_merge_vintage",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_mv_" + Integer.toHexString(dir.hashCode))
+        val tbl = base.resolve("events_mv.parquet").toString
+        // vintage 0: written before event_type existed
+        ev.filter(col("user_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .write.mode("overwrite").parquet(tbl)
+        // vintage 1: current schema, appended into the same table dir
+        ev.filter(col("user_id") % 2 =!= 0)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+          .write.mode("append").parquet(tbl)
+        graft.core.Graft
+          .table(s, base.toString, "events_mv", mergeSchema = true)
+          .groupBy(coalesce(col("event_type"), lit("_pre_schema_"))
+            .as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(unix_millis(col("ts"))).as("min_ms"),
+            max(unix_millis(col("ts"))).as("max_ms"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH mv AS (SELECT user_id, epoch_us(ts) // 1000 AS ms,
+              CASE WHEN user_id % 2 = 0 THEN NULL ELSE event_type END AS et
+            FROM events)
+        SELECT COALESCE(et, '_pre_schema_') AS event_type,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(MIN(ms) AS BIGINT) AS min_ms,
+          CAST(MAX(ms) AS BIGINT) AS max_ms
+        FROM mv GROUP BY 1 ORDER BY event_type""")),
+
+    // Iterated BPE merge induction (t47 mines round 1; this runs the
+    // loop): 3 unrolled merge rounds over the documents corpus — pair
+    // table, deterministic winner, greedy fold — the merge table a
+    // tokenizer trainer would emit.
+    GateQuery(
+      "t52_bpe_merges",
+      (s, dir) =>
+        graft.text.Bpe.mergeLoop(t(s, dir, "documents"), "text",
+          merges = 3),
+      Some(s"""
+        WITH tok AS (SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'),
+                tk -> len(tk) >= 2)) AS tok
+              FROM documents),
+        s0 AS (SELECT array_to_string(string_split(tok, ''), ' ') AS sym
+               FROM tok),
+        ${bpeRound(1)},
+        ${bpeRound(2)},
+        ${bpeRound(3)}
+        SELECT CAST(1 AS BIGINT) AS round, sa AS sym_a, sb AS sym_b, cnt
+        FROM m1
+        UNION ALL SELECT CAST(2 AS BIGINT), sa, sb, cnt FROM m2
+        UNION ALL SELECT CAST(3 AS BIGINT), sa, sb, cnt FROM m3
+        ORDER BY round"""))
+  )
+}

@@ -50,4 +50,74 @@ object Bpe {
       .filter(col("rank") <= k)
       .select(col("rank"), col("pair"), col("cnt"))
   }
+
+  /** Budgeted BPE merge LOOP — the actual tokenizer-induction operator
+    * (topPairs mines only round 1): `merges` rounds of count adjacent
+    * symbol pairs → pick the winner (cnt DESC, "a b" ASC — the X100
+    * boundary-tie convention on the space-joined pair, identical in any
+    * engine because symbols are whitespace-free) → apply the merge to
+    * every token. Returns the merge table (round, sym_a, sym_b, cnt),
+    * fewer rows if the corpus runs out of pairs.
+    *
+    * The corpus rides between rounds as ONE space-joined symbol string
+    * per token (lossless: symbols never contain whitespace). Each round
+    * is one pair-explode + grouped count (map-side combined — the
+    * shuffle carries (pair, count) cells bounded by the live pair
+    * vocabulary, not the corpus) and a 1-row winner hop to the driver
+    * (the k-means model-bounded convention). The merge applies as an
+    * aggregate() fold — codegen'd, no UDF: on (last symbol = a, next =
+    * b) append b WITHOUT a separator, which reproduces BPE's greedy
+    * left-to-right non-overlapping pass because a freshly merged symbol
+    * a||b can never equal a again; the boundary check is exact (either
+    * the accumulator IS a, or it ends with ' '||a — symbols cannot
+    * contain the space). Round state is persisted and rolled forward
+    * with the PageRank cache lifecycle.
+    */
+  def mergeLoop(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var cur = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(expr("array_join(split(tok, ''), ' ')").as("sym"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var done = false
+    for (r <- 1 to merges if !done) {
+      val top = cur.select(split(col("sym"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) AS sa, " +
+            "element_at(a, i + 1) AS sb))")).as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc,
+          concat_ws(" ", col("sa"), col("sb")).asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        results += ((r.toLong, a, b, cnt))
+        val next = cur.select(aggregate(split(col("sym"), " "), lit(""),
+            (acc, s) =>
+              when(s === lit(b) &&
+                  (acc === lit(a) || acc.endsWith(lit(" " + a))),
+                concat(acc, s))
+                .when(acc === lit(""), s)
+                .otherwise(concat(acc, lit(" "), s)))
+          .as("sym"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist(false)
+        cur = next
+      }
+    }
+    cur.unpersist(false)
+    import spark.implicits._
+    results.toSeq.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+  }
 }

@@ -44,4 +44,47 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     b shouldBe a
   }
+
+  private def loop(texts: Seq[String], merges: Int) =
+    Bpe.mergeLoop(texts.map(Tuple1(_)).toDF("text"), "text", merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+
+  "mergeLoop" should "iterate merges over the rewritten corpus" in {
+    // 'abab ab': round 1 counts (a,b)=3 (b,a)=1 -> merge (a,b);
+    // corpus becomes 'ab ab' / 'ab'; round 2 merges (ab,ab)=1;
+    // corpus 'abab' / 'ab' has no pairs left -> loop stops at 2 rows.
+    loop(Seq("abab ab"), 3) shouldBe Array(
+      (1L, "a", "b", 3L), (2L, "ab", "ab", 1L))
+  }
+
+  it should "apply merges greedily left-to-right (no overlap)" in {
+    // 'aaa': (a,a) counts 2 but merges ONCE -> 'aa a'; round 2 merges
+    // (aa,a) once -> 'aaa'.
+    loop(Seq("aaa"), 2) shouldBe Array(
+      (1L, "a", "a", 2L), (2L, "aa", "a", 1L))
+  }
+
+  it should "break winner ties on the space-joined pair ascending" in {
+    loop(Seq("ab cd"), 1) shouldBe Array((1L, "a", "b", 1L))
+  }
+
+  it should "respect word boundaries across rounds" in {
+    // merging (a,b) in 'ab ba' never creates a cross-token pair
+    val got = loop(Seq("ab ba", "ab"), 2)
+    got(0) shouldBe ((1L, "a", "b", 2L))
+    got(1) shouldBe ((2L, "b", "a", 1L))
+  }
+
+  it should "be invariant under repartitioning" in {
+    val texts = (1 to 40).map(i => s"alpha${i % 3} beta${i % 5}")
+    val a = loop(texts, 3)
+    val b = Bpe.mergeLoop(
+        texts.map(Tuple1(_)).toDF("text").repartition(9), "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    b shouldBe a
+  }
 }
