@@ -84,6 +84,11 @@ object Bpe {
       .filter(length(col("tok")) >= 2)
       .select(expr("array_join(split(tok, ''), ' ')").as("sym"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The winner collect consumes ALL of `cur`, so it doubles as the
+    // round's materialization point — no extra eager count pass per round;
+    // the previous round's cache is released only after the collect has
+    // filled the current one.
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     var done = false
     for (r <- 1 to merges if !done) {
       val top = cur.select(split(col("sym"), " ").as("a"))
@@ -97,25 +102,36 @@ object Bpe {
         .orderBy(col("cnt").desc,
           concat_ws(" ", col("sa"), col("sb")).asc)
         .limit(1).collect()
+      prev.foreach(_.unpersist(false))
+      prev = None
       if (top.isEmpty) done = true
       else {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         results += ((r.toLong, a, b, cnt))
-        val next = cur.select(aggregate(split(col("sym"), " "), lit(""),
-            (acc, s) =>
-              when(s === lit(b) &&
-                  (acc === lit(a) || acc.endsWith(lit(" " + a))),
-                concat(acc, s))
-                .when(acc === lit(""), s)
-                .otherwise(concat(acc, lit(" "), s)))
-          .as("sym"))
+        // Fold only the tokens that CONTAIN the winning pair as adjacent
+        // symbols — space-padding makes the containment test exact on
+        // symbol boundaries, and it is precisely the fold's merge
+        // condition, so untouched tokens pass through by identity
+        // (most of the corpus, increasingly so in later rounds).
+        val hasPair =
+          concat(lit(" "), col("sym"), lit(" ")).contains(s" $a $b ")
+        val next = cur.select(
+            when(hasPair, aggregate(split(col("sym"), " "), lit(""),
+              (acc, s) =>
+                when(s === lit(b) &&
+                    (acc === lit(a) || acc.endsWith(lit(" " + a))),
+                  concat(acc, s))
+                  .when(acc === lit(""), s)
+                  .otherwise(concat(acc, lit(" "), s))))
+              .otherwise(col("sym"))
+              .as("sym"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cur.unpersist(false)
+        prev = Some(cur)
         cur = next
       }
     }
+    prev.foreach(_.unpersist(false))
     cur.unpersist(false)
     import spark.implicits._
     results.toSeq.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
