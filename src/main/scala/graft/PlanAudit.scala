@@ -52,7 +52,8 @@ object PlanAudit {
       "q102_sampler_uniformity", "t50_ngram_novelty", "q103_stickiness",
       "m04_image_dims", "q104_revenue_retention", "t51_burstiness",
       "q105_logreg_gd", "q106_kde_grid", "q107_merge_vintage",
-      "t52_bpe_merges")
+      "t52_bpe_merges", "q108_logreg_calibration", "q109_ks_test",
+      "d30_centroid_pairs", "t53_bpe_encode")
     SparkEntry.gateQueries.filter(q => interesting.contains(q.name))
       .foreach { q =>
         println(s"\n===== ${q.name} =====")

@@ -155,4 +155,68 @@ object Hypothesis {
         (col("u2").cast("double") / lit(2.0)).as("u"),
         col("tie_term"), z.as("z_score"))
   }
+
+  /** Pairwise two-sample Kolmogorov–Smirnov — the DISTRIBUTION-shape test
+    * the location tests (Welch t, Mann–Whitney) cannot replace: D is the
+    * largest gap between the two empirical CDFs anywhere, so it fires on
+    * variance/modality changes that leave means and ranks untouched —
+    * the "did this source's metric distribution change shape" drift
+    * question asked with a statistic instead of a histogram (the metric
+    * companion to X67 JS / X68 PSI / X127 W₁).
+    *
+    * Exact-integer core (the mannWhitney compressed-rank shape): values
+    * quantize to micro-unit longs and collapse to per-(group, value)
+    * counts; per pair, ONE window over the |distinct values|-sized count
+    * table yields both running and total counts, and
+    * d_num = max |cumA·n_b − cumB·n_a| is an exact long (the CDF gap on
+    * the common denominator n_a·n_b — no floats, no ties ambiguity: at
+    * every distinct value both CDFs step together). D = d_num/(n_a·n_b)
+    * and the sample-size-scaled √(n_a·n_b/(n_a+n_b))·D are fixed IEEE
+    * shapes over those longs, bit-identical in any engine.
+    *
+    * Scale: ONE map-side-combined count aggregation touches the rows;
+    * everything after runs on |groups|·|distinct values| cells with the
+    * pair fan-out bounded by the broadcast pair frame.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val x = col(valueCol)
+    val m = floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+    val counts = df.filter(x.isNotNull)
+      .groupBy(col(groupCol).as("g"), m.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val groups = counts.select(col("g")).distinct()
+    val pairs = groups.alias("pa").join(broadcast(groups.alias("pb")),
+        col("pa.g") < col("pb.g"))
+      .select(col("pa.g").as("ga"), col("pb.g").as("gb"))
+    val merged = counts.join(broadcast(pairs),
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy("ga", "gb", "v")
+      .agg(
+        sum(when(col("g") === col("ga"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("gb"), col("c")).otherwise(0L)).as("cb"))
+    // one sort pass: running and total counts from the same window spec
+    val part = Window.partitionBy("ga", "gb").orderBy("v")
+    val run = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = part.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val stepped = merged
+      .withColumn("cum_a", sum("ca").over(run))
+      .withColumn("cum_b", sum("cb").over(run))
+      .withColumn("n_a", sum("ca").over(all))
+      .withColumn("n_b", sum("cb").over(all))
+    val agg = stepped.groupBy("ga", "gb").agg(
+      max("n_a").as("n_a"), max("n_b").as("n_b"),
+      max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("d_num"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val ksD = col("d_num").cast("double") / (nA * nB)
+    agg
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("d_num"),
+        ksD.as("ks_d"),
+        (sqrt(nA * nB / (nA + nB)) * ksD).as("ks_stat"))
+  }
 }

@@ -172,6 +172,173 @@ object MlQueries {
           CAST(MAX(ms) AS BIGINT) AS max_ms
         FROM mv GROUP BY 1 ORDER BY event_type""")),
 
+    // Train→serve calibration for the integer-GD model (X145's predict
+    // leg, the compiled-NB-serving analogue): the q105 trainer's weights
+    // score the SAME frame through the identical hard-sigmoid link, and
+    // the readout buckets predictions by deciles of p with the observed
+    // positive rate per bucket — the "is the score monotone in the
+    // label" check run before any score threshold ships.
+    GateQuery(
+      "q108_logreg_calibration",
+      (s, dir) => {
+        val feats = Seq("x_bias", "x_qty", "x_disc", "x_price")
+        val li = t(s, dir, "lineitem").select(
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+          lit(1L).as("x_bias"),
+          expr("CAST(l_quantity AS BIGINT) div 10").as("x_qty"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")
+            .as("x_disc"),
+          expr("CAST(floor(l_extendedprice) AS BIGINT) div 20000")
+            .as("x_price"))
+        val w = graft.ml.LogisticGd.fit(li, "y", feats,
+          rounds = 3, etaDen = 10L)
+        graft.ml.LogisticGd.predict(li, feats, w)
+          .groupBy(expr("p_micro div 100000").as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+          .withColumn("pos_rate",
+            col("n_pos").cast("double") / col("n").cast("double"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH feat AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 1000000 ELSE 0 END AS ym,
+                 CAST(1 AS BIGINT) AS x0,
+                 CAST(l_quantity AS BIGINT) // 10 AS x1,
+                 CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+                 CAST(floor(l_extendedprice) AS BIGINT) // 20000 AS x3
+          FROM lineitem),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                      CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        ${gdRound(1)},
+        ${gdRound(2)},
+        ${gdRound(3)},
+        sc AS (SELECT ym, LEAST(GREATEST(500000 +
+                 (w0*x0 + w1*x1 + w2*x2 + w3*x3) // 4, 0), 1000000) AS p
+               FROM feat CROSS JOIN w3)
+        SELECT CAST(p // 100000 AS BIGINT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN ym = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          CAST(SUM(CASE WHEN ym = 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        FROM sc GROUP BY 1 ORDER BY bucket""")),
+
+    // Pairwise exact-integer two-sample Kolmogorov-Smirnov over the
+    // price distribution per return flag — the SHAPE drift test the
+    // location tests miss: d_num = max |cumA·n_b − cumB·n_a| is an
+    // exact long on the common denominator, D and the scaled statistic
+    // fixed IEEE shapes. Prices pre-bucketed to hundreds so the
+    // distinct-value table stays ~10³ cells.
+    GateQuery(
+      "q109_ks_test",
+      (s, dir) =>
+        graft.operators.Hypothesis.ksTest(
+            t(s, dir, "lineitem").select(col("l_returnflag"),
+              expr("CAST(floor(l_extendedprice) AS BIGINT) div 100")
+                .as("price_hund")),
+            "l_returnflag", "price_hund")
+          .orderBy("group_a", "group_b"),
+      Some("""
+        WITH q AS (SELECT l_returnflag AS g,
+                CAST(floor(l_extendedprice) AS BIGINT) // 100 AS v0
+              FROM lineitem),
+        c AS (SELECT g, CAST(floor(CAST(v0 AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS v, COUNT(*) AS c
+              FROM q GROUP BY 1, 2),
+        gs AS (SELECT DISTINCT g FROM c),
+        pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b
+               ON a.g < b.g),
+        mg AS (SELECT ga, gb, v,
+                 SUM(CASE WHEN g = ga THEN c ELSE 0 END) AS ca,
+                 SUM(CASE WHEN g = gb THEN c ELSE 0 END) AS cb
+               FROM c JOIN pr ON g = ga OR g = gb GROUP BY 1, 2, 3),
+        st AS (SELECT ga, gb,
+                 SUM(ca) OVER (PARTITION BY ga, gb ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum_a,
+                 SUM(cb) OVER (PARTITION BY ga, gb ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum_b,
+                 SUM(ca) OVER (PARTITION BY ga, gb) AS n_a,
+                 SUM(cb) OVER (PARTITION BY ga, gb) AS n_b
+               FROM mg),
+        ag AS (SELECT ga AS group_a, gb AS group_b,
+                 CAST(MAX(n_a) AS BIGINT) AS n_a,
+                 CAST(MAX(n_b) AS BIGINT) AS n_b,
+                 CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                   AS d_num
+               FROM st GROUP BY 1, 2)
+        SELECT group_a, group_b, n_a, n_b, d_num,
+          CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE)
+            * CAST(n_b AS DOUBLE)) AS ks_d,
+          sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE)
+              * CAST(n_b AS DOUBLE))) AS ks_stat
+        FROM ag WHERE n_a > 0 AND n_b > 0
+        ORDER BY group_a, group_b""")),
+
+    // Pairwise label-centroid cosine matrix over the embeddings — the
+    // confusion structure of the label space (which labels sit close,
+    // hence bleed into each other under label-stratified curation).
+    // d28's milli-quantized exact-sum machinery turned pairwise.
+    GateQuery(
+      "d30_centroid_pairs",
+      (s, dir) =>
+        graft.similarity.EmbeddingDrift.centroidPairCosine(
+            t(s, dir, "embeddings"), "label", "embedding")
+          .orderBy("group_a", "group_b"),
+      Some("""
+        WITH raw AS (SELECT label,
+                generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding) AS comp
+              FROM embeddings WHERE embedding IS NOT NULL),
+        cells AS (SELECT label, dim,
+                CAST(SUM(CAST(floor(CAST(comp AS DOUBLE) * 1000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS s
+              FROM raw GROUP BY 1, 2),
+        norms AS (SELECT label, CAST(SUM(s*s) AS BIGINT) AS n2
+                  FROM cells GROUP BY 1),
+        dots AS (SELECT a.label AS group_a, b.label AS group_b,
+                CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+              FROM cells a JOIN cells b
+                ON a.dim = b.dim AND a.label < b.label
+              GROUP BY 1, 2)
+        SELECT group_a, group_b, dot, na.n2 AS norm2_a, nb.n2 AS norm2_b,
+          CASE WHEN na.n2 > 0 AND nb.n2 > 0
+               THEN CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))) END AS centroid_cos
+        FROM dots
+        JOIN norms na ON na.label = group_a
+        JOIN norms nb ON nb.label = group_b
+        ORDER BY group_a, group_b""")),
+
+    // BPE encode census (the serving half of t52's induction): after 3
+    // learned merges, tokenize the corpus with them and census the top
+    // 30 symbols — "what does the corpus look like through this
+    // tokenizer".
+    GateQuery(
+      "t53_bpe_encode",
+      (s, dir) =>
+        graft.text.Bpe.encodeTopTokens(t(s, dir, "documents"), "text",
+          merges = 3, k = 30),
+      Some(s"""
+        WITH tok AS (SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'),
+                tk -> len(tk) >= 2)) AS tok
+              FROM documents),
+        s0 AS (SELECT array_to_string(string_split(tok, ''), ' ') AS sym
+               FROM tok),
+        ${bpeRound(1)},
+        ${bpeRound(2)},
+        ${bpeRound(3)},
+        tc AS (SELECT unnest(string_split(sym, ' ')) AS token FROM s3),
+        cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tc GROUP BY 1),
+        rk AS (SELECT token, cnt, CAST(row_number() OVER (
+                 ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+               FROM cc)
+        SELECT rank, token, cnt FROM rk WHERE rank <= 30
+        ORDER BY rank""")),
+
     // Iterated BPE merge induction (t47 mines round 1; this runs the
     // loop): 3 unrolled merge rounds over the documents corpus — pair
     // table, deterministic winner, greedy fold — the merge table a

@@ -30,6 +30,49 @@ object EmbeddingDrift {
     * Output: (groupCol, n_a, n_b, dot, norm2_a, norm2_b,
     * centroid_cos).
     */
+  /** Pairwise label-centroid cosine matrix — "which labels sit close in
+    * embedding space" (the confusion structure a curator checks before
+    * trusting label-stratified sampling or per-label quality cuts).
+    * Same exactness machinery as centroidCosine: milli-quantized
+    * component sums per (group, dim) — cosine of the SUM vectors equals
+    * cosine of the means, so no division until the final IEEE shape.
+    *
+    * Scale: one posexplode pass map-side-combined to groups × dims
+    * cells; the pair matrix is a broadcast self-join of that tiny frame
+    * (groups² × dims products, groups ≤ hundreds). Output one row per
+    * unordered pair (group_a < group_b).
+    */
+  def centroidPairCosine(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val cells = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("dim", "comp")))
+      .withColumn("m",
+        floor(col("comp").cast("double") * lit(1000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy("g", "dim").agg(sum("m").as("s"))
+    val norms = cells.groupBy("g").agg(sum(col("s") * col("s")).as("n2"))
+    val a = cells.select(col("g").as("group_a"), col("dim"),
+      col("s").as("s_a"))
+    val b = cells.select(col("g").as("group_b"), col("dim").as("dim_b"),
+      col("s").as("s_b"))
+    a.join(broadcast(b),
+        col("group_a") < col("group_b") && col("dim") === col("dim_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(col("s_a") * col("s_b")).as("dot"))
+      .join(broadcast(norms.select(col("g").as("group_a"),
+        col("n2").as("norm2_a"))), "group_a")
+      .join(broadcast(norms.select(col("g").as("group_b"),
+        col("n2").as("norm2_b"))), "group_b")
+      .select(col("group_a"), col("group_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"),
+        when(col("norm2_a") > 0L && col("norm2_b") > 0L,
+          col("dot").cast("double") /
+            (sqrt(col("norm2_a").cast("double")) *
+              sqrt(col("norm2_b").cast("double")))).as("centroid_cos"))
+  }
+
   def centroidCosine(df: DataFrame, groupCol: String, sideCol: String,
       vecCol: String): DataFrame = {
     val cells = df

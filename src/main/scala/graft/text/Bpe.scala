@@ -74,8 +74,85 @@ object Bpe {
     * with the PageRank cache lifecycle.
     */
   def mergeLoop(df: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = df.sparkSession
+    val (results, live) = runMerges(df, textCol, merges)
+    live.foreach(_.unpersist(false))
+    import spark.implicits._
+    results.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+  }
+
+  /** Tokenize the corpus WITH the merge table (self-encode: the merges
+    * learned on this corpus by `merges` loop rounds) and census the
+    * resulting symbol vocabulary: (rank, token, cnt) for the top `k`
+    * tokens by (cnt DESC, token ASC) — the "what does the corpus look
+    * like through this tokenizer" readout, the encode half of the
+    * induction t52 pins. For encoding NEW data with a stored merge
+    * table, see `applyMerges`.
+    */
+  def encodeTopTokens(df: DataFrame, textCol: String, merges: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.storage.StorageLevel
+    val (_, live) = runMerges(df, textCol, merges)
+    val corpus = live.last
+    val out = corpus
+      .select(explode(split(col("sym"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    live.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Apply a STORED merge table to new data — the serving half of BPE
+    * (learn once with mergeLoop, encode every new batch with its output):
+    * each (a, b) merge applies as one full greedy fold, in table order,
+    * to the WORD in `tokenCol` (one whitespace-free token per row — the
+    * word-boundary convention; explode `tokens(lower(text))` upstream).
+    * Returns the frame with an `encoded` array column of BPE symbols.
+    * Pure lazy column expressions — no jobs, no state, safe to fuse into
+    * any downstream plan.
+    */
+  def applyMerges(df: DataFrame, tokenCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val start = df.withColumn("__sym",
+      expr(s"array_join(split($tokenCol, ''), ' ')"))
+    val folded = merges.foldLeft(start) { case (d, (a, b)) =>
+      d.withColumn("__sym", mergeFold(col("__sym"), a, b))
+    }
+    folded.withColumn("encoded", split(col("__sym"), " ")).drop("__sym")
+  }
+
+  /** One greedy left-to-right merge pass of (a, b) over a space-joined
+    * symbol string. Fold only the tokens that CONTAIN the pair as
+    * adjacent symbols — space-padding makes the containment test exact
+    * on symbol boundaries, and it is precisely the fold's merge
+    * condition, so untouched rows pass through by identity (most of the
+    * corpus, increasingly so in later rounds).
+    */
+  private def mergeFold(sym: org.apache.spark.sql.Column, a: String,
+      b: String): org.apache.spark.sql.Column = {
+    val hasPair = concat(lit(" "), sym, lit(" ")).contains(s" $a $b ")
+    when(hasPair, aggregate(split(sym, " "), lit(""),
+      (acc, s) =>
+        when(s === lit(b) && (acc === lit(a) || acc.endsWith(lit(" " + a))),
+          concat(acc, s))
+          .when(acc === lit(""), s)
+          .otherwise(concat(acc, lit(" "), s))))
+      .otherwise(sym)
+  }
+
+  /** Shared merge-loop core: returns the merge table rows and the still-
+    * cached frames (last = the final corpus, lazy past the last winner
+    * collect). Callers release the caches.
+    */
+  private def runMerges(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
     import org.apache.spark.storage.StorageLevel
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -88,7 +165,7 @@ object Bpe {
     // round's materialization point — no extra eager count pass per round;
     // the previous round's cache is released only after the collect has
     // filled the current one.
-    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    var prev: Option[DataFrame] = None
     var done = false
     for (r <- 1 to merges if !done) {
       val top = cur.select(split(col("sym"), " ").as("a"))
@@ -109,31 +186,12 @@ object Bpe {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         results += ((r.toLong, a, b, cnt))
-        // Fold only the tokens that CONTAIN the winning pair as adjacent
-        // symbols — space-padding makes the containment test exact on
-        // symbol boundaries, and it is precisely the fold's merge
-        // condition, so untouched tokens pass through by identity
-        // (most of the corpus, increasingly so in later rounds).
-        val hasPair =
-          concat(lit(" "), col("sym"), lit(" ")).contains(s" $a $b ")
-        val next = cur.select(
-            when(hasPair, aggregate(split(col("sym"), " "), lit(""),
-              (acc, s) =>
-                when(s === lit(b) &&
-                    (acc === lit(a) || acc.endsWith(lit(" " + a))),
-                  concat(acc, s))
-                  .when(acc === lit(""), s)
-                  .otherwise(concat(acc, lit(" "), s))))
-              .otherwise(col("sym"))
-              .as("sym"))
+        val next = cur.select(mergeFold(col("sym"), a, b).as("sym"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         prev = Some(cur)
         cur = next
       }
     }
-    prev.foreach(_.unpersist(false))
-    cur.unpersist(false)
-    import spark.implicits._
-    results.toSeq.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+    (results.toSeq, prev.toSeq :+ cur)
   }
 }

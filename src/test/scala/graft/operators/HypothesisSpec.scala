@@ -139,4 +139,36 @@ class HypothesisSpec extends SparkSpec {
     // a-vs-b: disjoint, a below: u2 = 0
     rows(0).getLong(4) shouldBe 0L
   }
+
+  "ksTest" should "compute the exact integer CDF gap" in {
+    // a = {1, 2}, b = {2, 3}: at v=1 gap |1·2 − 0·2| = 2; at v=2
+    // |2·2 − 1·2| = 2; at v=3 |2·2 − 2·2| = 0 → d_num = 2, D = 0.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "x")
+    val r = Hypothesis.ksTest(df, "g", "x").collect().head
+    (r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((2L, 2L, 2L))
+    r.getDouble(5) shouldBe 0.5
+    r.getDouble(6) shouldBe math.sqrt(4.0 / 4.0) * 0.5
+  }
+
+  it should "reach D = 1 on disjoint supports and 0 on identical ones" in {
+    val disjoint = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g", "x")
+    Hypothesis.ksTest(disjoint, "g", "x").collect()
+      .head.getDouble(5) shouldBe 1.0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "x")
+    Hypothesis.ksTest(same, "g", "x").collect()
+      .head.getDouble(5) shouldBe 0.0
+  }
+
+  it should "be invariant under repartitioning" in {
+    val df = (1 to 120).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i * 17 % 31).toDouble))
+      .toDF("g", "x")
+    val a = Hypothesis.ksTest(df, "g", "x").collect().head
+    val b = Hypothesis.ksTest(df.repartition(7), "g", "x")
+      .collect().head
+    a shouldBe b
+  }
 }

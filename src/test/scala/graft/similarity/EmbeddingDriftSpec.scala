@@ -58,4 +58,47 @@ class EmbeddingDriftSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getDouble(6))).toMap
     a("g")._3 shouldBe b("g")._3
   }
+
+  private def runPairs(rows: Seq[(String, Seq[Float])]) =
+    EmbeddingDrift.centroidPairCosine(
+        rows.toDF("label", "embedding"), "label", "embedding")
+      .orderBy("group_a", "group_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))))
+
+  "centroidPairCosine" should "emit one row per unordered pair with exact sums" in {
+    // a: sum (3, 0) milli 3000,0 ; b: sum (0, 4) -> 0,4000 ; c: (1, 1)
+    val got = runPairs(Seq(
+      ("a", Seq(1f, 0f)), ("a", Seq(2f, 0f)),
+      ("b", Seq(0f, 4f)), ("c", Seq(1f, 1f))))
+    got.map(_._1) shouldBe Array(("a", "b"), ("a", "c"), ("b", "c"))
+    val ab = got(0)._2
+    ab._1 shouldBe 0L // orthogonal centroids
+    ab._2 shouldBe 3000L * 3000L
+    ab._3 shouldBe 4000L * 4000L
+    ab._4 shouldBe 0.0
+    val ac = got(1)._2
+    ac._4 shouldBe (3000.0 * 1000.0) /
+      (math.sqrt(9000000.0) * math.sqrt(2000000.0))
+  }
+
+  it should "emit NULL cosine for zero-norm groups" in {
+    val got = runPairs(Seq(("a", Seq(0f, 0f)), ("b", Seq(1f, 0f))))
+    got.head._2._4.isNaN shouldBe true
+  }
+
+  it should "be invariant under repartitioning" in {
+    val rows = (1 to 90).map(i => (s"l${i % 4}",
+      Seq.tabulate(6)(d => (math.cos(i * 2.0 + d)).toFloat)))
+    val a = runPairs(rows)
+    val b = EmbeddingDrift.centroidPairCosine(
+        rows.toDF("label", "embedding").repartition(7),
+        "label", "embedding")
+      .orderBy("group_a", "group_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))))
+    a shouldBe b
+  }
 }

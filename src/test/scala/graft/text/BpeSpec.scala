@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** BPE pair mining: hand-counted pairs, word-boundary convention,
   * deterministic tie cut, min-count pruning, partition invariance.
@@ -86,5 +87,42 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3)))
     b shouldBe a
+  }
+
+  "applyMerges" should "encode new tokens with a stored merge table" in {
+    val got = Bpe.applyMerges(
+        Seq("abab", "aab", "xy").map(Tuple1(_)).toDF("tok"), "tok",
+        Seq(("a", "b"), ("ab", "ab")))
+      .select("encoded").collect().map(_.getSeq[String](0))
+    got(0) shouldBe Seq("abab") // ab+ab then merged pairwise
+    got(1) shouldBe Seq("a", "ab") // greedy: first a survives
+    got(2) shouldBe Seq("x", "y") // untouched vocabulary
+  }
+
+  "encodeTopTokens" should "census the corpus through its own merges" in {
+    // one merge on 'abab ab ab': round 1 merges (a,b); corpus becomes
+    // ab ab / ab / ab -> token 'ab' x4
+    val got = Bpe.encodeTopTokens(
+        Seq("abab ab ab").map(Tuple1(_)).toDF("text"), "text",
+        merges = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got shouldBe Array((1L, "ab", 4L))
+  }
+
+  it should "agree with applyMerges on the mergeLoop table" in {
+    val texts = (1 to 30).map(i => s"gamma${i % 4} delta${i % 3}")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val table = Bpe.mergeLoop(df, "text", 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaApply = Bpe.applyMerges(
+        df.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(org.apache.spark.sql.functions.length(col("tok")) >= 2),
+        "tok", table)
+      .select(explode(col("encoded")).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaEncode = Bpe.encodeTopTokens(df, "text", 2, 1000)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    viaApply shouldBe viaEncode
   }
 }
