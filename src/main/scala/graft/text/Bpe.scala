@@ -59,12 +59,15 @@ object Bpe {
     * every token. Returns the merge table (round, sym_a, sym_b, cnt),
     * fewer rows if the corpus runs out of pairs.
     *
-    * The corpus rides between rounds as ONE space-joined symbol string
-    * per token (lossless: symbols never contain whitespace). Each round
-    * is one pair-explode + grouped count (map-side combined — the
-    * shuffle carries (pair, count) cells bounded by the live pair
-    * vocabulary, not the corpus) and a 1-row winner hop to the driver
-    * (the k-means model-bounded convention). The merge applies as an
+    * The corpus rides between rounds as the WEIGHTED WORD-FREQUENCY
+    * VOCABULARY — one space-joined symbol string per DISTINCT word plus
+    * its occurrence count (lossless: symbols never contain whitespace;
+    * the classic BPE-trainer representation) — so every round runs at
+    * vocabulary size, not corpus size. Each round is one pair-explode +
+    * weighted count (map-side combined — the shuffle carries (pair,
+    * count) cells bounded by the live pair vocabulary) and a 1-row
+    * winner hop to the driver (the k-means model-bounded convention).
+    * The merge applies as an
     * aggregate() fold — codegen'd, no UDF: on (last symbol = a, next =
     * b) append b WITHOUT a separator, which reproduces BPE's greedy
     * left-to-right non-overlapping pass because a freshly merged symbol
@@ -94,10 +97,10 @@ object Bpe {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.storage.StorageLevel
     val (_, live) = runMerges(df, textCol, merges)
-    val corpus = live.last
-    val out = corpus
-      .select(explode(split(col("sym"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = live.last // (sym, wcnt) weighted vocabulary
+    val out = vocab
+      .select(explode(split(col("sym"), " ")).as("token"), col("wcnt"))
+      .groupBy("token").agg(sum("wcnt").as("cnt"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
       .filter(col("rank") <= k)
@@ -146,9 +149,18 @@ object Bpe {
       .otherwise(sym)
   }
 
-  /** Shared merge-loop core: returns the merge table rows and the still-
-    * cached frames (last = the final corpus, lazy past the last winner
-    * collect). Callers release the caches.
+  /** Shared merge-loop core over the WEIGHTED WORD-FREQUENCY VOCABULARY —
+    * the classic BPE-trainer representation (Sennrich et al. work a word
+    * frequency dict, never the raw corpus): natural text repeats words
+    * heavily, so one up-front groupBy collapses the occurrence stream to
+    * (sym, wcnt) distinct-word rows, and every later pass — pair counts
+    * (Σ wcnt per adjacent pair), fold rewrites, the encode census — runs
+    * at vocabulary size, orders of magnitude below corpus size. Counts
+    * are identical to occurrence-level counting by construction.
+    *
+    * Returns the merge table rows and the still-cached frames (last = the
+    * final (sym, wcnt) vocabulary, lazy past the last winner collect).
+    * Callers release the caches.
     */
   private def runMerges(df: DataFrame, textCol: String, merges: Int)
       : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
@@ -159,7 +171,8 @@ object Bpe {
     var cur = df
       .select(explode(tokens(lower(col(textCol)))).as("tok"))
       .filter(length(col("tok")) >= 2)
-      .select(expr("array_join(split(tok, ''), ' ')").as("sym"))
+      .groupBy(expr("array_join(split(tok, ''), ' ')").as("sym"))
+      .agg(count(lit(1)).as("wcnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The winner collect consumes ALL of `cur`, so it doubles as the
     // round's materialization point — no extra eager count pass per round;
@@ -168,14 +181,15 @@ object Bpe {
     var prev: Option[DataFrame] = None
     var done = false
     for (r <- 1 to merges if !done) {
-      val top = cur.select(split(col("sym"), " ").as("a"))
+      val top = cur
+        .select(split(col("sym"), " ").as("a"), col("wcnt"))
         .filter(size(col("a")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(a) - 1), " +
             "i -> struct(element_at(a, i) AS sa, " +
-            "element_at(a, i + 1) AS sb))")).as("p"))
+            "element_at(a, i + 1) AS sb))")).as("p"), col("wcnt"))
         .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("wcnt").as("cnt"))
         .orderBy(col("cnt").desc,
           concat_ws(" ", col("sa"), col("sb")).asc)
         .limit(1).collect()
@@ -186,7 +200,11 @@ object Bpe {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         results += ((r.toLong, a, b, cnt))
-        val next = cur.select(mergeFold(col("sym"), a, b).as("sym"))
+        // two distinct pre-merge words can rewrite to the same symbol
+        // string; re-aggregating keeps the vocabulary canonical
+        val next = cur
+          .groupBy(mergeFold(col("sym"), a, b).as("sym"))
+          .agg(sum("wcnt").as("wcnt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         prev = Some(cur)
         cur = next
