@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation — community detection over a similarity
@@ -26,10 +25,11 @@ import org.apache.spark.sql.functions._
   * Scale: per round, ONE shuffle join of labels onto the symmetrized
   * edge list (both sides hash-partition on the node id — consistent
   * across rounds, so AQE reuses the exchange layout), one
-  * map-side-combined (node, label) count, and a top-1 window bounded by
-  * WindowGroupLimit. Labels are 16 bytes/node; edges never carry
-  * payloads. Degenerate hubs are capped by the same maxBucketSize guard
-  * the LSH candidate generator applies upstream.
+  * map-side-combined (node, label) count, and the per-node argmax as a
+  * second min_by aggregation (no window sort, no per-round carry join —
+  * isolated nodes rejoin once at the end). Labels are 16 bytes/node;
+  * edges never carry payloads. Degenerate hubs are capped by the same
+  * maxBucketSize guard the LSH candidate generator applies upstream.
   */
 object LabelProp {
 
@@ -47,38 +47,60 @@ object LabelProp {
     require(rounds >= 1, "rounds must be >= 1")
     import org.apache.spark.storage.StorageLevel
     // The edge list is referenced once per round and is often the
-    // expensive lineage (the near-dup generator runs MinHash + verify);
-    // each round's labels are referenced twice by the next round (votes
-    // + carry-forward join). Without caching, evaluation re-runs the
-    // edge lineage per round and doubles the label chain per round —
-    // measured 7.0 s vs 1.3 s on the d23 gate. The caches are LAZY (no
-    // per-round jobs); `materialize = true` (default) runs the one
-    // eager count at the end and releases every intermediate, the
-    // PageRank.ranks lifecycle (PageRank.scala:134-150).
+    // expensive lineage (the near-dup generator runs MinHash + verify).
+    // Without caching, evaluation re-runs the edge lineage per round and
+    // doubles the label chain per round — measured 7.0 s vs 1.3 s on the
+    // d23 gate. The caches are LAZY (no per-round jobs);
+    // `materialize = true` (default) runs the one eager count at the end
+    // and releases every intermediate, the PageRank.ranks lifecycle
+    // (PageRank.scala:134-150).
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame =
       if (!materialize) df
       else { cached += df.persist(StorageLevel.MEMORY_AND_DISK); df }
-    val sym = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d"))))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lab"))
-    val byNode = Window.partitionBy("id")
-      .orderBy(col("c").desc, col("nl").asc)
+    val universe = nodes.select(col(idCol).as("id"))
+    // Restrict the edge list to universe × universe ONCE, up front —
+    // semantically identical to the original formulation (an endpoint
+    // outside `nodes` never carried a label, so it neither cast votes
+    // nor kept winner rows), and it guarantees every node of the
+    // restricted graph receives >= 1 vote per round (its neighbors all
+    // carry labels), which the round loop below relies on.
+    val sym = keep({
+      val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+        .join(universe.select(col("id").as("s")), Seq("s"), "left_semi")
+        .join(universe.select(col("id").as("d")), Seq("d"), "left_semi")
+      e0.select(col("s"), col("d"))
+        .union(e0.select(col("d").as("s"), col("s").as("d")))
+    })
+    // Only edge-touched nodes can ever change label (an isolated node
+    // receives no votes in any round and keeps its own id), so the round
+    // loop rides the touched set alone and the isolated complement joins
+    // back ONCE at the end — r11 restructure that drops the per-round
+    // carry-forward join. Every touched node receives >= 1 vote every
+    // round (the symmetrized list puts each endpoint on the d side and
+    // its neighbors always carry labels), so the winner frame covers the
+    // touched set exactly and no per-round coalesce is needed.
+    val touched = keep(sym.select(col("d").as("id")).distinct())
+    var labels = touched.withColumn("lab", col("id"))
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(labels.select(col("id").as("s"), col("lab").as("nl")), "s")
         .groupBy(col("d").as("id"), col("nl"))
         .agg(count(lit(1)).as("c"))
-      val winner = votes
-        .withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("nl"))
-      labels = keep(labels.join(winner, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nl"), col("lab")).as("lab")))
+      // argmax (max count, then min label) as ONE aggregation — min_by
+      // over the (−c, nl) ordering struct replaces the window sort the
+      // row_number formulation paid per round, and orders any orderable
+      // label type without negating it
+      labels = keep(votes.groupBy("id")
+        .agg(min_by(col("nl"),
+          struct((col("c") * -1L).as("negc"), col("nl"))).as("lab")))
     }
-    val sizes = labels.groupBy(col("lab").as("community"))
+    val isolated = universe.join(touched, Seq("id"), "left_anti")
+      .withColumn("lab", col("id"))
+    val all = labels.unionByName(isolated)
+    val sizes = all.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("community_size"))
-    val out = labels.select(col("id").as(idCol), col("lab").as("community"))
+    val out = all.select(col("id").as(idCol), col("lab").as("community"))
       .join(sizes, "community")
       .select(col(idCol), col("community"), col("community_size"))
     if (materialize) {
