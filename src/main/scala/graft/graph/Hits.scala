@@ -63,12 +63,12 @@ object Hits {
         e.join(hubs.select(col("node").as("s"), col("score")), "s")
           .groupBy(col("d").as("node"))
           .agg(sum("score").as("raw")))
-      auths = renorm(aRaw)
+      auths = renorm(aRaw, materialize)
       val hRaw = keep(
         e.join(auths.select(col("node").as("d"), col("score")), "d")
           .groupBy(col("s").as("node"))
           .agg(sum("score").as("raw")))
-      hubs = renorm(hRaw)
+      hubs = renorm(hRaw, materialize)
     }
     val out = hubs.select(col("node"), lit("hub").as("role"), col("score"))
       .unionByName(auths.select(col("node"), lit("authority").as("role"),
@@ -82,15 +82,28 @@ object Hits {
   }
 
   /** a ← a div max(1, Σa div Scale): exact integral renormalization —
-    * the largest score lands near Scale, every op is a long. The
-    * denominator is ONE long collected from the persisted sums (driver-
-    * model-bounded); inlining it as a literal keeps each half-round at a
-    * single distributed job instead of an extra broadcast exchange.
+    * the largest score lands near Scale, every op is a long.
+    *
+    * Eager (persisted) path: the denominator is ONE long collected from
+    * the persisted sums (driver-model-bounded); inlining it as a literal
+    * keeps each half-round at a single distributed job instead of an
+    * extra broadcast exchange. Lazy (materialize=false) path: the raw
+    * sums are NOT persisted, so an eager `.head()` per half-round would
+    * recompute the full prior lineage quadratically and launch 2·rounds
+    * jobs at construction — there the denominator stays a lazy broadcast
+    * 1-row total instead.
     */
-  private def renorm(raw: DataFrame): DataFrame = {
-    val totalRow = raw.agg(expr(s"sum(raw) div ${Scale}L")).head()
-    val denom = if (totalRow.isNullAt(0)) 1L
-      else math.max(totalRow.getLong(0), 1L)
-    raw.select(col("node"), expr(s"raw div ${denom}L").as("score"))
+  private def renorm(raw: DataFrame, eager: Boolean): DataFrame = {
+    if (eager) {
+      val totalRow = raw.agg(expr(s"sum(raw) div ${Scale}L")).head()
+      val denom = if (totalRow.isNullAt(0)) 1L
+        else math.max(totalRow.getLong(0), 1L)
+      raw.select(col("node"), expr(s"raw div ${denom}L").as("score"))
+    } else {
+      val tot = raw.agg(
+        greatest(expr(s"sum(raw) div ${Scale}L"), lit(1L)).as("denom"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), expr("raw div denom").as("score"))
+    }
   }
 }

@@ -37,6 +37,13 @@ object Kde {
     require(nPoints >= 1, s"nPoints must be >= 1, got $nPoints")
     require(gridStep >= 1, s"gridStep must be >= 1, got $gridStep")
     require(bandwidth >= 1, s"bandwidth must be >= 1, got $bandwidth")
+    // 750000·h² is the largest intermediate a single contribution forms;
+    // past 2^53 it replays differently across engines (the Quant guarded-
+    // operator discipline — DECIMAL/HUGEINT→DOUBLE casts are not
+    // correctly rounded everywhere). 750000·(10⁵)² ≈ 7.5e15 < 2^53.
+    require(bandwidth <= 100000L,
+      s"bandwidth must be <= 100000 (2^53 cross-engine replay bound on " +
+        s"750000*h^2), got $bandwidth")
     val h = bandwidth
     val v = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("long").as("x"))

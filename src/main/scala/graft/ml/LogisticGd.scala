@@ -49,7 +49,12 @@ object LogisticGd {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(featureCols.nonEmpty, "at least one feature column")
     require(etaDen >= 1L, s"etaDen must be >= 1, got $etaDen")
-    val feat = df.select(
+    // NULL in any input column would null that row's every gradient term
+    // while still counting it in n (silently inflating the learning-rate
+    // divisor) — drop incomplete rows up front, the Cuped/Trendline rule.
+    val nonNull = (col(labelCol) +: featureCols.map(col))
+      .map(_.isNotNull).reduce(_ && _)
+    val feat = df.filter(nonNull).select(
       (col(labelCol).cast("long") * Scale).as("ym") +:
         featureCols.zipWithIndex.map { case (c, i) =>
           col(c).cast("long").as(s"x$i")

@@ -112,7 +112,9 @@ object Hypothesis {
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val x = col(valueCol)
-    val m = floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+    // Quant.fixedPoint (the welch guard): out-of-range magnitudes raise
+    // instead of silently saturating the double→long cast.
+    val m = Quant.fixedPoint(x, 1000000.0).cast("long")
     val counts = df.filter(x.isNotNull)
       .groupBy(col(groupCol).as("g"), m.as("v"))
       .agg(count(lit(1)).as("c"))
@@ -181,7 +183,9 @@ object Hypothesis {
   def ksTest(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val x = col(valueCol)
-    val m = floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+    // Quant.fixedPoint (the welch guard): out-of-range magnitudes raise
+    // instead of silently saturating the double→long cast.
+    val m = Quant.fixedPoint(x, 1000000.0).cast("long")
     val counts = df.filter(x.isNotNull)
       .groupBy(col(groupCol).as("g"), m.as("v"))
       .agg(count(lit(1)).as("c"))

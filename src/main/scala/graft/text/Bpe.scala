@@ -95,20 +95,25 @@ object Bpe {
   def encodeTopTokens(df: DataFrame, textCol: String, merges: Int,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
     val (_, live) = runMerges(df, textCol, merges)
     val vocab = live.last // (sym, wcnt) weighted vocabulary
-    val out = vocab
+    // The census is ≤ k rows (model-bounded) — collect it and hand back a
+    // local frame, so every cluster-side cache is released HERE and the
+    // caller owns nothing (a returned persisted frame would leak outside
+    // the bench/verify clearCache harnesses).
+    val rows = vocab
       .select(explode(split(col("sym"), " ")).as("token"), col("wcnt"))
       .groupBy("token").agg(sum("wcnt").as("cnt"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("rank"), col("token"), col("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .collect()
     live.foreach(_.unpersist(false))
-    out
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.toDF("rank", "token", "cnt")
   }
 
   /** Apply a STORED merge table to new data — the serving half of BPE
