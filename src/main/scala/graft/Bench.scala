@@ -210,7 +210,22 @@ object Bench {
     calibrate(spark1); calibrate(spark1)
     val loadStart = loadAvg1m()
     val calStart = calibrate(spark1)
-    val batchResults = runSection(spark1, batchQs)
+    // Mid-run contention probes: the r12 driver bench had three CONTIGUOUS
+    // run-order bands inflated ~5-7x by external CPU load, and the two
+    // endpoint calibration samples bracketed all of them — nothing in the
+    // artifact could localize the contention. Sampling the fixed
+    // calibration plan every `probeEvery` queries makes a contention band
+    // visible in the artifact itself: a reader maps each query's run-order
+    // position to the nearest probes and discounts the band, not the round.
+    val probeEvery = 40
+    val calMid = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val batchResults = batchQs.grouped(probeEvery).toSeq.zipWithIndex
+      .flatMap { case (chunk, i) =>
+        val res = runSection(spark1, chunk)
+        calMid += ((math.min((i + 1) * probeEvery, batchQs.size),
+          calibrate(spark1)))
+        res
+      }
     // trigger probe in the AGED session — after every batch gate has run
     val trigAged =
       if (streamQs.nonEmpty) streamTriggerProbe(spark1) else -1.0
@@ -267,9 +282,12 @@ object Bench {
     // streaming session. aged >> fresh ⇒ any streaming-gate drift in a
     // single-session harness would have been session aging, and the
     // streaming numbers below (fresh session) are clean of it.
+    val midJson = calMid
+      .map { case (n, c) => s"[$n,${f3(c)}]" }.mkString("[", ",", "]")
     val sentinel =
       s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +
         s""""calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}},""" +
+        s""""calibration_mid":$midJson,""" +
         s""""stream_trigger":{"aged":${f3(trigAged)},"fresh":${f3(trigFresh)}}"""
     val compact =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_err":$errCount,$sentinel,"queries":$qs,"sf":"$sfDir"}"""
