@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scaling probe for the expensive gate families — the evidence the
+  * plan audits can't give: every 100 TB claim in SURVEY/PLANS is argued
+  * from plan shape at sf0.1 (~600k lineitem rows, ~5k documents); this
+  * main MEASURES the wall-clock growth of the fixed-point / similarity
+  * tail (d23, t46, q74, q79, q83, d04) on an engine-synthesized corpus
+  * `SPARK_GRAFT_SCALE_FACTOR`× the size, and records per-query
+  * (base_sec, scaled_sec, ratio) to `bench_local/r13_scale_probe.json`.
+  * ≲ factor× growth ⇒ the operator is data-bound (linear scan/shuffle
+  * mass dominates); ≫ factor× names a superlinear stage to fix.
+  *
+  * Synthesis is COPY-DISJOINT by construction — the subtlety that makes
+  * the probe honest: naive row cloning makes every document/vector a
+  * 0-distance twin of its 9 clones, so similarity buckets grow factor×
+  * DENSER (candidate pairs grow factor²) and the probe would report a
+  * superlinearity the real corpus doesn't have. Instead each copy is
+  * mapped into its own disjoint key/token/geometry space:
+  *   - lineitem/orders: every join key shifted by copy · 10⁸ — ten
+  *     disjoint order/part/customer graphs (q74, q79);
+  *   - documents: every TOKEN suffixed with the copy tag (bijective
+  *     per-copy token rename) — shingle spaces disjoint across copies,
+  *     within-copy similarity structure bit-identical (t46, d04, d23);
+  *   - embeddings: components cyclically rotated by copy index — norms
+  *     and within-copy geometry exact, cross-copy vectors decorrelated
+  *     (q83).
+  * Each copy is an sf0.1-shaped world; the union is the factor× corpus
+  * with the same duplication/similarity density as the base.
+  */
+object ScaleProbe {
+
+  private val ProbeGates = Seq("d23_label_prop", "t46_prefix_jaccard",
+    "q74_hits", "q79_kcore", "q83_mutual_nn", "d04_simhash")
+
+  private def loadAvg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 24).selectExpr("sum(xxhash64(id) % 1024)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Union `factor` disjoint copies of `df`, each transformed by
+    * `remap(copyIndex)`; copy 0 is the identity so the base tables are a
+    * strict subset of the scaled ones.
+    */
+  private def copies(df: DataFrame, factor: Int)(
+      remap: Int => DataFrame => DataFrame): DataFrame =
+    (0 until factor).map(i => remap(i)(df)).reduce(_ unionByName _)
+
+  private def shiftKeys(df: DataFrame, keys: Seq[String], i: Int)
+      : DataFrame =
+    keys.foldLeft(df) { (d, k) =>
+      val orig = d.schema(k).dataType
+      d.withColumn(k,
+        (col(k).cast("long") + lit(i.toLong * 100000000L)).cast(orig))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/tmp/graft_scale_probe")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    require(factor >= 2, s"factor must be >= 2: $factor")
+
+    val spark = graft.core.Graft.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-scale-probe")
+        .config("spark.ui.enabled", "false"),
+      shufflePartitions = cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize the factor× tables --------------------------------
+    def base(name: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$scaleDir/$name.parquet")
+
+    write(copies(base("lineitem"), factor)(i => df =>
+      shiftKeys(df, Seq("l_orderkey", "l_partkey", "l_suppkey"), i)),
+      "lineitem")
+    write(copies(base("orders"), factor)(i => df =>
+      shiftKeys(df, Seq("o_orderkey", "o_custkey"), i)), "orders")
+    write(copies(base("documents"), factor)(i => df =>
+      shiftKeys(df, Seq("doc_id"), i)
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1c" + i.toString))),
+      "documents")
+    val dim = 64
+    write(copies(base("embeddings"), factor)(i => df =>
+      shiftKeys(df, Seq("vec_id"), i)
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), i % dim + 1, dim - i % dim),
+            slice(col("embedding"), 1, i % dim)))),
+      "embeddings")
+
+    // ---- probe: one untimed warmup at base SF amortizes codegen/JIT,
+    // then one timed run per scale. Stage counts ride along: the
+    // fixed-point gates' cost model is stages × ~0.3 s AQE floor, and
+    // the scale-right signature is a FLAT stage count at factor× (data
+    // grows, plan doesn't) — recording both makes the model checkable
+    // from the artifact.
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = { stages.incrementAndGet(); () }
+      })
+    val qs = SparkEntry.queries
+    def timed(name: String, dir: String): (Double, Long) = {
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext)
+      val s0 = stages.get()
+      val t0 = System.nanoTime()
+      qs(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      val el = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext)
+      (el, stages.get() - s0)
+    }
+    val loadStart = loadAvg1m()
+    calibrate(spark); calibrate(spark)
+    val calStart = calibrate(spark)
+    val rows = ProbeGates.map { name =>
+      timed(name, sfDir) // warmup (plans for both scales share codegen)
+      val (baseSec, baseStages) = timed(name, sfDir)
+      val (scaledSec, scaledStages) = timed(name, scaleDir)
+      (name, baseSec, scaledSec, baseStages, scaledStages)
+    }
+    val calEnd = calibrate(spark)
+    val loadEnd = loadAvg1m()
+
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val body = rows.map { case (n, b, s, bst, sst) =>
+      s""""$n":{"base_sec":${f3(b)},"scaled_sec":${f3(s)},""" +
+        s""""ratio":${f3(s / math.max(b, 1e-9))},""" +
+        s""""base_stages":$bst,"scaled_stages":$sst}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir",""" +
+        s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +
+        s""""calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}},""" +
+        s""""queries":$body}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "bench_local/r13_scale_probe.json")
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

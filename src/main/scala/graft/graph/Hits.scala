@@ -39,6 +39,16 @@ object Hits {
   def hubsAndAuthorities(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, materialize: Boolean = true): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // Lazy mode keeps the renorm denominator as a broadcast 1-row total
+    // that references the raw sums TWICE, and each round nests the
+    // previous renorm — the LOGICAL plan grows ~4^rounds nodes. Exchange
+    // reuse keeps execution linear, but analyzer/optimizer time and
+    // driver memory do not amortize; past ~5 rounds plan compilation
+    // dominates. Budgeted iteration at larger round counts belongs on
+    // the eager path (collected-literal denominators, O(rounds) plan).
+    require(materialize || rounds <= 5,
+      s"materialize=false builds a ~4^rounds logical plan; got $rounds " +
+        "rounds — use materialize=true (eager, O(rounds) plan) past 5")
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def keep(df: DataFrame): DataFrame =
       if (!materialize) df

@@ -91,9 +91,14 @@ object LogisticGd {
     val z = featureCols.zip(weights)
       .map { case (c, w) => col(c).cast("long") * lit(w) }
       .reduce(_ + _)
+    // Null-propagate, mirroring fit()'s null-row drop: a null feature
+    // nulls __z, and greatest/least SKIP nulls (greatest(null, 0L) = 0L),
+    // so without the guard a null row would silently score p_micro = 0 —
+    // a confident negative — instead of "unscorable".
     df.withColumn("__z", z)
       .withColumn("p_micro",
-        expr("least(greatest(500000L + __z div 4, 0L), 1000000L)"))
+        when(col("__z").isNotNull,
+          expr("least(greatest(500000L + __z div 4, 0L), 1000000L)")))
       .drop("__z")
   }
 }

@@ -362,6 +362,34 @@ object MlQueries {
         FROM m1
         UNION ALL SELECT CAST(2 AS BIGINT), sa, sb, cnt FROM m2
         UNION ALL SELECT CAST(3 AS BIGINT), sa, sb, cnt FROM m3
+        ORDER BY round""")),
+
+    // BYTE-level BPE merge induction (t52's production-form twin, the
+    // GPT-2 lineage: UTF-8 bytes as 2-char hex symbols plus the '.'
+    // end-of-word marker, case preserved, every token participates).
+    // Same pair table, deterministic winner, and greedy fold as t52 —
+    // the bpeRound CTEs replay verbatim; only round-0 atomization
+    // differs, so the oracle isolates exactly the byte-level contract.
+    GateQuery(
+      "t54_bpe_bytes",
+      (s, dir) =>
+        graft.text.Bpe.byteMergeLoop(t(s, dir, "documents"), "text",
+          merges = 3),
+      Some(s"""
+        WITH tok AS (SELECT unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'),
+                tk -> len(tk) >= 1)) AS tok
+              FROM documents),
+        s0 AS (SELECT regexp_replace(lower(hex(encode(tok))),
+                 '(..)', '\\1 ', 'g') || '.' AS sym
+               FROM tok),
+        ${bpeRound(1)},
+        ${bpeRound(2)},
+        ${bpeRound(3)}
+        SELECT CAST(1 AS BIGINT) AS round, sa AS sym_a, sb AS sym_b, cnt
+        FROM m1
+        UNION ALL SELECT CAST(2 AS BIGINT), sa, sb, cnt FROM m2
+        UNION ALL SELECT CAST(3 AS BIGINT), sa, sb, cnt FROM m3
         ORDER BY round"""))
   )
 }

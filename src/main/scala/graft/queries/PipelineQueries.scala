@@ -3318,6 +3318,76 @@ object PipelineQueries {
           |SELECT event_id, user_id, p_ms, match_id, m_ms
           |FROM best WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
+    // d24's OUTER-emission contract (X5's last out-of-contract leg): the
+    // left-outer rows the streaming interval join emits once the
+    // watermark passes a purchase's match window must BE the batch
+    // anti-join residue — purchases with no click in [ts − 1 h, ts].
+    // Finite-replay determinism: a left row's outer emission requires
+    // state eviction, which the engine may hold until the watermark
+    // clears the row by up to horizon + lateness (derivation-dependent),
+    // so BOTH sides cut at wm − (horizon + lateness), where wm =
+    // min(max purchase ts, max click ts) − lateness is the replay's
+    // final global watermark — below that line eviction is certain under
+    // any correct derivation and emission is exactly-once, so the sets
+    // compare exactly. Above it, emission timing is the engine's
+    // latitude (d24 keeps that leg matched-only).
+    GateQuery(
+      "d31_stream_outer_flush",
+      (s, dir) => {
+        import s.implicits._
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        def typed(t: String): DataFrame = {
+          val st = s.readStream.schema(raw.schema)
+            .parquet(stagedStreamDir(dir, "events"))
+          st.withColumn("ts", GateQuery.normalizeTs(st, "ts"))
+            .filter(col("event_type") === t)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"))
+        }
+        val joined = graft.streaming.EventStreams.intervalJoin(
+          typed("purchase"), typed("click"),
+          horizonSec = 3600L, lateness = "30 minutes")
+        // final watermark from the BATCH read of the same bytes: per-side
+        // max event time minus lateness, min across the two inputs
+        val evb = raw.withColumn("ts", GateQuery.normalizeTs(raw, "ts"))
+        val b = evb.agg(
+          max(when(col("event_type") === "purchase",
+            unix_millis(col("ts")))).as("mp"),
+          max(when(col("event_type") === "click",
+            unix_millis(col("ts")))).as("mc")).head()
+        val wmMs = math.min(b.getLong(0), b.getLong(1)) - 1800000L
+        val cutMs = wmMs - (3600000L + 1800000L)
+        val rows = runStreamToMemory(s, joined, "d31_mem_sink") { res =>
+          res.filter(col("match_id").isNull)
+            .select(col("event_id"), col("user_id"),
+              unix_millis(col("ts")).as("p_ms"))
+            .filter(col("p_ms") <= cutMs)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1)
+        }
+        rows.toSeq.toDF("event_id", "user_id", "p_ms")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |        epoch_us(ts) // 1000 AS tms FROM events),
+          |p AS (SELECT event_id, user_id, tms FROM e
+          |      WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id, user_id, tms FROM e
+          |      WHERE event_type = 'click'),
+          |wm AS (SELECT LEAST((SELECT MAX(tms) FROM p),
+          |                    (SELECT MAX(tms) FROM c))
+          |         - 1800000 AS w),
+          |res AS (SELECT p.event_id, p.user_id, p.tms AS p_ms
+          |        FROM p CROSS JOIN wm
+          |        WHERE p.tms <= w - 5400000
+          |          AND NOT EXISTS (SELECT 1 FROM c
+          |            WHERE c.user_id = p.user_id
+          |              AND c.tms BETWEEN p.tms - 3600000 AND p.tms))
+          |SELECT event_id, user_id, p_ms FROM res
+          |ORDER BY event_id""".stripMargin)),
+
     // Exact-integer Lloyd's k-means over the embeddings (k=8, 2 rounds):
     // micro-unit quantized vectors, exact long distances, lowest-id
     // seeding and lowest-centroid ties, integer-mean updates — every

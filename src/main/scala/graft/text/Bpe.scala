@@ -78,7 +78,32 @@ object Bpe {
     */
   def mergeLoop(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     val spark = df.sparkSession
-    val (results, live) = runMerges(df, textCol, merges)
+    val (results, live) = runMerges(df, textCol, merges, CharAtoms)
+    live.foreach(_.unpersist(false))
+    import spark.implicits._
+    results.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
+  }
+
+  /** BYTE-level merge loop — the production tokenizer-trainer form
+    * (GPT-2 lineage: Radford et al. 2019 train BPE over raw bytes so any
+    * UTF-8 string tokenizes with no OOV): each whitespace token atomizes
+    * to its UTF-8 bytes, one 2-char lowercase-hex symbol per byte, plus
+    * a '.' END-OF-WORD marker symbol — so merges can learn word-final
+    * units ("ing" + end-of-word) distinctly from word-internal ones,
+    * the Sennrich boundary convention at byte granularity. Case is
+    * PRESERVED (byte-level trainers never casefold) and every token
+    * participates (a 1-char word still carries byte + marker — two
+    * symbols, one pair). Symbols stay whitespace-free by construction
+    * (hex chars and '.'), so the weighted vocabulary, winner hop, and
+    * greedy fold are exactly `mergeLoop`'s; only atomization differs.
+    * Merged symbols concatenate hex units, so any learned symbol decodes
+    * unambiguously: strip the optional trailing '.', split into 2-char
+    * units, parse bytes, UTF-8 decode (`decodeByteSymbol`).
+    */
+  def byteMergeLoop(df: DataFrame, textCol: String, merges: Int)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val (results, live) = runMerges(df, textCol, merges, ByteAtoms)
     live.foreach(_.unpersist(false))
     import spark.implicits._
     results.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
@@ -93,10 +118,25 @@ object Bpe {
     * table, see `applyMerges`.
     */
   def encodeTopTokens(df: DataFrame, textCol: String, merges: Int,
-      k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+      k: Int): DataFrame =
+    encodeCensus(df, textCol, merges, k, CharAtoms)
+
+  /** Byte-level twin of `encodeTopTokens`: census the corpus through its
+    * own byte-level merges (symbols are hex-byte strings, the last one
+    * per word carrying the '.' end-of-word marker).
+    */
+  def encodeTopTokensBytes(df: DataFrame, textCol: String, merges: Int,
+      k: Int): DataFrame =
+    encodeCensus(df, textCol, merges, k, ByteAtoms)
+
+  private def encodeCensus(df: DataFrame, textCol: String, merges: Int,
+      k: Int, atoms: Atomizer): DataFrame = {
+    // k bounds the driver-side collect below — cap it at a generous
+    // tokenizer-vocabulary ceiling (GPT-2 ships 50257) so the census can
+    // never silently become a corpus-sized driver materialization
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
     val spark = df.sparkSession
-    val (_, live) = runMerges(df, textCol, merges)
+    val (_, live) = runMerges(df, textCol, merges, atoms)
     val vocab = live.last // (sym, wcnt) weighted vocabulary
     // The census is ≤ k rows (model-bounded) — collect it and hand back a
     // local frame, so every cluster-side cache is released HERE and the
@@ -126,13 +166,43 @@ object Bpe {
     * any downstream plan.
     */
   def applyMerges(df: DataFrame, tokenCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    applyMergeTable(df, CharAtoms.sym(col(tokenCol)), merges)
+
+  /** Byte-level serving twin of `applyMerges`: atomize the word in
+    * `tokenCol` to hex-byte symbols + the '.' end-of-word marker, then
+    * fold a STORED byte-level merge table (from `byteMergeLoop`) in
+    * table order. `encoded` is the array of byte-BPE symbols; each
+    * decodes via `decodeByteSymbol` and their decoded concatenation
+    * round-trips the original word exactly (BpeSpec pins it).
+    */
+  def applyMergesBytes(df: DataFrame, tokenCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    applyMergeTable(df, ByteAtoms.sym(col(tokenCol)), merges)
+
+  private def applyMergeTable(df: DataFrame,
+      sym0: org.apache.spark.sql.Column,
       merges: Seq[(String, String)]): DataFrame = {
-    val start = df.withColumn("__sym",
-      expr(s"array_join(split($tokenCol, ''), ' ')"))
+    val start = df.withColumn("__sym", sym0)
     val folded = merges.foldLeft(start) { case (d, (a, b)) =>
       d.withColumn("__sym", mergeFold(col("__sym"), a, b))
     }
     folded.withColumn("encoded", split(col("__sym"), " ")).drop("__sym")
+  }
+
+  /** Decode ONE byte-BPE symbol (driver/test-side): strip the optional
+    * trailing end-of-word marker, parse the 2-char hex units back to
+    * bytes, UTF-8 decode. The empty string decodes to itself (a bare
+    * marker symbol "." decodes to the empty word end).
+    */
+  def decodeByteSymbol(sym: String): String = {
+    val hexPart = if (sym.endsWith(".")) sym.dropRight(1) else sym
+    require(hexPart.length % 2 == 0 &&
+        hexPart.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"not a byte-BPE symbol: '$sym'")
+    val bytes = hexPart.grouped(2)
+      .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** One greedy left-to-right merge pass of (a, b) over a space-joined
@@ -154,6 +224,24 @@ object Bpe {
       .otherwise(sym)
   }
 
+  /** How a whitespace token becomes the round-0 space-joined symbol
+    * string. Char-level (the Sennrich research form, t52/t53): casefold,
+    * one symbol per character, words shorter than 2 chars carry no pair
+    * and are skipped. Byte-level (the GPT-2 production form, t54): case
+    * preserved, one 2-char hex symbol per UTF-8 byte plus the '.'
+    * end-of-word marker — every token has ≥ 2 symbols, so none skip.
+    */
+  private final case class Atomizer(lowercase: Boolean, minTokLen: Int,
+      sym: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  private val CharAtoms = Atomizer(lowercase = true, minTokLen = 2,
+    sym = tok => array_join(split(tok, ""), " "))
+
+  private val ByteAtoms = Atomizer(lowercase = false, minTokLen = 1,
+    sym = tok => concat(
+      regexp_replace(lower(hex(encode(tok, "UTF-8"))), "(..)", "$1 "),
+      lit(".")))
+
   /** Shared merge-loop core over the WEIGHTED WORD-FREQUENCY VOCABULARY —
     * the classic BPE-trainer representation (Sennrich et al. work a word
     * frequency dict, never the raw corpus): natural text repeats words
@@ -167,16 +255,19 @@ object Bpe {
     * final (sym, wcnt) vocabulary, lazy past the last winner collect).
     * Callers release the caches.
     */
-  private def runMerges(df: DataFrame, textCol: String, merges: Int)
+  private def runMerges(df: DataFrame, textCol: String, merges: Int,
+      atoms: Atomizer = CharAtoms)
       : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     import org.apache.spark.storage.StorageLevel
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val text =
+      if (atoms.lowercase) lower(col(textCol)) else col(textCol)
     var cur = df
-      .select(explode(tokens(lower(col(textCol)))).as("tok"))
-      .filter(length(col("tok")) >= 2)
-      .groupBy(expr("array_join(split(tok, ''), ' ')").as("sym"))
+      .select(explode(tokens(text)).as("tok"))
+      .filter(length(col("tok")) >= atoms.minTokLen)
+      .groupBy(atoms.sym(col("tok")).as("sym"))
       .agg(count(lit(1)).as("wcnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The winner collect consumes ALL of `cur`, so it doubles as the

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Zero-shuffle CONTRACTS for the documented map-only operators — the
+  * properties the 100 TB design leans on hardest: these stages run at
+  * corpus scale, so "no exchange" is not an optimization note, it is the
+  * difference between a scan-speed pass and a corpus-wide shuffle. Bench
+  * emits per-query `shuffle_mb`, but nothing FAILED when a map-only
+  * operator grew an exchange (an innocuous-looking `.distinct()`, a
+  * window, a non-broadcast join in a refactor) — a regression would
+  * surface only in round-over-round artifact review. This spec pins each
+  * contract in `sbt test` using the AQE-aware plan walk
+  * (`Bucketing.hasShuffle` — finalized physical plan, ReusedExchange
+  * unwrapped), on the real sf0.001 tables so pruning/pushdown shapes
+  * match the gates.
+  *
+  * Contracts covered (the r11 verdict's list):
+  *   - t30 `Chunking.chunkByTokens` — tokens/starts/slices are codegen
+  *     HOFs, one Generate, no exchange
+  *   - t42 `CodeDetect.score` — pure per-row string expressions
+  *   - t15 `Redact.scrub` — ordered regex scrub, per-row
+  *   - X56 `Projection.project` — literal sign rows, codegen'd dots
+  *   - X56 serving twin `NbClassifier.scoreCompiled` — model compiled to
+  *     plan literals, scoring is one per-row expression
+  *   - t54 `Bpe.applyMergesBytes` — stored-table encode is a pure fold
+  */
+class ShuffleContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def tbl(name: String): DataFrame =
+    graft.queries.GateQuery.table(spark, sfDir, name)
+
+  private def assertMapOnly(df: DataFrame): Unit =
+    graft.core.Bucketing.hasShuffle(df) shouldBe false
+
+  "chunkByTokens (t30)" should "stay map-only on the documents table" in {
+    assertMapOnly(graft.text.Chunking.chunkByTokens(
+      tbl("documents"), "doc_id", "text",
+      windowTokens = 20, strideTokens = 10))
+  }
+
+  "CodeDetect.score (t42)" should "stay map-only on the documents table" in {
+    assertMapOnly(graft.text.CodeDetect.score(
+      tbl("documents").select("doc_id", "text"), "text"))
+  }
+
+  "Redact.scrub (t15)" should "stay map-only on the events-derived text" in {
+    // the t15 gate's exact input shape: props JSON + derived addresses
+    val ev = tbl("events")
+      .filter(col("event_id") % 11 === 0)
+      .withColumn("text", concat(
+        col("props"), lit(" from 10."),
+        (col("user_id") % 200).cast("string"), lit(".0."),
+        (col("event_id") % 250).cast("string"), lit(" by user"),
+        col("user_id").cast("string"), lit("@example.com")))
+    assertMapOnly(graft.text.Redact.scrub(ev, "text"))
+  }
+
+  "Projection.project (X56)" should "stay map-only on the embeddings" in {
+    assertMapOnly(graft.similarity.Projection.project(
+      tbl("embeddings"), "embedding", inDim = 64, outDim = 16, "proj"))
+  }
+
+  "NbClassifier.scoreCompiled (X56 twin)" should "stay map-only" in {
+    val train = Seq(
+      ("code", "def main return if else"),
+      ("code", "class void static return"),
+      ("prose", "the quick brown fox jumps"),
+      ("prose", "over the lazy dog again")).toDF("label", "text")
+    val compiled = graft.text.NbClassifier.compile(
+      graft.text.NbClassifier.train(train, "label", "text",
+        numBuckets = 64), numBuckets = 64)
+    assertMapOnly(graft.text.NbClassifier.scoreCompiled(
+      tbl("documents").select("doc_id", "text"), "doc_id", "text",
+      compiled))
+  }
+
+  "Bpe.applyMergesBytes (t54 serving)" should "stay map-only" in {
+    val words = tbl("documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+    assertMapOnly(graft.text.Bpe.applyMergesBytes(
+      words, "tok", Seq(("74", "68"), ("7468", "65"))))
+  }
+}

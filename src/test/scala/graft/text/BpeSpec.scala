@@ -109,6 +109,83 @@ class BpeSpec extends SparkSpec {
     got shouldBe Array((1L, "ab", 4L))
   }
 
+  private def byteLoop(texts: Seq[String], merges: Int) =
+    Bpe.byteMergeLoop(texts.map(Tuple1(_)).toDF("text"), "text", merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+
+  "byteMergeLoop" should "merge hex-byte symbols with the end-of-word marker" in {
+    // 'abab ab': a=61 b=62; round 1 counts (61,62)=3 (62,61)=1 (62,.)=2
+    // -> merge (61,62); round 2: '6162 6162 .' + '6162 .' counts
+    // (6162,.)=2 (6162,6162)=1 -> merge (6162,.); round 3 merges the
+    // remaining (6162, 6162.) pair once.
+    byteLoop(Seq("abab ab"), 3) shouldBe Array(
+      (1L, "61", "62", 3L), (2L, "6162", ".", 2L),
+      (3L, "6162", "6162.", 1L))
+  }
+
+  it should "preserve case (no casefold at byte level)" in {
+    // char-level lowercases 'AB ab' to two 'ab's (pair count 2);
+    // byte-level keeps 41 42 distinct from 61 62 — all pairs count 1
+    // and the winner falls to the tie-break: '41 42' ascii-first.
+    byteLoop(Seq("AB ab"), 1) shouldBe Array((1L, "41", "42", 1L))
+  }
+
+  it should "give single-char words a byte+marker pair" in {
+    // char-level skips 1-char words (no pair); byte-level still learns
+    // the word-final unit: 'a .' twice beats 'b .' once
+    byteLoop(Seq("a a b"), 1) shouldBe Array((1L, "61", ".", 1L + 1L))
+  }
+
+  it should "learn multi-byte UTF-8 merges bytewise" in {
+    // 'éé' is c3 a9 c3 a9 + marker; (c3,a9) counts 2 per word ->
+    // merges first across the 3-word corpus
+    val got = byteLoop(Seq("éé éé x"), 1)
+    got shouldBe Array((1L, "c3", "a9", 4L))
+  }
+
+  "applyMergesBytes" should "round-trip every word through decode" in {
+    val texts = Seq("héllo wörld", "héllo mix", "a béta mix")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val table = Bpe.byteMergeLoop(df, "text", 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    table.length shouldBe 4
+    val words = df
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(org.apache.spark.sql.functions.length(col("tok")) >= 1)
+      .distinct()
+    val got = Bpe.applyMergesBytes(words, "tok", table)
+      .select(col("tok"), col("encoded")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    got.length should be > 0
+    got.foreach { case (word, encoded) =>
+      // decoded symbols concatenate back to the original word — the
+      // marker rides the final symbol and strips in decode
+      encoded.map(Bpe.decodeByteSymbol).mkString shouldBe word
+      encoded.last should endWith(".")
+    }
+  }
+
+  it should "agree with encodeTopTokensBytes on the learned table" in {
+    // the t53 equivalence in byte form: serving the corpus words through
+    // the stored table reproduces the training loop's own final symbol
+    // census exactly (applying merges in order IS the training rewrite)
+    val texts = (1 to 30).map(i => s"gamma${i % 4} delta${i % 3}")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val table = Bpe.byteMergeLoop(df, "text", 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = df.select(
+      explode(split(col("text"), "\\s+")).as("tok"))
+    val viaApply = Bpe.applyMergesBytes(words, "tok", table)
+      .select(explode(col("encoded")).as("sym"))
+      .groupBy("sym").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCensus = Bpe.encodeTopTokensBytes(df, "text", 3, 1000)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    viaApply shouldBe viaCensus
+  }
+
   it should "agree with applyMerges on the mergeLoop table" in {
     val texts = (1 to 30).map(i => s"gamma${i % 4} delta${i % 3}")
     val df = texts.map(Tuple1(_)).toDF("text")
