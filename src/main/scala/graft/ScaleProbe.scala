@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * main MEASURES the wall-clock growth of the fixed-point / similarity
   * tail (d23, t46, q74, q79, q83, d04) on an engine-synthesized corpus
   * `SPARK_GRAFT_SCALE_FACTOR`× the size, and records per-query
-  * (base_sec, scaled_sec, ratio) to `bench_local/r13_scale_probe.json`.
+  * (base_sec, scaled_sec, ratio) to `bench_local/r14_scale_probe.json`.
   * ≲ factor× growth ⇒ the operator is data-bound (linear scan/shuffle
   * mass dominates); ≫ factor× names a superlinear stage to fix.
   *
@@ -89,11 +89,20 @@ object ScaleProbe {
     write(copies(base("orders"), factor)(i => df =>
       shiftKeys(df, Seq("o_orderkey", "o_custkey"), i)), "orders")
     write(copies(base("documents"), factor)(i => df =>
-      shiftKeys(df, Seq("doc_id"), i)
+      // copy 0 is the untouched identity (the same corpus base_sec
+      // measures); copies ≥ 1 get the bijective per-token rename into
+      // their own shingle space
+      if (i == 0) df
+      else shiftKeys(df, Seq("doc_id"), i)
         .withColumn("text",
           regexp_replace(col("text"), "(\\S+)", "$1c" + i.toString))),
       "documents")
     val dim = 64
+    // rotation by i % dim aliases at i = dim (copy dim would be a
+    // 0-distance twin of copy 0, re-densifying similarity buckets —
+    // the artifact the synthesis exists to avoid), so cap the factor
+    require(factor <= dim,
+      s"embedding decorrelation supports factor <= $dim, got $factor")
     write(copies(base("embeddings"), factor)(i => df =>
       shiftKeys(df, Seq("vec_id"), i)
         .withColumn("embedding",
@@ -153,7 +162,7 @@ object ScaleProbe {
         s""""calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}},""" +
         s""""queries":$body}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
-      "bench_local/r13_scale_probe.json")
+      "bench_local/r14_scale_probe.json")
     val p = java.nio.file.Paths.get(out)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,

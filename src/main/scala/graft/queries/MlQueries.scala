@@ -390,6 +390,37 @@ object MlQueries {
         FROM m1
         UNION ALL SELECT CAST(2 AS BIGINT), sa, sb, cnt FROM m2
         UNION ALL SELECT CAST(3 AS BIGINT), sa, sb, cnt FROM m3
-        ORDER BY round"""))
+        ORDER BY round""")),
+
+    // BYTE-level BPE encode census (t53's production-form twin — and the
+    // gate t54 alone could not give: t54 replays only the TRAINING merge
+    // table, so the serving/encode half of the byte-level form was
+    // spec-only; this pins it to an oracle): tokenize the corpus through
+    // its own 3 byte-level merges and census the top 30 hex-byte symbols
+    // by (cnt DESC, token ASC).
+    GateQuery(
+      "t55_bpe_bytes_encode",
+      (s, dir) =>
+        graft.text.Bpe.encodeTopTokensBytes(t(s, dir, "documents"),
+          "text", merges = 3, k = 30),
+      Some(s"""
+        WITH tok AS (SELECT unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'),
+                tk -> len(tk) >= 1)) AS tok
+              FROM documents),
+        s0 AS (SELECT regexp_replace(lower(hex(encode(tok))),
+                 '(..)', '\\1 ', 'g') || '.' AS sym
+               FROM tok),
+        ${bpeRound(1)},
+        ${bpeRound(2)},
+        ${bpeRound(3)},
+        tc AS (SELECT unnest(string_split(sym, ' ')) AS token FROM s3),
+        cc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tc GROUP BY 1),
+        rk AS (SELECT token, cnt, CAST(row_number() OVER (
+                 ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+               FROM cc)
+        SELECT rank, token, cnt FROM rk WHERE rank <= 30
+        ORDER BY rank"""))
   )
 }

@@ -3355,6 +3355,11 @@ object PipelineQueries {
             unix_millis(col("ts")))).as("mp"),
           max(when(col("event_type") === "click",
             unix_millis(col("ts")))).as("mc")).head()
+        // a fixture lacking either side has no watermark to reason from —
+        // no outer emission is certain, so the contract set is empty
+        // (matches the oracle: its join CTEs are empty too)
+        require(!b.isNullAt(0) && !b.isNullAt(1),
+          "d31 needs both purchase and click events in the fixture")
         val wmMs = math.min(b.getLong(0), b.getLong(1)) - 1800000L
         val cutMs = wmMs - (3600000L + 1800000L)
         val rows = runStreamToMemory(s, joined, "d31_mem_sink") { res =>

@@ -96,9 +96,11 @@ object Bpe {
     * symbols, one pair). Symbols stay whitespace-free by construction
     * (hex chars and '.'), so the weighted vocabulary, winner hop, and
     * greedy fold are exactly `mergeLoop`'s; only atomization differs.
-    * Merged symbols concatenate hex units, so any learned symbol decodes
-    * unambiguously: strip the optional trailing '.', split into 2-char
-    * units, parse bytes, UTF-8 decode (`decodeByteSymbol`).
+    * Merged symbols concatenate hex units, so a word's encoded symbols
+    * recover its bytes unambiguously: strip each symbol's optional
+    * trailing '.', parse the 2-char units, concatenate across symbols,
+    * UTF-8 decode once (`decodeByteSymbols` — per-symbol decode is only
+    * codepoint-safe when no UTF-8 sequence straddles a symbol boundary).
     */
   def byteMergeLoop(df: DataFrame, textCol: String, merges: Int)
       : DataFrame = {
@@ -172,9 +174,13 @@ object Bpe {
   /** Byte-level serving twin of `applyMerges`: atomize the word in
     * `tokenCol` to hex-byte symbols + the '.' end-of-word marker, then
     * fold a STORED byte-level merge table (from `byteMergeLoop`) in
-    * table order. `encoded` is the array of byte-BPE symbols; each
-    * decodes via `decodeByteSymbol` and their decoded concatenation
-    * round-trips the original word exactly (BpeSpec pins it).
+    * table order. `encoded` is the array of byte-BPE symbols; a word's
+    * symbol array decodes via `decodeByteSymbols` — concatenate the
+    * bytes ACROSS symbols, then UTF-8-decode once — and round-trips the
+    * original word exactly (BpeSpec pins it, including the case where a
+    * merge splits one character's bytes across two symbols). Per-symbol
+    * decode is NOT round-trip-safe: merges are byte-greedy and freely
+    * leave a multi-byte UTF-8 sequence straddling a symbol boundary.
     */
   def applyMergesBytes(df: DataFrame, tokenCol: String,
       merges: Seq[(String, String)]): DataFrame =
@@ -190,19 +196,39 @@ object Bpe {
     folded.withColumn("encoded", split(col("__sym"), " ")).drop("__sym")
   }
 
-  /** Decode ONE byte-BPE symbol (driver/test-side): strip the optional
-    * trailing end-of-word marker, parse the 2-char hex units back to
-    * bytes, UTF-8 decode. The empty string decodes to itself (a bare
-    * marker symbol "." decodes to the empty word end).
+  /** Decode a WORD's byte-BPE symbol array (driver/test-side) — the
+    * GPT-2-standard decode: strip each symbol's optional trailing
+    * end-of-word marker, concatenate the parsed bytes across ALL
+    * symbols, then UTF-8-decode ONCE. This is the only round-trip-safe
+    * decode — merges split words on byte boundaries, not codepoint
+    * boundaries, so a multi-byte character's bytes may land in
+    * different symbols.
     */
-  def decodeByteSymbol(sym: String): String = {
+  def decodeByteSymbols(syms: Seq[String]): String = {
+    val bytes = syms.iterator.flatMap(symbolBytes).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Decode ONE byte-BPE symbol in isolation: strip the optional
+    * trailing end-of-word marker, parse the 2-char hex units back to
+    * bytes, UTF-8 decode. ONLY codepoint-safe when the symbol's bytes
+    * happen to align to whole UTF-8 sequences (always true for ASCII,
+    * never guaranteed otherwise — a lone continuation byte decodes to
+    * U+FFFD). For word reconstruction use `decodeByteSymbols`, which
+    * concatenates bytes across symbols before decoding.
+    */
+  def decodeByteSymbol(sym: String): String =
+    new String(symbolBytes(sym),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Hex-parse one symbol's bytes, marker stripped. */
+  private def symbolBytes(sym: String): Array[Byte] = {
     val hexPart = if (sym.endsWith(".")) sym.dropRight(1) else sym
     require(hexPart.length % 2 == 0 &&
         hexPart.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
       s"not a byte-BPE symbol: '$sym'")
-    val bytes = hexPart.grouped(2)
+    hexPart.grouped(2)
       .map(h => java.lang.Integer.parseInt(h, 16).toByte).toArray
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** One greedy left-to-right merge pass of (a, b) over a space-joined

@@ -160,11 +160,28 @@ class BpeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[String](1))
     got.length should be > 0
     got.foreach { case (word, encoded) =>
-      // decoded symbols concatenate back to the original word — the
+      // bytes concatenate across symbols, then decode ONCE — the
       // marker rides the final symbol and strips in decode
-      encoded.map(Bpe.decodeByteSymbol).mkString shouldBe word
+      Bpe.decodeByteSymbols(encoded) shouldBe word
       encoded.last should endWith(".")
     }
+  }
+
+  it should "round-trip when a merge splits a multi-byte char across symbols" in {
+    // 'ö' is c3 b6; the hand-built table merges (b6, .) FIRST, leaving
+    // the lone continuation byte c3 in its own symbol: ["c3", "b6."].
+    // Per-symbol decode of "c3" is U+FFFD (not round-trip-safe by
+    // design); the word-level decode concatenates bytes first and
+    // recovers the character exactly.
+    val words = Seq("ö", "wörld").map(Tuple1(_)).toDF("tok")
+    val got = Bpe.applyMergesBytes(words, "tok", Seq(("b6", ".")))
+      .select(col("tok"), col("encoded")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    got("ö") shouldBe Seq("c3", "b6.")
+    Bpe.decodeByteSymbols(got("ö")) shouldBe "ö"
+    Bpe.decodeByteSymbols(got("wörld")) shouldBe "wörld"
+    // the per-symbol decode really is alignment-dependent here
+    Bpe.decodeByteSymbol("c3") shouldBe "�"
   }
 
   it should "agree with encodeTopTokensBytes on the learned table" in {
