@@ -69,6 +69,13 @@ object ScaleProbe {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     require(factor >= 2, s"factor must be >= 2: $factor")
+    // dev subset (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): probe only the
+    // named gates — for second-factor runs on the gates worth re-probing
+    val gates = sys.env.get("SPARK_GRAFT_SCALE_GATES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(ProbeGates)
+    val runAuto = sys.env.get("SPARK_GRAFT_SCALE_GATES")
+      .forall(_.contains("q83_mutual_nn_auto"))
 
     val spark = graft.core.Graft.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -126,36 +133,73 @@ object ScaleProbe {
             : Unit = { stages.incrementAndGet(); () }
       })
     val qs = SparkEntry.queries
-    def timed(name: String, dir: String): (Double, Long) = {
+    def timedRun(job: () => Unit): (Double, Long) = {
       org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
         spark.sparkContext)
       val s0 = stages.get()
       val t0 = System.nanoTime()
-      qs(name)(spark, dir).count()
+      job()
       spark.catalog.clearCache()
       val el = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
         spark.sparkContext)
       (el, stages.get() - s0)
     }
+    def timed(name: String, dir: String): (Double, Long) =
+      timedRun(() => { qs(name)(spark, dir).count(); () })
     val loadStart = loadAvg1m()
     calibrate(spark); calibrate(spark)
     val calStart = calibrate(spark)
-    val rows = ProbeGates.map { name =>
+    val rows = gates.filter(qs.contains).map { name =>
       timed(name, sfDir) // warmup (plans for both scales share codegen)
       val (baseSec, baseStages) = timed(name, sfDir)
       val (scaledSec, scaledStages) = timed(name, scaleDir)
       (name, baseSec, scaledSec, baseStages, scaledStages)
     }
+    // q83 follow-up: the GATE pins nlist = 8 for bitwise oracle replay,
+    // so at factor× data each of the 8 cells holds factor× rows and the
+    // candidate join grows factor² — the fixed row above MEASURES that
+    // regime. The operator's scale configuration sizes cells with
+    // Ivf.autoNlist (√(nprobe·n)): candidate total drops from n²·nprobe/8
+    // to √nprobe·n^1.5 — the flat-IVF self-join law. Timing the same
+    // mutual-NN computation auto-sized at BOTH scales records what the
+    // sizing rule leaves: candidate-count ratio factor^1.5 (≈31.6 at
+    // 10×) but absolute work 2n/(8·√(2n)) — ~40× at the scaled point —
+    // smaller than the fixed-gate row's.
+    def mutualAuto(dir: String): ((Double, Long), Int) = {
+      val emb = graft.queries.GateQuery.table(spark, dir, "embeddings")
+      val n = emb.count() // sizing pass, outside the timed window
+      val nl = graft.similarity.Ivf.autoNlist(n, nprobe = 2)
+      val t = timedRun(() => {
+        graft.similarity.MutualNn.ivfMutualTopOne(
+          graft.queries.GateQuery.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", nlist = nl, nprobe = 2).count()
+        ()
+      })
+      (t, nl)
+    }
+    val autoRows = if (runAuto) {
+      mutualAuto(sfDir) // warmup
+      val ((abSec, abStages), abNl) = mutualAuto(sfDir)
+      val ((asSec, asStages), asNl) = mutualAuto(scaleDir)
+      Seq(((abSec, abStages, abNl), (asSec, asStages, asNl)))
+    } else Nil
     val calEnd = calibrate(spark)
     val loadEnd = loadAvg1m()
 
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val body = rows.map { case (n, b, s, bst, sst) =>
+    val autoJson = autoRows.map { case ((ab, abSt, abNl), (as, asSt, asNl)) =>
+      s""""q83_mutual_nn_auto":{"base_sec":${f3(ab)},""" +
+        s""""scaled_sec":${f3(as)},""" +
+        s""""ratio":${f3(as / math.max(ab, 1e-9))},""" +
+        s""""base_stages":$abSt,"scaled_stages":$asSt,""" +
+        s""""base_nlist":$abNl,"scaled_nlist":$asNl}"""
+    }
+    val body = (rows.map { case (n, b, s, bst, sst) =>
       s""""$n":{"base_sec":${f3(b)},"scaled_sec":${f3(s)},""" +
         s""""ratio":${f3(s / math.max(b, 1e-9))},""" +
         s""""base_stages":$bst,"scaled_stages":$sst}"""
-    }.mkString("{", ",", "}")
+    } ++ autoJson).mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir",""" +
         s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +

@@ -28,6 +28,30 @@ object Ivf {
     */
   case class Cent(cnorm: Double, cid: Int, cvec: Seq[Double])
 
+  /** Corpus-scaled cell count — the sizing rule that keeps IVF search
+    * cost growth subquadratic. Per-query work is `nlist` centroid ranks
+    * (map-side dots) plus ~`nprobe · n / nlist` scanned cell rows
+    * (joined candidate pairs — the expensive term); the sum is
+    * minimized at nlist = √(nprobe · n), the standard flat-IVF sizing
+    * order (FAISS's guidance is the same √n scale). A FIXED nlist turns
+    * the candidate join quadratic as the corpus grows — each cell holds
+    * n/nlist rows, so total candidates grow n²; the r14 scale probe
+    * measured exactly that on the q83 mutual-NN gate (nlist pinned at 8
+    * for oracle replay: 16× wall at 10× data) — while √-sizing bounds
+    * the self-join total at Θ(n^1.5), the flat-IVF law. `weight` skews
+    * the balance toward more cells when candidate-pair work costs more
+    * than a centroid rank (it does: pairs ride a shuffle join), at the
+    * price of a bigger centroid literal/broadcast.
+    */
+  def autoNlist(corpusRows: Long, nprobe: Int = 1, weight: Double = 1.0)
+      : Int = {
+    require(corpusRows >= 1, s"corpusRows must be >= 1: $corpusRows")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    require(weight > 0.0, s"weight must be > 0: $weight")
+    math.max(1L, math.min(corpusRows, math.round(
+      math.sqrt(corpusRows.toDouble * nprobe * weight)))).toInt
+  }
+
   /** Train cell centroids with seeded k-means over the corpus vectors. */
   def train(corpus: DataFrame, vecCol: String, nlist: Int,
       seed: Long = 42L): Model = {

@@ -98,4 +98,19 @@ class IvfSpec extends SparkSpec {
       .agg(max("n")).collect().head.getLong(0)
     purity shouldBe 1L
   }
+
+  "autoNlist" should "follow the sqrt(nprobe * n) sizing rule" in {
+    Ivf.autoNlist(10000L) shouldBe 100
+    Ivf.autoNlist(10000L, nprobe = 4) shouldBe 200
+    Ivf.autoNlist(10000L, nprobe = 1, weight = 4.0) shouldBe 200
+    // clamped to [1, n]
+    Ivf.autoNlist(1L) shouldBe 1
+    Ivf.autoNlist(2L, nprobe = 8) shouldBe 2
+    // grows as sqrt: 100x the corpus, 10x the cells — cell size grows
+    // 10x instead of 100x, bounding self-join candidates at n^1.5
+    Ivf.autoNlist(1000000L) shouldBe 10 * Ivf.autoNlist(10000L)
+    an[IllegalArgumentException] should be thrownBy Ivf.autoNlist(0L)
+    an[IllegalArgumentException] should be thrownBy
+      Ivf.autoNlist(10L, nprobe = 0)
+  }
 }
