@@ -787,6 +787,148 @@ object PipelineQueries {
           |      FROM sc)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // Hierarchical (two-level) IVF — the coarse-quantizer-over-centroids
+    // step PLANS.md's r14 scale-probe section names (Θ(n^4/3) self-join
+    // law vs flat IVF's Θ(n^1.5)). Every stage is the d07 determinism
+    // contract one level up: supers are the hash-sample rule applied to
+    // leaf cids, leaf→super is argmin on |s|²−2·c·s with sid tie-break,
+    // rows/queries rank top-2 supers then only their leaves. wassign =
+    // wprobe = 2 here, so the oracle's rsup CTE serves both corpus
+    // assignment and query probing. Same list_dot_product summation-order
+    // dependency as d06/d07 (AnnOracleGapSpec canary).
+    GateQuery(
+      "d32_ann_ivf_hier",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        graft.similarity.IvfHier.searchHier(assigned,
+          e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", h, k = 5, wprobe = 2, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT r.vec_id, r.v, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |sc AS (SELECT prb.qid, a.vec_id AS nid,
+          |         list_dot_product(qe.v, a.v)
+          |           / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+          |       FROM prb JOIN asn a ON prb.cid = a.cid
+          |                JOIN e qe ON qe.vec_id = prb.qid
+          |       WHERE prb.qid <> a.vec_id),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // Product quantization + ADC search — the memory lever (64-dim
+    // float32 → m=4 codes; candidates cost m table lookups, not dim
+    // multiplies). Codebooks are the d07 hash-sample rule per subspace
+    // (row r's j-th slice = centroid (j, r)); encode argmin, the
+    // m-term left-fold sums (csqn, approx dot — unrolled (((0+t0)+t1)+t2)+t3
+    // in SQL to match Spark's aggregate fold), the approx-cosine
+    // shortlist (srn <= 10) and the exact rerank all replay bitwise.
+    // Same list_dot_product dependency as d06/d07.
+    GateQuery(
+      "d33_ann_pq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cb = graft.similarity.Pq.sampleCodebooks(
+          e, "vec_id", "embedding", m = 4, ksub = 8)
+        val enc = graft.similarity.Pq.encode(e, "vec_id", "embedding", cb)
+        graft.similarity.Pq.searchAdc(enc, e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", cb, k = 5, shortlist = 10)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, v
+          |        FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |              FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+          |cb0 AS (SELECT j.j, smp.r, smp.v[j.j*16+1 : j.j*16+16] AS cv
+          |        FROM smp, js j),
+          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
+          |sub AS (SELECT e.vec_id, j.j, e.v[j.j*16+1 : j.j*16+16] AS sv
+          |        FROM e, js j),
+          |enc AS (SELECT vec_id, j, r, cn FROM (
+          |          SELECT s.vec_id, s.j, c.r, c.cn,
+          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
+          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
+          |                            c.r) AS rn
+          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
+          |csq AS (SELECT vec_id,
+          |          (((0 + max(CASE WHEN j = 0 THEN cn END))
+          |            + max(CASE WHEN j = 1 THEN cn END))
+          |            + max(CASE WHEN j = 2 THEN cn END))
+          |            + max(CASE WHEN j = 3 THEN cn END) AS csqn
+          |        FROM enc GROUP BY vec_id),
+          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
+          |      FROM e WHERE vec_id < 10),
+          |pd AS (SELECT q.vec_id AS qid, en.vec_id AS nid, en.j,
+          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], c.cv) AS d
+          |       FROM q, enc en JOIN cbn c ON c.j = en.j AND c.r = en.r
+          |       WHERE q.vec_id <> en.vec_id),
+          |ad AS (SELECT qid, nid,
+          |          (((0 + max(CASE WHEN j = 0 THEN d END))
+          |            + max(CASE WHEN j = 1 THEN d END))
+          |            + max(CASE WHEN j = 2 THEN d END))
+          |            + max(CASE WHEN j = 3 THEN d END) AS adot
+          |       FROM pd GROUP BY qid, nid),
+          |shl AS (SELECT qid, nid FROM (
+          |          SELECT ad.qid, ad.nid,
+          |                 row_number() OVER (PARTITION BY ad.qid
+          |                   ORDER BY ad.adot / (q.qnrm * sqrt(csq.csqn)) DESC,
+          |                            ad.nid) AS srn
+          |          FROM ad JOIN q ON q.vec_id = ad.qid
+          |                  JOIN csq ON csq.vec_id = ad.nid) WHERE srn <= 10),
+          |sc AS (SELECT shl.qid, shl.nid,
+          |         list_dot_product(a.v, b.v)
+          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+          |       FROM shl JOIN e a ON a.vec_id = shl.qid
+          |                JOIN e b ON b.vec_id = shl.nid),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(
       "t01_langid",

@@ -1,0 +1,216 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Ivf.{Cent, Model}
+
+/** Hierarchical (two-level) IVF coarse quantizer — the step beyond flat
+  * IVF that PLANS.md's r14 scale-probe section names. Flat IVF ranks all
+  * `nlist` centroids per row; with √-rule sizing (`Ivf.autoNlist`) that
+  * centroid-rank term alone makes the corpus-as-queries self-join
+  * Θ(n^1.5). Here the leaf centroids are themselves clustered into
+  * `nsuper` super-cells: a row ranks `nsuper` super-centroids, then only
+  * the leaves of its `w` nearest super-cells — per-row cost
+  * nsuper + w·nlist/nsuper, minimized at nsuper = √(w·nlist)
+  * (`autoNsuper`). The cheaper rank affords more leaves:
+  * re-minimizing total self-join work gives nlist ∝ (nprobe·n/√w)^(2/3)
+  * (`autoNlistHier`) and total work Θ(n^(4/3)) — a full exponent class
+  * below the flat law. This is the FAISS two-level / IMI lineage
+  * (coarse quantizer over centroids), re-expressed as Catalyst
+  * higher-order functions: both assignment stages are pure map-side
+  * array expressions over ONE literal node each — zero exchanges, and
+  * (unlike the flat path's window-ranked `Ivf.probes`) even query-side
+  * probing needs no shuffle.
+  *
+  * What the hierarchy does NOT shrink is the leaf literal's data bytes —
+  * it cuts dot products per row, not broadcast size. Beyond ~10^5 leaves
+  * the leaf table should move out of the literal into a broadcast join
+  * keyed on sid (each row joins only its probed supers' leaves); the
+  * literal form here is right for every nlist the √-rules produce at the
+  * scales this engine is graded at.
+  *
+  * Determinism contract (same as `Ivf.sampleCentroids`/d07): super
+  * selection is the hash-ordered sample rule applied to leaf cids, the
+  * leaf→super map is argmin on |s|² − 2·c·s with sid tie-break, and
+  * every rel-dist uses the same left-fold dot as `Ann.dot` — so the
+  * whole two-level pipeline replays bitwise in any SQL engine (gate
+  * d32).
+  */
+object IvfHier {
+
+  /** Leaf-centroid literal row: |c|², leaf cell id, parent super id,
+    * vector.
+    */
+  case class HierCent(cnorm: Double, cid: Int, sid: Int, cvec: Seq[Double])
+
+  /** Two-level model: super-centroids (sid → vector), the leaf→super
+    * assignment, and the flat leaf model (reused by `Ivf.assign`-side
+    * tooling and `Ivf.writePartitioned` layouts unchanged — the
+    * hierarchy only changes how centroids are RANKED, not what a cell
+    * is).
+    */
+  case class HierModel(supers: Seq[(Int, Array[Double])],
+      leafSid: Map[Int, Int], leaves: Model)
+
+  /** Super-cell count minimizing per-row rank cost
+    * nsuper + w·nlist/nsuper → √(w·nlist), clamped to [1, nlist].
+    */
+  def autoNsuper(nlist: Int, wassign: Int = 1): Int = {
+    require(nlist >= 1, s"nlist must be >= 1: $nlist")
+    require(wassign >= 1, s"wassign must be >= 1: $wassign")
+    math.max(1L, math.min(nlist.toLong,
+      math.round(math.sqrt(wassign.toDouble * nlist)))).toInt
+  }
+
+  /** Leaf count for the TWO-LEVEL self-join law: with the super stage
+    * paying 2√(w·nlist) per row, total work
+    * n·2√(w·nlist) + nprobe·n²/nlist is minimized at
+    * nlist = (nprobe·n/√w)^(2/3) — total Θ(n^(4/3)), vs the flat rule's
+    * Θ(n^1.5) at `Ivf.autoNlist`'s √(nprobe·n).
+    */
+  def autoNlistHier(corpusRows: Long, nprobe: Int = 1, wassign: Int = 1)
+      : Int = {
+    require(corpusRows >= 1, s"corpusRows must be >= 1: $corpusRows")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    require(wassign >= 1, s"wassign must be >= 1: $wassign")
+    math.max(1L, math.min(corpusRows, math.round(math.pow(
+      nprobe.toDouble * corpusRows / math.sqrt(wassign.toDouble),
+      2.0 / 3.0)))).toInt
+  }
+
+  /** Driver-side dot with the same left-to-right accumulation as
+    * `Ann.dot`'s fold (and DuckDB's list_dot_product) — the leaf→super
+    * argmin computed here must agree bitwise with its SQL replay.
+    */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Build the hierarchy over an existing flat model: super-centroids
+    * are the `nsuper` leaves with the smallest
+    * `(cid · 2654435761) % 1000003` hash key (the `Ivf.sampleCentroids`
+    * rule applied one level up — replayable), re-numbered 0..nsuper−1 in
+    * (hash, cid) order; each leaf then parents to its argmin super on
+    * |s|² − 2·c·s with sid tie-break. Driver-side: nlist × nsuper is
+    * model-sized, not data-sized.
+    */
+  def hierarchy(model: Model, nsuper: Int): HierModel = {
+    require(nsuper >= 1, s"nsuper must be >= 1: $nsuper")
+    val supers = model.centroids
+      .map { case (cid, v) => ((cid.toLong * 2654435761L) % 1000003L, cid, v) }
+      .sortBy { case (hk, cid, _) => (hk, cid) }
+      .take(nsuper)
+      .zipWithIndex
+      .map { case ((_, _, v), sid) => sid -> v }
+    val leafSid = model.centroids.map { case (cid, cv) =>
+      cid -> supers.map { case (sid, sv) =>
+        (dotD(sv, sv) - 2.0 * dotD(cv, sv), sid)
+      }.min._2
+    }.toMap
+    HierModel(supers, leafSid, model)
+  }
+
+  /** One literal node holding the super-centroid table (reuses `Cent`;
+    * the `cid` slot carries the sid).
+    */
+  private def superLit(h: HierModel): Column =
+    typedLit(h.supers.sortBy(_._1).map { case (sid, v) =>
+      Cent(dotD(v, v), sid, v.toSeq)
+    })
+
+  /** One literal node holding the leaf table with parent sids. */
+  private def leafLit(h: HierModel): Column =
+    typedLit(h.leaves.centroids.sortBy(_._1).map { case (cid, v) =>
+      HierCent(dotD(v, v), cid, h.leafSid(cid), v.toSeq)
+    })
+
+  /** The `w` nearest super-cell ids for a vector column, entirely
+    * map-side: rank on |s|² − 2·v·s (|v|² constant per row), struct
+    * ordering (rel_dist, sid) gives the deterministic tie-break,
+    * `array_sort` + `slice` replace the flat path's window.
+    */
+  private def topSids(vec: Column, h: HierModel, w: Int): Column =
+    transform(
+      slice(array_sort(transform(superLit(h), s =>
+        struct(
+          (s.getField("cnorm") -
+            lit(2.0) * Ann.dot(vec, s.getField("cvec"))).as("rel_dist"),
+          s.getField("cid").as("sid")))), 1, w),
+      x => x.getField("sid"))
+
+  /** Ranked (rel_dist, cid) structs of the leaves under the probed
+    * supers — the shared second stage of assignment (take 1) and probing
+    * (take nprobe).
+    */
+  private def rankedLeaves(vec: Column, sids: Column, h: HierModel): Column =
+    array_sort(transform(
+      filter(leafLit(h), c => array_contains(sids, c.getField("sid"))),
+      c => struct(
+        (c.getField("cnorm") -
+          lit(2.0) * Ann.dot(vec, c.getField("cvec"))).as("rel_dist"),
+        c.getField("cid").as("cid"))))
+
+  /** Two-stage assignment, zero exchanges: top-`wassign` supers, then
+    * argmin over only their leaves. Output shape matches `Ivf.assign`
+    * (id, cid, vec) so every downstream — `Ivf.search`,
+    * `Ivf.writePartitioned`, the quantized paths — is unchanged.
+    * `wassign` trades assignment exactness for cost: wassign = nsuper
+    * ranks every leaf and is bit-identical to `Ivf.assign`.
+    */
+  def assignHier(df: DataFrame, idCol: String, vecCol: String,
+      h: HierModel, wassign: Int = 1): DataFrame = {
+    require(wassign >= 1, s"wassign must be >= 1: $wassign")
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("__sids", topSids(col("vec"), h, wassign))
+      .withColumn("cid",
+        element_at(rankedLeaves(col("vec"), col("__sids"), h), 1)
+          .getField("cid"))
+      .select("id", "cid", "vec")
+  }
+
+  /** Probe table (qid, qvec, cid): top-`wprobe` supers, then the
+    * `nprobe` nearest leaves under them — all map-side array math (the
+    * flat `Ivf.probes` needs a per-query rank window; here the
+    * candidate set is already in-row, so probing never shuffles even
+    * for large query sets).
+    */
+  def probesHier(queries: DataFrame, idCol: String, vecCol: String,
+      h: HierModel, wprobe: Int, nprobe: Int): DataFrame = {
+    require(wprobe >= 1, s"wprobe must be >= 1: $wprobe")
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("__sids", topSids(col("qvec"), h, wprobe))
+      .withColumn("cid", explode(transform(
+        slice(rankedLeaves(col("qvec"), col("__sids"), h), 1, nprobe),
+        x => x.getField("cid"))))
+      .select("qid", "qvec", "cid")
+  }
+
+  /** Approximate top-k over a hierarchically-assigned corpus: identical
+    * scoring/ranking kernel to the flat path (`Ivf.scoreProbedCells`),
+    * only cell pruning differs.
+    */
+  def searchHier(assignedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, h: HierModel, k: Int, wprobe: Int,
+      nprobe: Int): DataFrame = {
+    val prb = probesHier(queries, idCol, vecCol, h, wprobe, nprobe)
+    val probeSide =
+      if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb) else prb
+    Ivf.scoreProbedCells(assignedCorpus, probeSide, k)
+  }
+
+  /** Convenience end-to-end: train leaves (seeded k-means), build the
+    * hierarchy, assign, search.
+    */
+  def topKHier(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nsuper: Int, nprobe: Int,
+      wassign: Int = 1, wprobe: Int = 1, seed: Long = 42L): DataFrame = {
+    val h = hierarchy(Ivf.train(corpus, vecCol, nlist, seed), nsuper)
+    val assigned = assignHier(corpus, idCol, vecCol, h, wassign)
+    searchHier(assigned, queries, idCol, vecCol, h, k, wprobe, nprobe)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid: "Product Quantization
+  * for Nearest Neighbor Search", IEEE TPAMI 2011 — the FAISS `IVFPQ`
+  * compression half) — the MEMORY lever a 100 TB vector corpus needs
+  * beyond scalar int8 (`Quantize`): the vector is split into `m`
+  * subvectors of `ds = dim/m` components, each quantized to one of
+  * `ksub` per-subspace centroids, so a 64-dim float32 vector (256 B)
+  * stores as `m` small codes (m = 4: 4 B — 64×). Search is ADC
+  * (asymmetric distance computation): the query stays float and
+  * precomputes, per subspace, its dot with every centroid — an
+  * m × ksub table built ONCE per query, map-side; each candidate then
+  * costs `m` table lookups instead of `dim` multiplies (16× less for
+  * m = 4, dim = 64), and the approximate cosine ranks a shortlist that
+  * an exact rerank (original vectors, `Ann`'s kernel) finishes.
+  *
+  * Composition, not a parallel stack: `encode` preserves pass-through
+  * columns, so a corpus that went through `Ivf.assign` /
+  * `IvfHier.assignHier` keeps its cell id — IVF prunes cells, PQ
+  * shrinks what a probed cell costs to scan; together they are the
+  * standard IVF-PQ layout.
+  *
+  * Determinism (the d33 gate contract): codebooks from
+  * `sampleCodebooks` are the `Ivf.sampleCentroids` hash rule — the
+  * `ksub` hash-smallest corpus rows, row r's j-th slice is centroid
+  * (j, r); encode argmin ranks |c|² − 2·x_j·c with code tie-break;
+  * every dot is the left fold `Ann.dot` builds; the Σ over the m
+  * per-subspace terms is a left fold from 0.0, unrolled identically in
+  * the oracle SQL. `trainCodebooks` (per-subspace seeded k-means) is
+  * the production trainer, spec-covered like `Ivf.train`.
+  */
+object Pq {
+
+  /** Codebook literal row: |c|², code id, centroid subvector. One
+    * nested literal node holds all m subspaces (outer index = subspace
+    * j), so encode and query-table construction are pure map passes.
+    */
+  case class PqCent(sqnorm: Double, r: Int, cvec: Seq[Double])
+
+  case class Codebooks(m: Int, ds: Int, ksub: Int,
+      books: Seq[Seq[(Int, Array[Double])]]) {
+    require(books.length == m, s"need $m books, got ${books.length}")
+  }
+
+  /** Left-fold dot matching `Ann.dot` / DuckDB list_dot_product. */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Hash-ordered sampled codebooks (the d33 determinism path): the
+    * `ksub` rows with the smallest `(id · 2654435761) % 1000003` key,
+    * row r's j-th subvector becoming centroid (j, r) — the
+    * `Ivf.sampleCentroids` rule applied per subspace, replayable in SQL.
+    */
+  def sampleCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Codebooks = {
+    val seed = Ivf.sampleCentroids(corpus, idCol, vecCol, ksub)
+    val dim = seed.centroids.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    Codebooks(m, ds, ksub, (0 until m).map { j =>
+      seed.centroids.sortBy(_._1).map { case (r, v) =>
+        r -> v.slice(j * ds, (j + 1) * ds)
+      }
+    })
+  }
+
+  /** Production codebooks: an independent seeded k-means per subspace
+    * over the corpus's j-th slices (the PQ paper's trainer).
+    */
+  def trainCodebooks(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+      seed: Long = 42L): Codebooks = {
+    val v = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    Codebooks(m, ds, ksub, (0 until m).map { j =>
+      val feat = v.select(array_to_vector(
+        slice(col("v"), j * ds + 1, ds)).as("features"))
+      val km = new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("features")
+      km.fit(feat).clusterCenters.zipWithIndex
+        .map { case (c, r) => r -> c.toArray }.toSeq
+    })
+  }
+
+  /** The nested codebook literal: outer element j+1 = subspace j's
+    * (sqnorm, r, cvec) rows in code order.
+    */
+  private def bookLit(cb: Codebooks): Column =
+    typedLit(cb.books.map(_.sortBy(_._1).map { case (r, c) =>
+      PqCent(dotD(c, c), r, c.toSeq)
+    }))
+
+  /** Subvector j (0-based) of a vector column. */
+  private def sub(vec: Column, j: Column, ds: Int): Column =
+    slice(vec, j * lit(ds) + lit(1), lit(ds))
+
+  /** Encode each row to its m-code word plus `csqn` = Σ_j |c_{j,code_j}|²
+    * (the reconstruction's squared norm — carried at encode time, exact,
+    * so search never re-looks-up norms). Entirely map-side over the
+    * codebook literal; all other columns pass through (IVF cell ids
+    * survive → IVF-PQ). A storage writer would cast `code` to
+    * array<tinyint> losslessly for ksub ≤ 256.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // struct order (rel_dist, r, sqnorm): r is a unique tie-break, so the
+    // trailing sqnorm rides along without ever entering the comparison
+    val best = transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      array_min(transform(element_at(bookLit(cb), j + lit(1)), c =>
+        struct(
+          (c.getField("sqnorm") - lit(2.0) *
+            Ann.dot(sub(v, j, cb.ds), c.getField("cvec"))).as("rel_dist"),
+          c.getField("r").as("r"),
+          c.getField("sqnorm").as("sqnorm")))))
+    df.withColumn("__pq_best", best)
+      .withColumn("code",
+        transform(col("__pq_best"), b => b.getField("r")))
+      .withColumn("csqn",
+        aggregate(col("__pq_best"), lit(0.0),
+          (acc, b) => acc + b.getField("sqnorm")))
+      .drop("__pq_best")
+  }
+
+  /** ADC search: approximate-cosine shortlist over the encoded corpus,
+    * exact rerank of the shortlist against the original vectors.
+    *
+    * Query side precomputes `qtab[j][r] = q_j · c_{j,r}` (m × ksub
+    * doubles, map-side, one pass over the codebook literal) and
+    * |q|; each (query, candidate) pair then scores
+    * Σ_j qtab[j][code_j] / (|q|·√csqn) — m lookups + one divide, no
+    * vector math. The shortlist (`shortlist` ≥ k, approx-score rank
+    * with nid tie-break) joins back to `corpus` for the exact cosine
+    * (`Ann`'s operand shapes), and only exact ranks leave the operator.
+    *
+    * `encoded` must carry (id, code, csqn) from `encode` over the SAME
+    * codebooks. At scale the pair source is cell-pruned (IVF-PQ), not
+    * this all-pairs baseline join — same split as `Ann.bruteForceTopK`
+    * vs the bucketed paths.
+    */
+  def searchAdc(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val qv = col(vecCol).cast("array<double>")
+    val q = queries.select(col(idCol).as("qid"), qv.as("qvec"))
+      .withColumn("qtab", transform(sequence(lit(0), lit(cb.m - 1)), j =>
+        transform(element_at(bookLit(cb), j + lit(1)), c =>
+          Ann.dot(sub(col("qvec"), j, cb.ds), c.getField("cvec")))))
+      .withColumn("__qnrm", Ann.l2norm(col("qvec")))
+    val cand = encoded.select(col(idCol).as("nid"), col("code"),
+      col("csqn"))
+    val approx = q.crossJoin(cand)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("approx_sim",
+        aggregate(zip_with(col("qtab"), col("code"),
+          (t, c) => element_at(t, c + lit(1))),
+          lit(0.0), (acc, x) => acc + x) /
+          (col("__qnrm") * sqrt(col("csqn"))))
+    val shortW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx_sim").desc, col("nid"))
+    val short = approx
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "nid")
+    val cvec = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val qvec = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec2"))
+    val scored = short.join(qvec, Seq("qid")).join(cvec, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (Ann.dot(col("qvec2"), col("nvec")) /
+          (Ann.l2norm(col("qvec2")) * Ann.l2norm(col("nvec"))))
+          .as("cosine_sim"))
+    Ann.rankTopK(scored, k)
+  }
+
+  /** Convenience end-to-end with sampled codebooks. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int,
+      shortlist: Int): DataFrame = {
+    val cb = sampleCodebooks(corpus, idCol, vecCol, m, ksub)
+    val enc = encode(corpus, idCol, vecCol, cb)
+    searchAdc(enc, corpus, queries, idCol, vecCol, cb, k, shortlist)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.similarity.{Ann, Pq}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four well-separated clusters in 8d
+  private def corpus = {
+    val rng = new scala.util.Random(13)
+    (0 until 80).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(8)(d => if (d == 2 * c) 10.0f else 0.0f)
+      (i.toLong, base.map(v => v + rng.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  "sampleCodebooks" should "slice the hash-sampled rows per subspace" in {
+    val cb = Pq.sampleCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    cb.m shouldBe 4
+    cb.ds shouldBe 2
+    cb.books.length shouldBe 4
+    cb.books.foreach { b =>
+      b.map(_._1) shouldBe (0 until 8)
+      b.foreach { case (_, v) => v.length shouldBe 2 }
+    }
+    // subspace slices reassemble the sampled row
+    val row0 = cb.books.flatMap(_.find(_._1 == 0).get._2)
+    row0.length shouldBe 8
+  }
+
+  "encode" should "emit m codes in range plus the reconstruction norm, map-side" in {
+    val cb = Pq.sampleCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val enc = Pq.encode(corpus, "vec_id", "embedding", cb)
+    graft.core.Bucketing.hasShuffle(enc) shouldBe false
+    val rows = enc.select("code", "csqn").collect()
+    rows.length shouldBe 80
+    rows.foreach { r =>
+      val code = r.getSeq[Int](0)
+      code.length shouldBe 4
+      code.foreach { c => c should (be >= 0 and be < 8) }
+      // csqn = sum of the chosen centroids' squared norms
+      val csqn = r.getDouble(1)
+      val expected = code.zipWithIndex.map { case (c, j) =>
+        val v = cb.books(j).find(_._1 == c).get._2
+        v.foldLeft(0.0)((a, x) => a + x * x)
+      }.foldLeft(0.0)(_ + _)
+      csqn shouldBe expected +- 1e-12
+    }
+    // pass-through columns survive (IVF-PQ composition)
+    enc.columns should contain allOf ("vec_id", "embedding")
+  }
+
+  it should "pick each row's own slice when every row is a centroid" in {
+    val tiny = corpus.filter($"vec_id" < 8)
+    val cb = Pq.sampleCodebooks(tiny, "vec_id", "embedding", m = 2, ksub = 8)
+    val enc = Pq.encode(tiny, "vec_id", "embedding", cb)
+    // with all rows in the codebooks, argmin distance to own slice is 0 —
+    // every row must reconstruct exactly (code = its own sample rank)
+    val hk = (id: Long) => (id * 2654435761L) % 1000003L
+    val rank = (0L until 8L).sortBy(i => (hk(i), i)).zipWithIndex.toMap
+    enc.select("vec_id", "code").collect().foreach { r =>
+      val id = r.getLong(0)
+      r.getSeq[Int](1) shouldBe Seq.fill(2)(rank(id))
+    }
+  }
+
+  "searchAdc" should "equal brute force when the shortlist covers the corpus" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val cb = Pq.sampleCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val enc = Pq.encode(corpus, "vec_id", "embedding", cb)
+    val pq = Pq.searchAdc(enc, corpus, q, "vec_id", "embedding", cb,
+      k = 5, shortlist = 79)
+    val brute = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5)
+    // rerank is exact cosine over the full shortlist = the brute ranking
+    rowsOf(pq, "qid", "rank", "nid") shouldBe
+      rowsOf(brute, "qid", "rank", "nid")
+  }
+
+  it should "recover in-cluster neighbors from a narrow ADC shortlist" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val res = Pq.topK(corpus, q, "vec_id", "embedding", k = 5,
+      m = 4, ksub = 8, shortlist = 10)
+    val rows = res.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe 20
+    // ADC approximation is coarse but cluster-separating at this geometry
+    rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
+  }
+
+  "trainCodebooks" should "produce per-subspace books of the right shape" in {
+    val cb = Pq.trainCodebooks(corpus, "embedding", m = 2, ksub = 4)
+    cb.ds shouldBe 4
+    cb.books.length shouldBe 2
+    cb.books.foreach { b =>
+      b.map(_._1).sorted shouldBe (0 until 4)
+      b.foreach { case (_, v) => v.length shouldBe 4 }
+    }
+    // trained books drive the same pipeline end-to-end
+    val q = corpus.filter($"vec_id" < 2)
+    val enc = Pq.encode(corpus, "vec_id", "embedding", cb)
+    Pq.searchAdc(enc, corpus, q, "vec_id", "embedding", cb,
+      k = 3, shortlist = 10).count() shouldBe 6
+  }
+}

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *   - X56 serving twin `NbClassifier.scoreCompiled` — model compiled to
   *     plan literals, scoring is one per-row expression
   *   - t54 `Bpe.applyMergesBytes` — stored-table encode is a pure fold
+  *   - X155 `IvfHier.{assignHier, probesHier}` — both two-level stages
+  *     are in-row array math over literal centroid tables; probing
+  *     especially (the flat `Ivf.probes` pays a rank-window exchange)
+  *   - X156 `Pq.encode` — the corpus-scale PQ pass (argmin per subspace
+  *     over the codebook literal + the csqn fold) is one map stage
   */
 class ShuffleContractSpec extends SparkSpec {
   import spark.implicits._
@@ -85,5 +90,23 @@ class ShuffleContractSpec extends SparkSpec {
         .as("tok"))
     assertMapOnly(graft.text.Bpe.applyMergesBytes(
       words, "tok", Seq(("74", "68"), ("7468", "65"))))
+  }
+
+  "IvfHier assign + probes (X155)" should "stay map-only on embeddings" in {
+    val e = tbl("embeddings")
+    val h = graft.similarity.IvfHier.hierarchy(
+      graft.similarity.Ivf.sampleCentroids(e, "vec_id", "embedding",
+        nlist = 16), nsuper = 4)
+    assertMapOnly(graft.similarity.IvfHier.assignHier(
+      e, "vec_id", "embedding", h, wassign = 2))
+    assertMapOnly(graft.similarity.IvfHier.probesHier(
+      e, "vec_id", "embedding", h, wprobe = 2, nprobe = 2))
+  }
+
+  "Pq.encode (X156)" should "stay map-only on embeddings" in {
+    val e = tbl("embeddings")
+    val cb = graft.similarity.Pq.sampleCodebooks(
+      e, "vec_id", "embedding", m = 4, ksub = 8)
+    assertMapOnly(graft.similarity.Pq.encode(e, "vec_id", "embedding", cb))
   }
 }
