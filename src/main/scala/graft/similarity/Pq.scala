@@ -152,27 +152,82 @@ object Pq {
       idCol: String, vecCol: String, cb: Codebooks, k: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val qv = col(vecCol).cast("array<double>")
-    val q = queries.select(col(idCol).as("qid"), qv.as("qvec"))
-      .withColumn("qtab", transform(sequence(lit(0), lit(cb.m - 1)), j =>
-        transform(element_at(bookLit(cb), j + lit(1)), c =>
-          Ann.dot(sub(col("qvec"), j, cb.ds), c.getField("cvec")))))
-      .withColumn("__qnrm", Ann.l2norm(col("qvec")))
+    val q = withQueryTables(
+      queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), cb)
     val cand = encoded.select(col(idCol).as("nid"), col("code"),
       col("csqn"))
-    val approx = q.crossJoin(cand)
+    val pairs = q.crossJoin(cand).filter(col("qid") =!= col("nid"))
+    rerank(adcShortlist(pairs, shortlist), corpus, queries, idCol,
+      vecCol, k)
+  }
+
+  /** Cell-pruned ADC — the IVF-PQ composition: `encodedAssigned` is the
+    * `Ivf.assign` (or `IvfHier.assignHier`) output run through `encode`
+    * (shape: id, cid, code, csqn — the vector itself is no longer read
+    * here, which IS the point: a probed cell scans m-byte codes, not
+    * dim-float vectors). Candidates come only from each query's `nprobe`
+    * probed cells; within them the ADC shortlist and exact rerank are
+    * `searchAdc`'s verbatim. At 100 TB this pairs with
+    * `Ivf.writePartitioned` on the encoded frame: partition pruning
+    * opens nprobe/nlist of the files AND each file is ~64× smaller.
+    *
+    * The query-dot table rides the probe frame (duplicated ×nprobe per
+    * query — m·ksub doubles, map-side, cheaper than a join to dedupe it).
+    */
+  def searchIvfPq(encodedAssigned: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, ivf: Ivf.Model,
+      cb: Codebooks, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val prb = withQueryTables(
+      Ivf.probes(queries, idCol, vecCol, ivf, nprobe), cb)
+    val probeSide =
+      if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
+      else prb
+    val cand = encodedAssigned.select(col("cid"), col("id").as("nid"),
+      col("code"), col("csqn"))
+    val pairs = cand.join(probeSide, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
+    rerank(adcShortlist(pairs, shortlist), corpus, queries, idCol,
+      vecCol, k)
+  }
+
+  /** Append the ADC machinery to a (qid, qvec, ...) frame: `qtab[j][r] =
+    * q_j · c_{j,r}` (m × ksub doubles, one map pass over the codebook
+    * literal) and |q|.
+    */
+  private def withQueryTables(q: DataFrame, cb: Codebooks): DataFrame =
+    q.withColumn("qtab", transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      transform(element_at(bookLit(cb), j + lit(1)), c =>
+        Ann.dot(sub(col("qvec"), j, cb.ds), c.getField("cvec")))))
+      .withColumn("__qnrm", Ann.l2norm(col("qvec")))
+
+  /** Approximate-cosine shortlist over candidate pairs carrying
+    * (qid, nid, qtab, code, csqn, __qnrm): score = the m-lookup left
+    * fold over the query table divided by |q|·√csqn, rank with nid
+    * tie-break, keep `shortlist` per query.
+    */
+  private def adcShortlist(pairs: DataFrame, shortlist: Int): DataFrame = {
+    val shortW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx_sim").desc, col("nid"))
+    pairs
       .withColumn("approx_sim",
         aggregate(zip_with(col("qtab"), col("code"),
           (t, c) => element_at(t, c + lit(1))),
           lit(0.0), (acc, x) => acc + x) /
           (col("__qnrm") * sqrt(col("csqn"))))
-    val shortW = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("approx_sim").desc, col("nid"))
-    val short = approx
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)
       .select("qid", "nid")
+  }
+
+  /** Exact-cosine rerank of a (qid, nid) shortlist against the original
+    * vectors — `Ann`'s operand shapes, so only exact ranks leave any PQ
+    * path.
+    */
+  private def rerank(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val cvec = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val qvec = queries.select(col(idCol).as("qid"),

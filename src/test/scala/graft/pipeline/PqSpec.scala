@@ -93,6 +93,39 @@ class PqSpec extends SparkSpec {
     rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
   }
 
+  "searchIvfPq" should "equal brute force when probing every cell with a full shortlist" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val cb = Pq.sampleCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val enc = Pq.encode(assigned, "id", "vec", cb)
+    val res = Pq.searchIvfPq(enc, corpus, q, "vec_id", "embedding",
+      ivf, cb, k = 5, nprobe = 4, shortlist = 79)
+    val brute = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5)
+    rowsOf(res, "qid", "rank", "nid") shouldBe
+      rowsOf(brute, "qid", "rank", "nid")
+  }
+
+  it should "recover in-cluster neighbors from pruned cells" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val cb = Pq.sampleCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val enc = Pq.encode(assigned, "id", "vec", cb)
+    val res = Pq.searchIvfPq(enc, corpus, q, "vec_id", "embedding",
+      ivf, cb, k = 5, nprobe = 1, shortlist = 10)
+    val rows = res.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe 20
+    rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
+  }
+
   "trainCodebooks" should "produce per-subspace books of the right shape" in {
     val cb = Pq.trainCodebooks(corpus, "embedding", m = 2, ksub = 4)
     cb.ds shouldBe 4
