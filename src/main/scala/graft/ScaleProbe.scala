@@ -76,6 +76,8 @@ object ScaleProbe {
       .getOrElse(ProbeGates)
     val runAuto = sys.env.get("SPARK_GRAFT_SCALE_GATES")
       .forall(_.contains("q83_mutual_nn_auto"))
+    val runHier = sys.env.get("SPARK_GRAFT_SCALE_GATES")
+      .forall(_.contains("q83_mutual_nn_hier"))
 
     val spark = graft.core.Graft.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -184,6 +186,31 @@ object ScaleProbe {
       val ((asSec, asStages), asNl) = mutualAuto(scaleDir)
       Seq(((abSec, abStages, abNl), (asSec, asStages, asNl)))
     } else Nil
+    // The X155 configuration of the same computation: hierarchical
+    // coarse quantizer with autoNlistHier/autoNsuper sizing — the
+    // Θ(n^(4/3)) law. vs the flat-auto row: MORE leaves (n^(2/3) >
+    // √n, smaller cells → fewer candidate pairs) ranked CHEAPER
+    // (nsuper + w·nlist/nsuper dots per vector instead of nlist).
+    def mutualHier(dir: String): ((Double, Long), (Int, Int)) = {
+      val emb = graft.queries.GateQuery.table(spark, dir, "embeddings")
+      val n = emb.count() // sizing pass, outside the timed window
+      val nl = graft.similarity.IvfHier.autoNlistHier(n, nprobe = 2)
+      val ns = graft.similarity.IvfHier.autoNsuper(nl)
+      val t = timedRun(() => {
+        graft.similarity.MutualNn.hierMutualTopOne(
+          graft.queries.GateQuery.table(spark, dir, "embeddings"),
+          "vec_id", "embedding", nlist = nl, nsuper = ns, nprobe = 2,
+          wassign = 1, wprobe = 1).count()
+        ()
+      })
+      (t, (nl, ns))
+    }
+    val hierRows = if (runHier) {
+      mutualHier(sfDir) // warmup
+      val ((hbSec, hbStages), (hbNl, hbNs)) = mutualHier(sfDir)
+      val ((hsSec, hsStages), (hsNl, hsNs)) = mutualHier(scaleDir)
+      Seq(((hbSec, hbStages, hbNl, hbNs), (hsSec, hsStages, hsNl, hsNs)))
+    } else Nil
     val calEnd = calibrate(spark)
     val loadEnd = loadAvg1m()
 
@@ -195,11 +222,20 @@ object ScaleProbe {
         s""""base_stages":$abSt,"scaled_stages":$asSt,""" +
         s""""base_nlist":$abNl,"scaled_nlist":$asNl}"""
     }
+    val hierJson = hierRows.map {
+      case ((hb, hbSt, hbNl, hbNs), (hs, hsSt, hsNl, hsNs)) =>
+        s""""q83_mutual_nn_hier":{"base_sec":${f3(hb)},""" +
+          s""""scaled_sec":${f3(hs)},""" +
+          s""""ratio":${f3(hs / math.max(hb, 1e-9))},""" +
+          s""""base_stages":$hbSt,"scaled_stages":$hsSt,""" +
+          s""""base_nlist":$hbNl,"base_nsuper":$hbNs,""" +
+          s""""scaled_nlist":$hsNl,"scaled_nsuper":$hsNs}"""
+    }
     val body = (rows.map { case (n, b, s, bst, sst) =>
       s""""$n":{"base_sec":${f3(b)},"scaled_sec":${f3(s)},""" +
         s""""ratio":${f3(s / math.max(b, 1e-9))},""" +
         s""""base_stages":$bst,"scaled_stages":$sst}"""
-    } ++ autoJson).mkString("{", ",", "}")
+    } ++ autoJson ++ hierJson).mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir",""" +
         s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +

@@ -39,10 +39,8 @@ import Ivf.{Cent, Model}
   */
 object IvfHier {
 
-  /** Leaf-centroid literal row: |c|², leaf cell id, parent super id,
-    * vector.
-    */
-  case class HierCent(cnorm: Double, cid: Int, sid: Int, cvec: Seq[Double])
+  // (leaf rows reuse Ivf.Cent — the parent sid lives in the map KEY of
+  // `leafMapLit`, never in the row)
 
   /** Two-level model: super-centroids (sid → vector), the leaf→super
     * assignment, and the flat leaf model (reused by `Ivf.assign`-side
@@ -122,11 +120,28 @@ object IvfHier {
       Cent(dotD(v, v), sid, v.toSeq)
     })
 
-  /** One literal node holding the leaf table with parent sids. */
-  private def leafLit(h: HierModel): Column =
-    typedLit(h.leaves.centroids.sortBy(_._1).map { case (cid, v) =>
-      HierCent(dotD(v, v), cid, h.leafSid(cid), v.toSeq)
-    })
+  /** One literal node holding the leaf table KEYED BY parent sid
+    * (map<sid, array<Cent>>, each super's leaves cid-sorted; every sid
+    * gets a key, empty supers an empty array). The keyed form exists for
+    * a per-row cost reason, not convenience: candidate gathering is
+    * `transform(sids, s => element_at(map, s))`, where `sids` is the HOF
+    * *argument* — evaluated ONCE per row. The earlier flat-array form
+    * (`filter(leaves, c => array_contains(sids, c.sid))`) put `sids`
+    * inside the filter LAMBDA, and HOF lambda bodies re-evaluate their
+    * captured subtrees per element — so the whole `topSids` rank
+    * (nsuper dots + a sort) re-ran once per leaf, turning the intended
+    * nsuper + w·nlist/nsuper per-row cost into nlist·nsuper and the
+    * self-join law back to Θ(n²) (the r14 scale probe measured it:
+    * 12.5× wall at 10× data, 6.6× over flat at base). Same trap
+    * `Quantize.quantizedExpr`'s scaladoc documents for inline amax.
+    */
+  private def leafMapLit(h: HierModel): Column = {
+    val bySid = h.leaves.centroids.sortBy(_._1)
+      .map { case (cid, v) => (h.leafSid(cid), Cent(dotD(v, v), cid, v.toSeq)) }
+      .groupBy(_._1).map { case (sid, xs) => sid -> xs.map(_._2) }
+    val allSids = h.supers.map { case (sid, _) => sid -> Seq.empty[Cent] }.toMap
+    typedLit(allSids ++ bySid)
+  }
 
   /** The `w` nearest super-cell ids for a vector column, entirely
     * map-side: rank on |s|² − 2·v·s (|v|² constant per row), struct
@@ -142,17 +157,21 @@ object IvfHier {
           s.getField("cid").as("sid")))), 1, w),
       x => x.getField("sid"))
 
-  /** Ranked (rel_dist, cid) structs of the leaves under the probed
-    * supers — the shared second stage of assignment (take 1) and probing
-    * (take nprobe).
+  /** Unsorted (rel_dist, cid) structs of the leaves under the probed
+    * supers — the shared second stage of assignment (argmin) and probing
+    * (sort + take nprobe). `sids` and the map lookups are HOF argument
+    * positions (once-per-row); only the per-candidate dot is in a lambda
+    * body. Concatenation order is (sid rank, cid) but both consumers
+    * reduce through an order-insensitive struct ordering, so it never
+    * shows.
     */
-  private def rankedLeaves(vec: Column, sids: Column, h: HierModel): Column =
-    array_sort(transform(
-      filter(leafLit(h), c => array_contains(sids, c.getField("sid"))),
+  private def candLeaves(vec: Column, sids: Column, h: HierModel): Column =
+    transform(
+      flatten(transform(sids, s => element_at(leafMapLit(h), s))),
       c => struct(
         (c.getField("cnorm") -
           lit(2.0) * Ann.dot(vec, c.getField("cvec"))).as("rel_dist"),
-        c.getField("cid").as("cid"))))
+        c.getField("cid").as("cid")))
 
   /** Two-stage assignment, zero exchanges: top-`wassign` supers, then
     * argmin over only their leaves. Output shape matches `Ivf.assign`
@@ -167,7 +186,7 @@ object IvfHier {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("__sids", topSids(col("vec"), h, wassign))
       .withColumn("cid",
-        element_at(rankedLeaves(col("vec"), col("__sids"), h), 1)
+        array_min(candLeaves(col("vec"), col("__sids"), h))
           .getField("cid"))
       .select("id", "cid", "vec")
   }
@@ -185,7 +204,8 @@ object IvfHier {
     queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("__sids", topSids(col("qvec"), h, wprobe))
       .withColumn("cid", explode(transform(
-        slice(rankedLeaves(col("qvec"), col("__sids"), h), 1, nprobe),
+        slice(array_sort(candLeaves(col("qvec"), col("__sids"), h)),
+          1, nprobe),
         x => x.getField("cid"))))
       .select("qid", "qvec", "cid")
   }

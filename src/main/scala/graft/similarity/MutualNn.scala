@@ -43,4 +43,21 @@ object MutualNn {
     pairs(Quantize.ivfTopK(assigned, corpus, idCol, vecCol, model,
       k = 1, nprobe = nprobe))
   }
+
+  /** `ivfMutualTopOne` through the hierarchical coarse quantizer
+    * (X155): same quantized scoring kernel, but assignment and probing
+    * rank nsuper + w·nlist/nsuper centroids per vector instead of
+    * nlist — with `IvfHier.autoNlistHier`/`autoNsuper` sizing this is
+    * the Θ(n^(4/3)) corpus-self-join configuration (flat + autoNlist is
+    * Θ(n^1.5)).
+    */
+  def hierMutualTopOne(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nsuper: Int, nprobe: Int, wassign: Int,
+      wprobe: Int): DataFrame = {
+    val h = IvfHier.hierarchy(
+      Ivf.sampleCentroids(corpus, idCol, vecCol, nlist), nsuper)
+    val assigned = IvfHier.assignHier(corpus, idCol, vecCol, h, wassign)
+    pairs(Quantize.hierTopK(assigned, corpus, idCol, vecCol, h,
+      k = 1, wprobe, nprobe))
+  }
 }

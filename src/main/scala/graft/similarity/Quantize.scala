@@ -111,6 +111,25 @@ object Quantize {
       quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 
+  /** `ivfTopK` with the hierarchical coarse quantizer doing the cell
+    * pruning: identical quantized kernel, but the probe stage is
+    * `IvfHier.probesHier` — in-row two-stage array math (no rank-window
+    * exchange) and nsuper + w·nlist/nsuper centroid dots per query
+    * instead of nlist. The 100 TB mutual-NN configuration
+    * (`MutualNn.hierMutualTopOne`) runs every corpus vector through
+    * here, where the flat centroid-rank term is the Θ(n^1.5) residual
+    * the two-level law removes.
+    */
+  def hierTopK(assignedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, h: IvfHier.HierModel, k: Int,
+      wprobe: Int, nprobe: Int): DataFrame = {
+    val qc = withQuantized(assignedCorpus, "vec", "qvec")
+      .select(col("id"), col("cid"), col("qvec").as("vec"))
+    val prb = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe, nprobe)
+    Ivf.scoreProbedCells(qc,
+      quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
+  }
+
   /** Probe side for the quantized paths: `prb` is `Ivf.probes` output
     * (cell pruning on the raw float vectors — same stage as Ivf.search,
     * passed in so callers that also need the probed-cid set build it
