@@ -1025,6 +1025,117 @@ object PipelineQueries {
           |      FROM sc)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // IVFADC proper — PQ over RESIDUALS (x − centroid), the form FAISS
+    // IndexIVFPQ actually ships: residuals are centered with far less
+    // variance than raw vectors, so the same m-code budget buys much
+    // smaller quantization error. The oracle extends d34's composition:
+    // residual CTE (exact IEEE subtraction), codebooks hash-sampled from
+    // the RESIDUAL rows (same ids — the hash is on vec_id), csqn from
+    // the explicit reconstruction |cent + r̂|², and the approx dot
+    // decomposed as q·cent (per probe row) + the m-lookup fold. Same
+    // determinism dependencies as d33/d34.
+    GateQuery(
+      "d35_ann_ivfadc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", ivf)
+        val cb = graft.similarity.Pq.sampleResidualCodebooks(
+          assigned, ivf, m = 4, ksub = 8)
+        val enc = graft.similarity.Pq.encodeResidual(assigned, ivf, cb)
+        graft.similarity.Pq.searchIvfPqResidual(enc, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asnv AS (SELECT vec_id, v, cid FROM (
+          |          SELECT e.vec_id, e.v, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |prbI AS (SELECT qid, cid FROM (
+          |          SELECT q.vec_id AS qid, cent.cid,
+          |                 row_number() OVER (PARTITION BY q.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+          |res AS (SELECT a.vec_id, a.cid,
+          |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+          |        FROM asnv a JOIN cent c ON c.cid = a.cid),
+          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, rv
+          |        FROM (SELECT vec_id, rv, (vec_id * 2654435761) % 1000003 AS hk
+          |              FROM res ORDER BY hk, vec_id LIMIT 8)),
+          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+          |cb0 AS (SELECT j.j, smp.r, smp.rv[j.j*16+1 : j.j*16+16] AS cv
+          |        FROM smp, js j),
+          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
+          |sub AS (SELECT res.vec_id, j.j, res.rv[j.j*16+1 : j.j*16+16] AS sv
+          |        FROM res, js j),
+          |enc AS (SELECT vec_id, j, r FROM (
+          |          SELECT s.vec_id, s.j, c.r,
+          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
+          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
+          |                            c.r) AS rn
+          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
+          |rh AS (SELECT en.vec_id, flatten(list(cb.cv ORDER BY en.j)) AS rhat
+          |       FROM enc en JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |       GROUP BY en.vec_id),
+          |csq AS (SELECT x.vec_id, list_dot_product(x.xr, x.xr) AS csqn FROM (
+          |          SELECT rh.vec_id,
+          |                 list_transform(range(1, 65),
+          |                   i -> c.cv[i] + rh.rhat[i]) AS xr
+          |          FROM rh JOIN asnv a ON a.vec_id = rh.vec_id
+          |                  JOIN cent c ON c.cid = a.cid) x),
+          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
+          |      FROM e WHERE vec_id < 10),
+          |qc AS (SELECT p.qid, p.cid, list_dot_product(q.v, c.cv) AS qcent
+          |       FROM prbI p JOIN q ON q.vec_id = p.qid
+          |                   JOIN cent c ON c.cid = p.cid),
+          |cand AS (SELECT p.qid, a.vec_id AS nid, a.cid
+          |         FROM prbI p JOIN asnv a ON a.cid = p.cid
+          |         WHERE p.qid <> a.vec_id),
+          |pd AS (SELECT c.qid, c.nid, en.j,
+          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], cb.cv) AS d
+          |       FROM cand c JOIN enc en ON en.vec_id = c.nid
+          |                   JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |                   JOIN q ON q.vec_id = c.qid),
+          |ad AS (SELECT qid, nid,
+          |          (((0 + max(CASE WHEN j = 0 THEN d END))
+          |            + max(CASE WHEN j = 1 THEN d END))
+          |            + max(CASE WHEN j = 2 THEN d END))
+          |            + max(CASE WHEN j = 3 THEN d END) AS adot
+          |       FROM pd GROUP BY qid, nid),
+          |shl AS (SELECT qid, nid FROM (
+          |          SELECT ad.qid, ad.nid,
+          |                 row_number() OVER (PARTITION BY ad.qid
+          |                   ORDER BY (qc.qcent + ad.adot)
+          |                     / (q.qnrm * sqrt(csq.csqn)) DESC,
+          |                            ad.nid) AS srn
+          |          FROM ad JOIN q ON q.vec_id = ad.qid
+          |                  JOIN csq ON csq.vec_id = ad.nid
+          |                  JOIN asnv a ON a.vec_id = ad.nid
+          |                  JOIN qc ON qc.qid = ad.qid AND qc.cid = a.cid)
+          |        WHERE srn <= 10),
+          |sc AS (SELECT shl.qid, shl.nid,
+          |         list_dot_product(a.v, b.v)
+          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+          |       FROM shl JOIN e a ON a.vec_id = shl.qid
+          |                JOIN e b ON b.vec_id = shl.nid),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(
       "t01_langid",
@@ -4163,6 +4274,72 @@ object PipelineQueries {
            |       THEN CAST(fl.n_oov AS DOUBLE)
            |          / CAST(fl.n_tokens AS DOUBLE) END AS oov_rate
            |FROM documents d LEFT JOIN fl ON d.doc_id = fl.id
-           |ORDER BY d.doc_id""".stripMargin))
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR importance resampling (text.Dsir, X157): rank the pool
+    // (doc_id % 7 <> 0) by log importance weight against the target
+    // corpus (doc_id % 7 = 0) under hashed unigram+bigram bag models
+    // (B = 1024, Laplace-α=1, micro-nat integer log-likelihoods — the
+    // t26 quantization), flag the top quarter. Exact long sums make the
+    // whole featurize → fit → weight → rank pipeline replay bitwise;
+    // only the per-bucket ln is floated, and its ±1 ulp is absorbed by
+    // the micro-nat quantization as everywhere else.
+    GateQuery(
+      "t56_dsir",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pool = d.filter(col("doc_id") % 7 =!= 0)
+        val target = d.filter(col("doc_id") % 7 === 0)
+        val k = math.max(1L, pool.count() / 4).toInt
+        graft.text.Dsir.selectTopK(
+          graft.text.Dsir.importanceWeights(
+            pool, target, "doc_id", "text", numBuckets = 1024),
+          "doc_id", k)
+          .orderBy("rank")
+      },
+      Some(
+        s"""WITH tok AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |      tk -> tk <> '') AS toks FROM documents),
+           |gr AS (SELECT doc_id, unnest(toks ||
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM tok),
+           |occ AS (SELECT doc_id, ${polyHashSql("gram")} % 1024 AS bucket
+           |        FROM gr),
+           |tc AS (SELECT bucket, COUNT(*) AS cnt FROM occ
+           |       WHERE doc_id % 7 = 0 GROUP BY 1),
+           |tt AS (SELECT COALESCE(SUM(cnt), 0) AS tot FROM tc),
+           |tw AS (SELECT bucket, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+           |         / CAST(tot + 1024 AS DOUBLE)) * 1000000.0 + 0.5)
+           |         AS BIGINT) AS lt FROM tc CROSS JOIN tt),
+           |t0 AS (SELECT CAST(floor(ln(1.0 / CAST(tot + 1024 AS DOUBLE))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS lt0 FROM tt),
+           |rc AS (SELECT bucket, COUNT(*) AS cnt FROM occ
+           |       WHERE doc_id % 7 <> 0 GROUP BY 1),
+           |rt AS (SELECT COALESCE(SUM(cnt), 0) AS tot FROM rc),
+           |rw AS (SELECT bucket, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+           |         / CAST(tot + 1024 AS DOUBLE)) * 1000000.0 + 0.5)
+           |         AS BIGINT) AS lr FROM rc CROSS JOIN rt),
+           |r0 AS (SELECT CAST(floor(ln(1.0 / CAST(tot + 1024 AS DOUBLE))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS lr0 FROM rt),
+           |tfq AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM occ
+           |        WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+           |wt AS (SELECT tfq.doc_id, CAST(SUM(tfq.tf) AS BIGINT) AS n_feats,
+           |         CAST(SUM(tfq.tf * (COALESCE(tw.lt, t0.lt0)
+           |           - COALESCE(rw.lr, r0.lr0))) AS BIGINT) AS logw
+           |       FROM tfq LEFT JOIN tw ON tfq.bucket = tw.bucket
+           |            LEFT JOIN rw ON tfq.bucket = rw.bucket
+           |            CROSS JOIN t0 CROSS JOIN r0
+           |       GROUP BY tfq.doc_id),
+           |kk AS (SELECT GREATEST(COUNT(*) // 4, 1) AS k FROM documents
+           |       WHERE doc_id % 7 <> 0),
+           |rk AS (SELECT doc_id, n_feats, logw,
+           |         CAST(row_number() OVER (ORDER BY logw DESC, doc_id)
+           |           AS INTEGER) AS "rank" FROM wt)
+           |SELECT doc_id, n_feats, logw, "rank",
+           |  CAST(CASE WHEN "rank" <= k THEN 1 ELSE 0 END AS INTEGER)
+           |    AS "selected"
+           |FROM rk CROSS JOIN kk
+           |ORDER BY "rank"""".stripMargin))
   )
 }

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary (1-bit) quantization of embeddings with Hamming-distance
+  * search — the fourth leg of the ANN compression story: IVF prunes
+  * WHICH vectors a query scores (d07), int8 shrinks each COMPONENT 8×
+  * (d10), JL shrinks HOW MANY components there are (d19), PQ codes
+  * m-dim subvectors (d33); binary quantization takes the limit — ONE
+  * bit per retained dimension, so a 64-dim float64 vector (512 bytes)
+  * becomes a 64-bit code (8 bytes, 64×), and candidate distance is two
+  * XOR+popcounts instead of 64 multiplies.
+  *
+  * The bits are hyperplane signs (Charikar, STOC 2002 — SimHash for
+  * real vectors): bit j = sign of the dot with the deterministic ±1
+  * hyperplane [[Projection.sign]] row j, so for two vectors the
+  * probability a bit DISAGREES is θ/π (Goemans–Williamson), making
+  * Hamming distance a monotone estimator of angular distance. Signs of
+  * symmetric-hyperplane dots are mean-free by construction, so no
+  * per-dimension centering pass is needed (raw component signs — the
+  * vector-DB "BQ" shortcut — degrade badly off-centered data). This is
+  * the ranking counterpart of [[Ann.lshBucket]]: the same sign bits,
+  * used there to PARTITION into buckets, used here as a compressed
+  * representation to RANK by.
+  *
+  * Everything replays bitwise in SQL (gate d36): the hyperplane dots
+  * are the d19-proven fold contract, a sign test is exact on any IEEE
+  * engine where the dot itself is exact, and packing/XOR/popcount are
+  * integer arithmetic. Codes pack 32 bits per long word (not 64: a
+  * 2^63 bit would overflow signed BIGINT in replay engines; 32-bit
+  * words stay in [0, 2^32) — positive, portable, popcount-equal).
+  *
+  * Scale (100 TB, 1000 executors): `encode` is map-only (hyperplane
+  * rows are plan literals; ShuffleContractSpec pins zero exchanges) —
+  * encode once, persist `bcode` next to the id, and the candidate scan
+  * reads bits/8 bytes per row instead of the vector. `searchHamming`'s
+  * candidate pass is the same join shape as brute force at 64× less
+  * scan and ~30× less arithmetic; compose with IVF cells exactly like
+  * [[Pq.searchIvfPq]] when even the linear code scan is too much.
+  */
+object BinaryQuant {
+
+  private val wordBits = 32
+
+  /** Number of 32-bit code words for a `bits`-bit code. */
+  def numWords(bits: Int): Int = (bits + wordBits - 1) / wordBits
+
+  /** Packs the sign bits of a projected-coordinate array column into
+    * array<long> words: word w = fold over its coordinates of
+    * acc·2 + [p > 0] (first coordinate is the word's MSB). Exact
+    * integer arithmetic, max 2^32 − 1 per word.
+    */
+  private def pack(pcol: Column, bits: Int): Column =
+    transform(sequence(lit(0), lit(numWords(bits) - 1)), w =>
+      aggregate(slice(pcol, w * lit(wordBits) + lit(1), lit(wordBits)),
+        lit(0L), (acc, p) =>
+          acc * lit(2L) + when(p > lit(0.0), lit(1L)).otherwise(lit(0L))))
+
+  /** Adds `bcode` (array<long>, [[numWords]](bits) words of 32 sign
+    * bits): bit j = [hyperplane_j · vec > 0] with hyperplane rows from
+    * [[Projection.sign]]. Map-only; other columns pass through.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= dim,
+      s"bits must be in [1, dim=$dim]: $bits (Projection caps hyperplane"
+        + " count at the input dimension)")
+    Projection.project(df, vecCol, dim, bits, "__bq_proj")
+      .withColumn("bcode", pack(col("__bq_proj"), bits))
+      .drop("__bq_proj")
+  }
+
+  /** Hamming distance between two packed code columns: Σ_w
+    * popcount(a_w XOR b_w). Integer, exact, engine-portable.
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, c) => acc + c.cast("long"))
+
+  /** Approximate top-k cosine neighbors by Hamming shortlist → exact
+    * rerank: queries are encoded on the fly, every (query, corpus)
+    * code pair is scored by [[hamming]], the `shortlist` smallest per
+    * query (ties: nid) survive, and the exact cosine rerank on the
+    * original vectors orders the final k. Output (qid, rank 1..k, nid,
+    * cosine_sim) — the shared similarity contract.
+    */
+  def searchHamming(encoded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = encoded.select(col(idCol).as("nid"),
+      col("bcode").as("ncode"))
+    val qs = encode(queries, idCol, vecCol, dim, bits)
+      .select(col(idCol).as("qid"), col("bcode").as("qcode"))
+    val shortW = Window.partitionBy("qid")
+      .orderBy(col("hd").asc, col("nid"))
+    val short = broadcast(qs).join(cand, col("qid") =!= col("nid"))
+      .withColumn("hd", hamming(col("qcode"), col("ncode")))
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "nid")
+    Pq.rerank(short, corpus, queries, idCol, vecCol, k)
+  }
+}

@@ -225,7 +225,7 @@ object Pq {
     * vectors — `Ann`'s operand shapes, so only exact ranks leave any PQ
     * path.
     */
-  private def rerank(short: DataFrame, corpus: DataFrame,
+  private[similarity] def rerank(short: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val cvec = corpus.select(col(idCol).as("nid"),
@@ -247,5 +247,112 @@ object Pq {
     val cb = sampleCodebooks(corpus, idCol, vecCol, m, ksub)
     val enc = encode(corpus, idCol, vecCol, cb)
     searchAdc(enc, corpus, queries, idCol, vecCol, cb, k, shortlist)
+  }
+
+  // ---- residual encoding (IVFADC proper) ----------------------------
+
+  /** Centroid map literal cid → vector (keyed form — the once-per-row
+    * HOF-argument lookup discipline IvfHier.leafMapLit documents).
+    */
+  private def centMapLit(ivf: Ivf.Model): Column =
+    typedLit(ivf.centroids.map { case (cid, v) => cid -> v.toSeq }.toMap)
+
+  /** The m-code word for a (residual) vector column — `encode`'s argmin
+    * without the sqnorm ride-along (the residual path derives its norm
+    * from the explicit reconstruction instead).
+    */
+  private def codesFor(v: Column, cb: Codebooks): Column =
+    transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      array_min(transform(element_at(bookLit(cb), j + lit(1)), c =>
+        struct(
+          (c.getField("sqnorm") - lit(2.0) *
+            Ann.dot(sub(v, j, cb.ds), c.getField("cvec"))).as("rel_dist"),
+          c.getField("r").as("r")))).getField("r"))
+
+  /** The PQ reconstruction r̂: the m code centroids concatenated in
+    * subspace order.
+    */
+  private def rhat(code: Column, cb: Codebooks): Column =
+    flatten(transform(sequence(lit(0), lit(cb.m - 1)), j =>
+      element_at(element_at(bookLit(cb), j + lit(1)),
+        element_at(code, j + lit(1)) + lit(1)).getField("cvec")))
+
+  /** Residual frame (id, cid, rv = x − centroid_cid) of an
+    * `Ivf.assign`-shaped corpus — the thing IVFADC quantizes: residuals
+    * are centered near 0 with far less variance than raw vectors, so
+    * the same code budget buys much smaller quantization error (Jégou
+    * et al. §IV; FAISS `IndexIVFPQ` default). Map-side (one map-literal
+    * lookup + one exact IEEE subtraction per component).
+    */
+  def residuals(assigned: DataFrame, ivf: Ivf.Model): DataFrame =
+    assigned.select(col("id"), col("cid"),
+      zip_with(col("vec").cast("array<double>"),
+        element_at(centMapLit(ivf), col("cid")), (x, c) => x - c).as("rv"))
+
+  /** Residual codebooks by the deterministic hash-sample rule: the d07
+    * id-hash picks the SAME rows as `sampleCodebooks` would, but their
+    * j-th slices are sliced from the residuals — replayable in SQL
+    * (gate d35). `trainCodebooks(residuals(...), "rv", ...)` is the
+    * production form.
+    */
+  def sampleResidualCodebooks(assigned: DataFrame, ivf: Ivf.Model,
+      m: Int, ksub: Int): Codebooks =
+    sampleCodebooks(residuals(assigned, ivf), "id", "rv", m, ksub)
+
+  /** Encode an `Ivf.assign`-shaped corpus against RESIDUAL codebooks:
+    * code_j = argmin over book j for the residual's j-th slice, and
+    * `csqn` = |x̂|² of the full reconstruction x̂ = centroid + r̂ (built
+    * explicitly, exact IEEE adds — search divides by √csqn just like
+    * the flat path, no approximation in the norm). Entirely map-side;
+    * other columns pass through.
+    */
+  def encodeResidual(assigned: DataFrame, ivf: Ivf.Model,
+      cb: Codebooks): DataFrame = {
+    val recon = zip_with(element_at(centMapLit(ivf), col("cid")),
+      rhat(col("code"), cb), (c, r) => c + r)
+    assigned
+      .withColumn("__pq_res",
+        zip_with(col("vec").cast("array<double>"),
+          element_at(centMapLit(ivf), col("cid")), (x, c) => x - c))
+      .withColumn("code", codesFor(col("__pq_res"), cb))
+      .withColumn("csqn", Ann.dot(recon, recon))
+      .drop("__pq_res")
+  }
+
+  /** Cell-pruned ADC over residual codes — IVFADC proper. The approx
+    * dot decomposes as q·x̂ = q·centroid_cid + Σ_j qtab[j][code_j]: the
+    * q·centroid term is computed ONCE PER PROBE ROW (nprobe per query,
+    * riding the probe frame like qtab — never per candidate), the Σ is
+    * the same m-lookup fold as `searchAdc`, and the approx cosine
+    * divides by |q|·√csqn with csqn the exact reconstruction norm from
+    * `encodeResidual`. Shortlist → exact rerank, as everywhere.
+    */
+  def searchIvfPqResidual(encodedAssigned: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, ivf: Ivf.Model,
+      cb: Codebooks, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val prb = withQueryTables(
+      Ivf.probes(queries, idCol, vecCol, ivf, nprobe), cb)
+      .withColumn("qcent",
+        Ann.dot(col("qvec"), element_at(centMapLit(ivf), col("cid"))))
+    val probeSide =
+      if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
+      else prb
+    val cand = encodedAssigned.select(col("cid"), col("id").as("nid"),
+      col("code"), col("csqn"))
+    val pairs = cand.join(probeSide, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+    val shortW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx_sim").desc, col("nid"))
+    val short = pairs
+      .withColumn("approx_sim",
+        (col("qcent") + aggregate(zip_with(col("qtab"), col("code"),
+          (t, c) => element_at(t, c + lit(1))),
+          lit(0.0), (acc, x) => acc + x)) /
+          (col("__qnrm") * sqrt(col("csqn"))))
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "nid")
+    rerank(short, corpus, queries, idCol, vecCol, k)
   }
 }

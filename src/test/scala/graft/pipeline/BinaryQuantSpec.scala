@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.similarity.{Ann, BinaryQuant, Projection}
+import org.apache.spark.sql.functions._
+
+class BinaryQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  // four well-separated clusters in 16d (the Pq fixture geometry, widened
+  // so 16 hyperplane sign columns distinguish all four dominant dims —
+  // at 8 planes dims 0 and 6 share a sign column and clusters 0/3 alias)
+  private def corpus = {
+    val rng = new scala.util.Random(13)
+    (0 until 80).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(d => if (d == 2 * c) 10.0f else 0.0f)
+      (i.toLong, base.map(v => v + rng.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  // driver-side pack replay over Spark-computed projected coordinates:
+  // pack is pure integer logic on the dot signs, so replaying it on the
+  // engine's own dots isolates the packing contract from IEEE concerns
+  private def packWords(pv: Seq[Double], bits: Int): Seq[Long] =
+    (0 until BinaryQuant.numWords(bits)).map { w =>
+      pv.slice(w * 32, w * 32 + 32)
+        .foldLeft(0L)((acc, p) => acc * 2L + (if (p > 0.0) 1L else 0L))
+    }
+
+  private def projBits(df: org.apache.spark.sql.DataFrame, dim: Int,
+      bits: Int): Map[Long, Seq[Double]] =
+    Projection.project(df, "embedding", dim, bits, "pv")
+      .select("vec_id", "pv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  "encode" should "pack hyperplane sign bits into 32-bit words, map-only" in {
+    val enc = BinaryQuant.encode(corpus, "vec_id", "embedding",
+      dim = 16, bits = 16)
+    graft.core.Bucketing.hasShuffle(enc) shouldBe false
+    val proj = projBits(corpus, 16, 16)
+    val rows = enc.select("vec_id", "bcode").collect()
+    rows.length shouldBe 80
+    rows.foreach { r =>
+      val words = r.getSeq[Long](1)
+      words shouldBe packWords(proj(r.getLong(0)), 16)
+      words.foreach { w => w should (be >= 0L and be < (1L << 32)) }
+    }
+    // pass-through columns survive (IVF composition)
+    enc.columns should contain allOf ("vec_id", "embedding")
+  }
+
+  it should "span multiple words past 32 bits, partial last word low-packed" in {
+    val rng = new scala.util.Random(7)
+    val df40 = (0 until 12).map { i =>
+      (i.toLong, Array.fill(40)(rng.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val enc = BinaryQuant.encode(df40, "vec_id", "embedding",
+      dim = 40, bits = 40)
+    val proj = projBits(df40, 40, 40)
+    val rows = enc.select("vec_id", "bcode").collect()
+    rows.length shouldBe 12
+    rows.foreach { r =>
+      val words = r.getSeq[Long](1)
+      words.length shouldBe 2
+      words shouldBe packWords(proj(r.getLong(0)), 40)
+      words(1) should be < 256L // 40 - 32 = 8 bits, low positions
+    }
+  }
+
+  "hamming" should "count differing sign bits exactly" in {
+    val enc = BinaryQuant.encode(corpus, "vec_id", "embedding",
+      dim = 16, bits = 16)
+    val signs = projBits(corpus, 16, 16)
+      .map { case (id, pv) => id -> pv.map(_ > 0.0) }
+    val a = enc.select(col("vec_id").as("ida"), col("bcode").as("ca"))
+    val b = enc.select(col("vec_id").as("idb"), col("bcode").as("cb"))
+    val hd = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        BinaryQuant.hamming(col("ca"), col("cb")).as("hd"))
+      .collect()
+    hd.length shouldBe 80 * 79 / 2
+    hd.foreach { r =>
+      val expect = signs(r.getLong(0)).zip(signs(r.getLong(1)))
+        .count { case (x, y) => x != y }
+      r.getLong(2) shouldBe expect.toLong
+    }
+  }
+
+  "searchHamming" should "equal brute force when the shortlist covers the corpus" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val enc = BinaryQuant.encode(corpus, "vec_id", "embedding",
+      dim = 16, bits = 16)
+    val res = BinaryQuant.searchHamming(enc, corpus, q, "vec_id",
+      "embedding", dim = 16, bits = 16, k = 5, shortlist = 79)
+    val brute = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5)
+    rowsOf(res, "qid", "rank", "nid") shouldBe
+      rowsOf(brute, "qid", "rank", "nid")
+  }
+
+  it should "recover in-cluster neighbors from a narrow Hamming shortlist" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val enc = BinaryQuant.encode(corpus, "vec_id", "embedding",
+      dim = 16, bits = 16)
+    val res = BinaryQuant.searchHamming(enc, corpus, q, "vec_id",
+      "embedding", dim = 16, bits = 16, k = 5, shortlist = 10)
+    val rows = res.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe 20
+    // in-cluster codes are identical (hd 0, noise < the 10.0 separation);
+    // the nearest foreign cluster sits at hd >= 5, so a 10-wide shortlist
+    // never leaves the cluster
+    rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
+  }
+}

@@ -140,4 +140,61 @@ class PqSpec extends SparkSpec {
     Pq.searchAdc(enc, corpus, q, "vec_id", "embedding", cb,
       k = 3, shortlist = 10).count() shouldBe 6
   }
+
+  "encodeResidual" should "emit codes plus the exact reconstruction norm, map-side" in {
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val cb = Pq.sampleResidualCodebooks(assigned, ivf, m = 4, ksub = 8)
+    val enc = Pq.encodeResidual(assigned, ivf, cb)
+    graft.core.Bucketing.hasShuffle(enc) shouldBe false
+    val cents = ivf.centroids.toMap
+    val rows = enc.select("cid", "code", "csqn").collect()
+    rows.length shouldBe 80
+    rows.foreach { r =>
+      val cid = r.getInt(0)
+      val code = r.getSeq[Int](1)
+      code.length shouldBe 4
+      code.foreach { c => c should (be >= 0 and be < 8) }
+      // csqn = |centroid + r̂|², recomputed driver-side
+      val rh = code.zipWithIndex.flatMap { case (c, j) =>
+        cb.books(j).find(_._1 == c).get._2
+      }
+      val recon = cents(cid).zip(rh).map { case (a, b) => a + b }
+      r.getDouble(2) shouldBe
+        recon.foldLeft(0.0)((a, x) => a + x * x) +- 1e-9
+    }
+  }
+
+  "searchIvfPqResidual" should "equal brute force when probing every cell with a full shortlist" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val cb = Pq.sampleResidualCodebooks(assigned, ivf, m = 4, ksub = 8)
+    val enc = Pq.encodeResidual(assigned, ivf, cb)
+    val res = Pq.searchIvfPqResidual(enc, corpus, q, "vec_id", "embedding",
+      ivf, cb, k = 5, nprobe = 4, shortlist = 79)
+    val brute = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5)
+    rowsOf(res, "qid", "rank", "nid") shouldBe
+      rowsOf(brute, "qid", "rank", "nid")
+  }
+
+  it should "recover in-cluster neighbors from pruned cells" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val cb = Pq.sampleResidualCodebooks(assigned, ivf, m = 4, ksub = 8)
+    val enc = Pq.encodeResidual(assigned, ivf, cb)
+    val res = Pq.searchIvfPqResidual(enc, corpus, q, "vec_id", "embedding",
+      ivf, cb, k = 5, nprobe = 1, shortlist = 10)
+    val rows = res.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe 20
+    rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
+  }
 }

@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions._
   *     especially (the flat `Ivf.probes` pays a rank-window exchange)
   *   - X156 `Pq.encode` — the corpus-scale PQ pass (argmin per subspace
   *     over the codebook literal + the csqn fold) is one map stage
+  *   - X158 `Pq.encodeResidual` — IVF assign + residual subtraction +
+  *     code argmin + reconstruction norm fuse into ONE map stage
   */
 class ShuffleContractSpec extends SparkSpec {
   import spark.implicits._
@@ -108,5 +110,16 @@ class ShuffleContractSpec extends SparkSpec {
     val cb = graft.similarity.Pq.sampleCodebooks(
       e, "vec_id", "embedding", m = 4, ksub = 8)
     assertMapOnly(graft.similarity.Pq.encode(e, "vec_id", "embedding", cb))
+  }
+
+  "Pq.encodeResidual (X158)" should "stay map-only including the IVF assignment" in {
+    val e = tbl("embeddings")
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      e, "vec_id", "embedding", nlist = 8)
+    val assigned = graft.similarity.Ivf.assign(e, "vec_id", "embedding", ivf)
+    val cb = graft.similarity.Pq.sampleResidualCodebooks(
+      assigned, ivf, m = 4, ksub = 8)
+    // assign → residual → code → reconstruction norm: one map stage
+    assertMapOnly(graft.similarity.Pq.encodeResidual(assigned, ivf, cb))
   }
 }
