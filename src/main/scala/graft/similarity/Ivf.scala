@@ -2,8 +2,7 @@ package graft.similarity
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbors: partition the
@@ -22,11 +21,6 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   case class Model(centroids: Seq[(Int, Array[Double])])
-
-  /** Literal row shape for the assign-side centroid table: |c|², cell id,
-    * centroid vector.
-    */
-  case class Cent(cnorm: Double, cid: Int, cvec: Seq[Double])
 
   /** Corpus-scaled cell count — the sizing rule that keeps IVF search
     * cost growth subquadratic. Per-query work is `nlist` centroid ranks
@@ -84,41 +78,42 @@ object Ivf {
     }.toSeq)
   }
 
-  /** Broadcastable centroid frame: (cid, centroid array<double>). */
-  private def centroidDf(spark: SparkSession, model: Model): DataFrame = {
-    import spark.implicits._
-    model.centroids.map { case (cid, v) => (cid, v.toSeq) }
-      .toDF("cid", "centroid")
-  }
+  /** The model as the compiled-rank expression's table form (cid-sorted,
+    * |c|² left-folded on the driver — the bitwise-replay invariants).
+    */
+  private def cellTable(model: Model)
+      : graft.functions.expressions.CentroidTable =
+    graft.functions.expressions.CentroidTable(model.centroids)
+
+  /** Top-n cell ids of a vector column against the model, as ONE
+    * compiled call per row (`NearestCells`). Replaces the HOF
+    * `array_min`/`array_sort`-over-`transform(centroid-literal, ...)`
+    * trees: HOFs are CodegenFallback — every centroid cost an
+    * interpreted lambda dispatch + boxed struct, measured at ~10-20× the
+    * arithmetic in the r14 scale probe (PLANS.md hier finding 2). Values
+    * are bit-identical (same rel_dist, same fold order, same
+    * (rel_dist, cid) tie-break), so every gate oracle replays unchanged.
+    */
+  private[similarity] def nearestCells(vec: Column, model: Model,
+      n: Int): Column =
+    graft.core.Graft.column(graft.functions.expressions.NearestCells(
+      graft.core.Graft.expression(vec), cellTable(model), n))
 
   /** Assign each row to its nearest centroid, entirely map-side: the
-    * centroid table ships as ONE array-of-struct literal node (`typedLit`
-    * of the whole matrix — a per-element `lit()` tree would cost Catalyst
-    * O(nlist × dim) expression nodes and blow up planning at realistic
-    * IVF sizes, the same failure mode `Ann.lshBucket` documents) and the
-    * argmin is `array_min` over struct(rel_dist, cid) — struct ordering
-    * gives the deterministic tie-break on cid. Zero exchanges: at 100 TB
-    * this is the difference between a free pass over the corpus and a
-    * full-corpus shuffle (the previous broadcast-join + groupBy/min_by
-    * formulation hash-exchanged every (id, vector) row once).
+    * centroid table rides the plan as one opaque model-sized reference
+    * inside the compiled `NearestCells` rank (argmin = top-1 on
+    * rel_dist = |c|² − 2·v·c with cid tie-break — the |v|² term is
+    * constant per row). Zero exchanges: at 100 TB this is the difference
+    * between a free pass over the corpus and a full-corpus shuffle (the
+    * pre-r5 broadcast-join + groupBy/min_by formulation hash-exchanged
+    * every (id, vector) row once; the r5-r14 HOF literal form was
+    * exchange-free but interpreted per centroid).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-      model: Model): DataFrame = {
-    val centLit = typedLit(model.centroids.sortBy(_._1).map { case (cid, v) =>
-      // |c|² as a left-fold on the driver — same summation order as the
-      // engine's dot, so oracle replays agree bitwise
-      Cent(v.foldLeft(0.0)((acc, x) => acc + x * x), cid, v.toSeq)
-    })
-    // rank only needs |c|² - 2·v·c (the |v|² term is constant per row)
-    val best = array_min(transform(centLit, c =>
-      struct(
-        (c.getField("cnorm") -
-          lit(2.0) * Ann.dot(col("vec"), c.getField("cvec"))).as("rel_dist"),
-        c.getField("cid").as("cid"))))
+      model: Model): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cid", best.getField("cid"))
+      .withColumn("cid", nearestCells(col("vec"), model, 1).getItem(0))
       .select(col("id"), col("cid"), col("vec"))
-  }
 
   /** Probe-side rows (query × nprobe, each carrying the full query
     * vector) at or below this count are broadcast so the corpus never
@@ -130,25 +125,22 @@ object Ivf {
 
   /** Probe table (qid, qvec, cid): the `nprobe` cells nearest each query,
     * ranked on |c|² − 2·q·c (the |q|² term is constant per query) with a
-    * deterministic cid tie-break. Conditionally broadcast (see
-    * `MaxBroadcastProbes`) so small probe sets never move the corpus.
-    * Extracted so the quantized search path (`Quantize.ivfTopK`) reuses
-    * the exact same cell-pruning stage as the float path.
+    * deterministic cid tie-break — one compiled `NearestCells` call +
+    * `explode`, entirely map-side. The previous formulation paid a
+    * broadcast join against the centroid frame AND a per-query
+    * rank-window exchange (queries × nlist rows hashed by qid); probing
+    * now never shuffles even for large query sets, which at 100 TB makes
+    * the query-side cost of `search` a free pass. Conditionally
+    * broadcast by callers (see `MaxBroadcastProbes`) so small probe sets
+    * never move the corpus. Extracted so the quantized search path
+    * (`Quantize.ivfTopK`) reuses the exact same cell-pruning stage as
+    * the float path.
     */
   def probes(queries: DataFrame, idCol: String, vecCol: String,
-      model: Model, nprobe: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val cents = centroidDf(spark, model)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val relDist = Ann.dot(col("centroid"), col("centroid")) -
-      lit(2.0) * Ann.dot(col("qvec"), col("centroid"))
-    val probeW = Window.partitionBy("qid").orderBy("rel_dist", "cid")
-    q.join(broadcast(cents))
-      .select(col("qid"), col("qvec"), col("cid"), relDist.as("rel_dist"))
-      .withColumn("prb", row_number().over(probeW))
-      .filter(col("prb") <= nprobe)
+      model: Model, nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("cid", explode(nearestCells(col("qvec"), model, nprobe)))
       .select("qid", "qvec", "cid")
-  }
 
   /** True when the probe side (queries × nprobe) fits under
     * `MaxBroadcastProbes` — counted on the id column only, so the cheap

@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import Ivf.{Cent, Model}
+import Ivf.Model
 
 /** Hierarchical (two-level) IVF coarse quantizer — the step beyond flat
   * IVF that PLANS.md's r14 scale-probe section names. Flat IVF ranks all
@@ -112,66 +112,44 @@ object IvfHier {
     HierModel(supers, leafSid, model)
   }
 
-  /** One literal node holding the super-centroid table (reuses `Cent`;
-    * the `cid` slot carries the sid).
+  /** The hierarchy as the fused compiled rank's table forms: the super
+    * table (sid-keyed) plus one leaf table per sid (cid-sorted, possibly
+    * empty). Both stages' |c|² are driver-side left folds — the bitwise
+    * oracle-replay invariant.
     */
-  private def superLit(h: HierModel): Column =
-    typedLit(h.supers.sortBy(_._1).map { case (sid, v) =>
-      Cent(dotD(v, v), sid, v.toSeq)
-    })
-
-  /** One literal node holding the leaf table KEYED BY parent sid
-    * (map<sid, array<Cent>>, each super's leaves cid-sorted; every sid
-    * gets a key, empty supers an empty array). The keyed form exists for
-    * a per-row cost reason, not convenience: candidate gathering is
-    * `transform(sids, s => element_at(map, s))`, where `sids` is the HOF
-    * *argument* — evaluated ONCE per row. The earlier flat-array form
-    * (`filter(leaves, c => array_contains(sids, c.sid))`) put `sids`
-    * inside the filter LAMBDA, and HOF lambda bodies re-evaluate their
-    * captured subtrees per element — so the whole `topSids` rank
-    * (nsuper dots + a sort) re-ran once per leaf, turning the intended
-    * nsuper + w·nlist/nsuper per-row cost into nlist·nsuper and the
-    * self-join law back to Θ(n²) (the r14 scale probe measured it:
-    * 12.5× wall at 10× data, 6.6× over flat at base). Same trap
-    * `Quantize.quantizedExpr`'s scaladoc documents for inline amax.
-    */
-  private def leafMapLit(h: HierModel): Column = {
-    val bySid = h.leaves.centroids.sortBy(_._1)
-      .map { case (cid, v) => (h.leafSid(cid), Cent(dotD(v, v), cid, v.toSeq)) }
-      .groupBy(_._1).map { case (sid, xs) => sid -> xs.map(_._2) }
-    val allSids = h.supers.map { case (sid, _) => sid -> Seq.empty[Cent] }.toMap
-    typedLit(allSids ++ bySid)
+  private def tables(h: HierModel): (graft.functions.expressions.CentroidTable,
+      Array[graft.functions.expressions.CentroidTable]) = {
+    val supers = graft.functions.expressions.CentroidTable(h.supers)
+    val bySid = h.leaves.centroids
+      .groupBy { case (cid, _) => h.leafSid(cid) }
+    val leaves = h.supers.sortBy(_._1).map { case (sid, _) =>
+      // a super with no leaves contributes no candidates (empty table)
+      graft.functions.expressions.CentroidTable(
+        bySid.getOrElse(sid, Seq.empty))
+    }.toArray
+    (supers, leaves)
   }
 
-  /** The `w` nearest super-cell ids for a vector column, entirely
-    * map-side: rank on |s|² − 2·v·s (|v|² constant per row), struct
-    * ordering (rel_dist, sid) gives the deterministic tie-break,
-    * `array_sort` + `slice` replace the flat path's window.
+  /** Fused two-stage rank (top-`w` supers → top-`n` of their leaves) as
+    * ONE compiled call per row (`NearestCellsTwoLevel`) — primitive
+    * loops, whole-stage codegen. The HOF predecessor (literal
+    * `transform`/`array_sort` trees) was CodegenFallback: the r14 probe
+    * measured its interpreted-eval constant at ~10-20× the arithmetic,
+    * pushing the two-level law's wall-clock crossover vs flat to
+    * n ≈ 10⁷ vectors (PLANS.md hier finding 2); the compiled form
+    * removes that constant. Two HOF-era lessons survive in the design:
+    * per-row state is computed once per ROW, never per candidate (the
+    * r14 lambda-capture trap — the whole super rank re-ran per leaf
+    * when captured in a filter lambda, measured Θ(n²)), and the
+    * candidate order across supers never shows because the final order
+    * is the total (rel_dist, cid).
     */
-  private def topSids(vec: Column, h: HierModel, w: Int): Column =
-    transform(
-      slice(array_sort(transform(superLit(h), s =>
-        struct(
-          (s.getField("cnorm") -
-            lit(2.0) * Ann.dot(vec, s.getField("cvec"))).as("rel_dist"),
-          s.getField("cid").as("sid")))), 1, w),
-      x => x.getField("sid"))
-
-  /** Unsorted (rel_dist, cid) structs of the leaves under the probed
-    * supers — the shared second stage of assignment (argmin) and probing
-    * (sort + take nprobe). `sids` and the map lookups are HOF argument
-    * positions (once-per-row); only the per-candidate dot is in a lambda
-    * body. Concatenation order is (sid rank, cid) but both consumers
-    * reduce through an order-insensitive struct ordering, so it never
-    * shows.
-    */
-  private def candLeaves(vec: Column, sids: Column, h: HierModel): Column =
-    transform(
-      flatten(transform(sids, s => element_at(leafMapLit(h), s))),
-      c => struct(
-        (c.getField("cnorm") -
-          lit(2.0) * Ann.dot(vec, c.getField("cvec"))).as("rel_dist"),
-        c.getField("cid").as("cid")))
+  private def topLeafCids(vec: Column, h: HierModel, w: Int,
+      n: Int): Column = {
+    val (supers, leaves) = tables(h)
+    graft.core.Graft.column(graft.functions.expressions.NearestCellsTwoLevel(
+      graft.core.Graft.expression(vec), supers, leaves, w, n))
+  }
 
   /** Two-stage assignment, zero exchanges: top-`wassign` supers, then
     * argmin over only their leaves. Output shape matches `Ivf.assign`
@@ -184,29 +162,23 @@ object IvfHier {
       h: HierModel, wassign: Int = 1): DataFrame = {
     require(wassign >= 1, s"wassign must be >= 1: $wassign")
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("__sids", topSids(col("vec"), h, wassign))
-      .withColumn("cid",
-        array_min(candLeaves(col("vec"), col("__sids"), h))
-          .getField("cid"))
+      .withColumn("cid", topLeafCids(col("vec"), h, wassign, 1).getItem(0))
       .select("id", "cid", "vec")
   }
 
   /** Probe table (qid, qvec, cid): top-`wprobe` supers, then the
-    * `nprobe` nearest leaves under them — all map-side array math (the
-    * flat `Ivf.probes` needs a per-query rank window; here the
-    * candidate set is already in-row, so probing never shuffles even
-    * for large query sets).
+    * `nprobe` nearest leaves under them — one compiled call + `explode`,
+    * map-side (the flat `Ivf.probes` is now map-side too; the hierarchy
+    * keeps the advantage of ranking nsuper + w·nlist/nsuper centroids
+    * instead of nlist).
     */
   def probesHier(queries: DataFrame, idCol: String, vecCol: String,
       h: HierModel, wprobe: Int, nprobe: Int): DataFrame = {
-    require(wprobe >= 1, s"wprobe must be >= 1: $wprobe")
-    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    require(wprobe >= 1, s"wprobe >= 1: $wprobe")
+    require(nprobe >= 1, s"nprobe >= 1: $nprobe")
     queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("__sids", topSids(col("qvec"), h, wprobe))
-      .withColumn("cid", explode(transform(
-        slice(array_sort(candLeaves(col("qvec"), col("__sids"), h)),
-          1, nprobe),
-        x => x.getField("cid"))))
+      .withColumn("cid",
+        explode(topLeafCids(col("qvec"), h, wprobe, nprobe)))
       .select("qid", "qvec", "cid")
   }
 
