@@ -53,6 +53,43 @@ object MlQueries {
        |            ELSE acc || ' ' || ch END) AS sym
        |        FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
 
+  /** Shared CTE chain of the unigram-LM tokenizer oracles (t57, t58):
+    * word census (≤ 20 chars, the same lower/whitespace tokenization as
+    * t52) → substring census (length 1..5) → seed vocabulary (all
+    * chars + top-150 multi-char by (cnt DESC, piece ASC)) → micro-nat
+    * costs over the vocabulary's own total. Mirrors
+    * UnigramTok.{wordCensus, seedPieces, seedVocab} stage for stage.
+    * NOT an s-interpolated string: the `\s+` must reach DuckDB with a
+    * single backslash, and only interpolated triple-quoted literals
+    * process escapes.
+    */
+  private val unigramVocabCtes: String =
+    """tok AS (SELECT unnest(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'),
+      |        tk -> len(tk) >= 1)) AS word
+      |      FROM documents),
+      |w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+      |      FROM tok WHERE len(word) <= 20 GROUP BY 1),
+      |pi AS (SELECT word, wcnt, unnest(range(1, len(word) + 1)) AS i
+      |       FROM w),
+      |pij AS (SELECT wcnt, substr(word, i, l) AS piece
+      |        FROM (SELECT word, wcnt, i,
+      |                unnest(range(1, least(5, len(word) - i + 1) + 1)) AS l
+      |              FROM pi)),
+      |pc AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+      |       FROM pij GROUP BY 1),
+      |mult AS (SELECT piece, cnt, row_number() OVER (
+      |           ORDER BY cnt DESC, piece ASC) AS rnk
+      |         FROM pc WHERE len(piece) >= 2),
+      |voc0 AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1
+      |         UNION ALL
+      |         SELECT piece, cnt FROM mult WHERE rnk <= 150),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM voc0),
+      |voc AS (SELECT piece, cnt,
+      |          CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |            * 1000000 + 0.5) AS BIGINT) AS cost
+      |        FROM voc0 CROSS JOIN tot)""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // Integer-quantized gradient-descent logistic regression (M2's
@@ -421,6 +458,96 @@ object MlQueries {
                  ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
                FROM cc)
         SELECT rank, token, cnt FROM rk WHERE rank <= 30
+        ORDER BY rank""")),
+
+    // Unigram-LM tokenizer SEED (SentencePiece lineage — the
+    // probabilistic sibling of the t52-t55 BPE trainer): census every
+    // substring of length 1..5 of the word vocabulary, keep all chars +
+    // the top-150 multi-char pieces, normalize to micro-nat costs
+    // (−⌊ln(cnt/total)·10⁶ + 0.5⌋ — the house integer log-prob
+    // convention). Output: top-40 pieces with their counts AND costs,
+    // so the normalization itself is oracle-pinned.
+    GateQuery(
+      "t57_unigram_seed",
+      (s, dir) => {
+        val words = graft.text.UnigramTok.wordCensus(
+          t(s, dir, "documents"), "text", maxWordLen = 20)
+        graft.text.UnigramTok.seedVocab(words, maxPieceLen = 5,
+            multiPieces = 150)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+          .filter(col("rank") <= 40)
+          .select(col("rank"), col("piece"), col("cnt"), col("cost"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH $unigramVocabCtes
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+                 AS BIGINT) AS rank, piece, cnt, cost
+        FROM voc
+        QUALIFY rank <= 40
+        ORDER BY rank""")),
+
+    // Unigram-LM Viterbi E-STEP over the seed vocabulary: segment every
+    // censused word into its argmin-(cost, piece-count, boundary-mask)
+    // piece sequence and census the pieces weighted by word frequency.
+    // The engine runs a one-pass compiled DP (ViterbiSegment); the
+    // oracle enumerates EVERY segmentation with a recursive CTE and
+    // sorts by the same triple — the strongest possible replay: the DP
+    // argmin must equal the exhaustive argmin on all ~2^(len-1) paths
+    // of every word. The boundary-mask term (Σ 2^start over interior
+    // piece starts) makes the argmin total, so both engines agree
+    // without any engine-specific tie behavior.
+    GateQuery(
+      "t58_unigram_viterbi",
+      (s, dir) => {
+        val words = graft.text.UnigramTok.wordCensus(
+          t(s, dir, "documents"), "text", maxWordLen = 20)
+        val vocab = graft.text.UnigramTok.vocabOf(
+          graft.text.UnigramTok.seedVocab(words, maxPieceLen = 5,
+            multiPieces = 150))
+        val gateWords = words.filter(length(col("word")) <= 10)
+          .orderBy(col("wcnt").desc, col("word").asc).limit(100)
+        graft.text.UnigramTok.estepCounts(gateWords, vocab)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+          .filter(col("rank") <= 40)
+          .select(col("rank"), col("piece"), col("cnt"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH RECURSIVE $unigramVocabCtes,
+        gw AS (SELECT word, wcnt FROM w WHERE len(word) <= 10
+               ORDER BY wcnt DESC, word LIMIT 100),
+        seg AS (
+          SELECT word, wcnt, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+                 0 AS np, CAST(0 AS BIGINT) AS mask,
+                 CAST('' AS VARCHAR) AS pieces
+          FROM gw
+          UNION ALL
+          SELECT s.word, s.wcnt, s.pos + len(v.piece), s.cost + v.cost,
+                 s.np + 1,
+                 s.mask + CASE WHEN s.pos = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << s.pos) END,
+                 CASE WHEN s.pieces = '' THEN v.piece
+                   ELSE s.pieces || ' ' || v.piece END
+          FROM seg s JOIN voc v
+            ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+          WHERE s.pos < len(s.word)),
+        done AS (SELECT word, wcnt, pieces,
+                   row_number() OVER (PARTITION BY word
+                     ORDER BY cost, np, mask) AS rn
+                 FROM seg WHERE pos = len(word)),
+        pu AS (SELECT wcnt, unnest(string_split(pieces, ' ')) AS piece
+               FROM done WHERE rn = 1),
+        cc AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+               FROM pu GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+                 AS BIGINT) AS rank, piece, cnt
+        FROM cc
+        QUALIFY rank <= 40
         ORDER BY rank"""))
   )
 }

@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   *     over the codebook literal + the csqn fold) is one map stage
   *   - X158 `Pq.encodeResidual` — IVF assign + residual subtraction +
   *     code argmin + reconstruction norm fuse into ONE map stage
+  *   - X159 `Ivf.{assign, probes}` — the r15 compiled `NearestCells`
+  *     rank: flat probing lost its broadcast join + rank-window
+  *     exchange, so BOTH flat stages are now one map pass
+  *   - X160 `UnigramTok.segment` — the compiled Viterbi DP is one
+  *     per-row expression (the E-step's only exchange is its
+  *     piece-count aggregation, bounded by the live vocabulary)
   */
 class ShuffleContractSpec extends SparkSpec {
   import spark.implicits._
@@ -121,5 +127,23 @@ class ShuffleContractSpec extends SparkSpec {
       assigned, ivf, m = 4, ksub = 8)
     // assign → residual → code → reconstruction norm: one map stage
     assertMapOnly(graft.similarity.Pq.encodeResidual(assigned, ivf, cb))
+  }
+
+  "Ivf.probes (X159)" should "stay map-only — the r15 compiled rank removed the window exchange" in {
+    val e = tbl("embeddings")
+    val model = graft.similarity.Ivf.sampleCentroids(
+      e, "vec_id", "embedding", nlist = 8)
+    assertMapOnly(graft.similarity.Ivf.probes(
+      e, "vec_id", "embedding", model, nprobe = 2))
+    assertMapOnly(graft.similarity.Ivf.assign(
+      e, "vec_id", "embedding", model))
+  }
+
+  "UnigramTok.segment (X160)" should "stay map-only on the word census shape" in {
+    val words = Seq(("alpha", 3L), ("beta", 2L)).toDF("word", "wcnt")
+    val vocab = graft.functions.expressions.VocabTable(
+      "alpha bet a l p h b e t".split(" ").map(_ -> 100L).toMap)
+    assertMapOnly(words.select(
+      graft.text.UnigramTok.segment($"word", vocab)))
   }
 }

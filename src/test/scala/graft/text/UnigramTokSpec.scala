@@ -1,0 +1,116 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.expressions.{ViterbiSegment, VocabTable}
+import org.apache.spark.sql.functions._
+
+class UnigramTokSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seg(word: String, vocab: Map[String, Long]): Option[Seq[String]] = {
+    val df = Seq(Tuple1(word)).toDF("w")
+    val out = df.select(UnigramTok.segment($"w", VocabTable(vocab)).as("p"))
+      .collect()(0)
+    if (out.isNullAt(0)) None else Some(out.getSeq[String](0))
+  }
+
+  /** Exhaustive reference: enumerate EVERY segmentation, order by the
+    * (cost, count, boundary-mask) triple — the same total order the
+    * t58 oracle's recursive CTE replays.
+    */
+  private def brute(word: String, vocab: Map[String, Long])
+      : Option[Seq[String]] = {
+    def all(pos: Int): Seq[List[String]] =
+      if (pos == word.length) Seq(Nil)
+      else (1 to math.min(6, word.length - pos)).flatMap { l =>
+        val p = word.substring(pos, pos + l)
+        if (vocab.contains(p)) all(pos + l).map(p :: _) else Nil
+      }
+    val cands = all(0).map { pieces =>
+      val cost = pieces.map(vocab).sum
+      val mask = pieces.init.scanLeft(0)(_ + _.length).tail
+        .map(j => 1L << j).sum
+      ((cost, pieces.length, mask), pieces)
+    }
+    if (cands.isEmpty) None
+    else Some(cands.minBy(_._1)._2)
+  }
+
+  behavior of "ViterbiSegment"
+
+  it should "match the exhaustive argmin on random vocabularies" in {
+    val rng = new scala.util.Random(31)
+    val alphabet = "abc"
+    for (trial <- 0 until 60) {
+      val word = Seq.fill(3 + rng.nextInt(9))(
+        alphabet(rng.nextInt(alphabet.length))).mkString
+      // random subword vocab over the alphabet; all chars kept so every
+      // word segments
+      val pieces = (alphabet.map(_.toString) ++
+        Seq.fill(8)(Seq.fill(2 + rng.nextInt(3))(
+          alphabet(rng.nextInt(alphabet.length))).mkString)).distinct
+      val vocab = pieces.map(p => p -> (100000L + rng.nextInt(900000))).toMap
+      withClue(s"trial $trial word=$word vocab=$vocab: ") {
+        seg(word, vocab) shouldBe brute(word, vocab)
+      }
+    }
+  }
+
+  it should "prefer fewer pieces, then the longest final piece, on cost ties" in {
+    val vocab = Map("a" -> 10L, "aa" -> 20L)
+    // a|a|a (cost 30, np 3), a|aa (30, 2, mask 2), aa|a (30, 2, mask 4):
+    // the mask term resolves to the longest LAST piece
+    seg("aaa", vocab) shouldBe Some(Seq("a", "aa"))
+  }
+
+  it should "return null for unsegmentable or over-long words" in {
+    seg("xyz", Map("a" -> 1L)) shouldBe None
+    seg("a" * 63, Map("a" -> 1L)) shouldBe None
+    (seg("a" * 62, Map("a" -> 1L)) should not be None)
+  }
+
+  behavior of "UnigramTok"
+
+  private def corpus = Seq(
+    "the cat sat on the mat",
+    "the mats sat on the cats",
+    "a cat and a mat and a hat",
+    "hats and mats and cats").toDF("text")
+
+  it should "seed a vocabulary that segments every censused word" in {
+    val words = UnigramTok.wordCensus(corpus, "text")
+    val vocab = UnigramTok.vocabOf(
+      UnigramTok.seedVocab(words, maxPieceLen = 4, multiPieces = 30))
+    val nulls = words.select(UnigramTok.segment($"word", vocab).as("p"))
+      .filter($"p".isNull).count()
+    nulls shouldBe 0
+  }
+
+  it should "drive corpus cost monotonically down under hard EM" in {
+    val words = UnigramTok.wordCensus(corpus, "text")
+    words.persist()
+    val totalW = words.agg(sum($"wcnt")).as[Long].head()
+    var vocabDf = UnigramTok.seedVocab(words, maxPieceLen = 4,
+      multiPieces = 50)
+    var prev = UnigramTok.corpusCost(words, UnigramTok.vocabOf(vocabDf))
+    for (_ <- 1 to 3) {
+      val counts = UnigramTok.estepCounts(words, UnigramTok.vocabOf(vocabDf))
+      val next = UnigramTok.emTrainStep(words, counts)
+      val cost = UnigramTok.corpusCost(words, UnigramTok.vocabOf(next))
+      // hard EM is coordinate descent on this objective; the slack term
+      // covers micro-nat rounding (≤ ~1 micro-nat per emitted piece)
+      cost should be <= prev + 10L * totalW
+      prev = cost
+    }
+    words.unpersist()
+  }
+
+  it should "train deterministically end-to-end" in {
+    val a = UnigramTok.emTrain(corpus, "text", vocabSize = 40, iters = 2,
+      maxPieceLen = 4, multiPieces = 50).collect().toSeq
+    val b = UnigramTok.emTrain(corpus, "text", vocabSize = 40, iters = 2,
+      maxPieceLen = 4, multiPieces = 50).collect().toSeq
+    a.map(_.toString).sorted shouldBe b.map(_.toString).sorted
+    a.nonEmpty shouldBe true
+  }
+}
