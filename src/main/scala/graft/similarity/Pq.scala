@@ -92,44 +92,38 @@ object Pq {
     })
   }
 
-  /** The nested codebook literal: outer element j+1 = subspace j's
-    * (sqnorm, r, cvec) rows in code order.
+  /** The codebooks as the compiled kernels' table form — one cid-sorted
+    * `CentroidTable` per subspace (cid = code r, |c|² left-folded on the
+    * driver: the bitwise-replay invariants, same as `bookLit` carried).
     */
-  private def bookLit(cb: Codebooks): Column =
-    typedLit(cb.books.map(_.sortBy(_._1).map { case (r, c) =>
-      PqCent(dotD(c, c), r, c.toSeq)
-    }))
-
-  /** Subvector j (0-based) of a vector column. */
-  private def sub(vec: Column, j: Column, ds: Int): Column =
-    slice(vec, j * lit(ds) + lit(1), lit(ds))
+  private def bookTables(cb: Codebooks)
+      : Array[graft.functions.expressions.CentroidTable] =
+    cb.books.map(b =>
+      graft.functions.expressions.CentroidTable(
+        b.map { case (r, c) => r -> c })).toArray
 
   /** Encode each row to its m-code word plus `csqn` = Σ_j |c_{j,code_j}|²
     * (the reconstruction's squared norm — carried at encode time, exact,
-    * so search never re-looks-up norms). Entirely map-side over the
-    * codebook literal; all other columns pass through (IVF cell ids
-    * survive → IVF-PQ). A storage writer would cast `code` to
-    * array<tinyint> losslessly for ksub ≤ 256.
+    * so search never re-looks-up norms) — ONE compiled `PqEncode` call
+    * per row (the r15 `NearestCells` treatment: the HOF
+    * transform/array_min form was CodegenFallback, and at production
+    * shapes — m = 16, ksub = 256 — encode is 4096 interpreted subvector
+    * dots per row; the compiled kernel is primitive loops inside
+    * whole-stage codegen, values bit-identical). Entirely map-side; all
+    * other columns pass through (IVF cell ids survive → IVF-PQ). A
+    * storage writer would cast `code` to array<tinyint> losslessly for
+    * ksub ≤ 256.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       cb: Codebooks): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    // struct order (rel_dist, r, sqnorm): r is a unique tie-break, so the
-    // trailing sqnorm rides along without ever entering the comparison
-    val best = transform(sequence(lit(0), lit(cb.m - 1)), j =>
-      array_min(transform(element_at(bookLit(cb), j + lit(1)), c =>
-        struct(
-          (c.getField("sqnorm") - lit(2.0) *
-            Ann.dot(sub(v, j, cb.ds), c.getField("cvec"))).as("rel_dist"),
-          c.getField("r").as("r"),
-          c.getField("sqnorm").as("sqnorm")))))
-    df.withColumn("__pq_best", best)
-      .withColumn("code",
-        transform(col("__pq_best"), b => b.getField("r")))
-      .withColumn("csqn",
-        aggregate(col("__pq_best"), lit(0.0),
-          (acc, b) => acc + b.getField("sqnorm")))
-      .drop("__pq_best")
+    val enc = graft.core.Graft.column(
+      graft.functions.expressions.PqEncode(
+        graft.core.Graft.expression(col(vecCol).cast("array<double>")),
+        bookTables(cb)))
+    df.withColumn("__pq_enc", enc)
+      .withColumn("code", col("__pq_enc").getField("code"))
+      .withColumn("csqn", col("__pq_enc").getField("csqn"))
+      .drop("__pq_enc")
   }
 
   /** ADC search: approximate-cosine shortlist over the encoded corpus,
@@ -193,14 +187,24 @@ object Pq {
   }
 
   /** Append the ADC machinery to a (qid, qvec, ...) frame: `qtab[j][r] =
-    * q_j · c_{j,r}` (m × ksub doubles, one map pass over the codebook
-    * literal) and |q|.
+    * q_j · c_{j,r}` (m × ksub doubles, one compiled `PqQueryTable` call
+    * per query row) and |q|.
     */
   private def withQueryTables(q: DataFrame, cb: Codebooks): DataFrame =
-    q.withColumn("qtab", transform(sequence(lit(0), lit(cb.m - 1)), j =>
-      transform(element_at(bookLit(cb), j + lit(1)), c =>
-        Ann.dot(sub(col("qvec"), j, cb.ds), c.getField("cvec")))))
+    q.withColumn("qtab", graft.core.Graft.column(
+        graft.functions.expressions.PqQueryTable(
+          graft.core.Graft.expression(col("qvec")), bookTables(cb))))
       .withColumn("__qnrm", Ann.l2norm(col("qvec")))
+
+  /** The ADC m-lookup fold Σ_j qtab[j][code_j] — one compiled `AdcDot`
+    * call per candidate PAIR (the hottest PQ site: it runs once per
+    * (query, candidate), where the HOF zip_with+aggregate form paid
+    * interpreted dispatch + an intermediate array per pair).
+    */
+  private def adcFold: Column = graft.core.Graft.column(
+    graft.functions.expressions.AdcDot(
+      graft.core.Graft.expression(col("qtab")),
+      graft.core.Graft.expression(col("code"))))
 
   /** Approximate-cosine shortlist over candidate pairs carrying
     * (qid, nid, qtab, code, csqn, __qnrm): score = the m-lookup left
@@ -212,10 +216,7 @@ object Pq {
       .partitionBy("qid").orderBy(col("approx_sim").desc, col("nid"))
     pairs
       .withColumn("approx_sim",
-        aggregate(zip_with(col("qtab"), col("code"),
-          (t, c) => element_at(t, c + lit(1))),
-          lit(0.0), (acc, x) => acc + x) /
-          (col("__qnrm") * sqrt(col("csqn"))))
+        adcFold / (col("__qnrm") * sqrt(col("csqn"))))
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)
       .select("qid", "nid")
@@ -257,17 +258,23 @@ object Pq {
   private def centMapLit(ivf: Ivf.Model): Column =
     typedLit(ivf.centroids.map { case (cid, v) => cid -> v.toSeq }.toMap)
 
-  /** The m-code word for a (residual) vector column — `encode`'s argmin
-    * without the sqnorm ride-along (the residual path derives its norm
-    * from the explicit reconstruction instead).
+  /** The m-code word for a (residual) vector column — `encode`'s
+    * compiled argmin without the sqnorm ride-along (the residual path
+    * derives its norm from the explicit reconstruction instead).
     */
   private def codesFor(v: Column, cb: Codebooks): Column =
-    transform(sequence(lit(0), lit(cb.m - 1)), j =>
-      array_min(transform(element_at(bookLit(cb), j + lit(1)), c =>
-        struct(
-          (c.getField("sqnorm") - lit(2.0) *
-            Ann.dot(sub(v, j, cb.ds), c.getField("cvec"))).as("rel_dist"),
-          c.getField("r").as("r")))).getField("r"))
+    graft.core.Graft.column(graft.functions.expressions.PqEncode(
+      graft.core.Graft.expression(v), bookTables(cb))).getField("code")
+
+  /** The nested codebook literal: outer element j+1 = subspace j's
+    * (sqnorm, r, cvec) rows in code order — kept for the reconstruction
+    * lookup only (m model-sized element_at's per row; the hot argmin /
+    * table / fold kernels are the compiled expressions above).
+    */
+  private def bookLit(cb: Codebooks): Column =
+    typedLit(cb.books.map(_.sortBy(_._1).map { case (r, c) =>
+      PqCent(dotD(c, c), r, c.toSeq)
+    }))
 
   /** The PQ reconstruction r̂: the m code centroids concatenated in
     * subspace order.
@@ -346,9 +353,7 @@ object Pq {
       .partitionBy("qid").orderBy(col("approx_sim").desc, col("nid"))
     val short = pairs
       .withColumn("approx_sim",
-        (col("qcent") + aggregate(zip_with(col("qtab"), col("code"),
-          (t, c) => element_at(t, c + lit(1))),
-          lit(0.0), (acc, x) => acc + x)) /
+        (col("qcent") + adcFold) /
           (col("__qnrm") * sqrt(col("csqn"))))
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)
