@@ -26,6 +26,18 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** A foldable int argument (e.g. the shingle width) — SQL-side model
+    * parameters must be literals, not data columns.
+    */
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       ("graft_polyhash",
@@ -43,6 +55,28 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_dot takes two arguments")
           DotProduct(args(0), args(1))
+        }),
+      ("graft_shingles",
+        info("graft_shingles",
+          "graft_shingles(toks, n) - word n-gram shingles of a token " +
+            "array (space-joined sliding windows; inputs shorter than n " +
+            "fall back to the token list) - the compiled dedup primitive"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_shingles takes two arguments")
+          graft.functions.expressions.Shingles(args.head,
+            litInt(args(1), "graft_shingles n"), sliding = false,
+            distinct = false)
+        }),
+      ("graft_shingle_set",
+        info("graft_shingle_set",
+          "graft_shingle_set(toks, n) - distinct word n-gram shingles " +
+            "(first occurrence kept) - the Jaccard/MinHash unit set"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_shingle_set takes two arguments")
+          graft.functions.expressions.Shingles(args.head,
+            litInt(args(1), "graft_shingle_set n"), sliding = false,
+            distinct = true)
         }),
       // compositions of built-in catalyst expressions (no custom eval):
       // expose the engine's set-similarity primitives to plain SQL users.

@@ -37,38 +37,30 @@ object TextFunctions {
   /** Word n-gram shingles (joined by single spaces); inputs shorter than
     * n tokens fall back to their token list so they still dedup.
     *
-    * Implemented as zip_with over n shifted slices of the token array —
-    * the token expression is evaluated n times per ROW. The indexing
-    * formulation (transform(sequence, i -> element_at(toks, i+k))) looks
-    * equivalent but re-evaluates `toks` per ELEMENT inside the lambda
-    * (no CSE in HOFs; CollapseProject re-inlines projections), which is
-    * O(len²) per document — a measured 20× slowdown at 5k docs.
+    * Since r15 this is the compiled `expressions.Shingles` — one native
+    * call per row, no interpreted HOF stages, no intermediate arrays
+    * (see that file for the history: the zip_with-over-shifted-slices
+    * form this replaces was itself the fix for an O(len²)
+    * indexing-lambda formulation, a measured 20× at 5k docs; the
+    * compiled form removes the remaining (n−1) interpreted passes).
+    * Values are bit-identical.
     */
-  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
-    val m = size(toks) - (n - 1)
-    val shingled = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), m),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    when(size(toks) >= n, shingled).otherwise(toks)
-  }
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+    graft.core.Graft.column(graft.functions.expressions.Shingles(
+      graft.core.Graft.expression(toks), n, sliding = false,
+      distinct = false))
 
   /** ALL sliding n-token windows (start positions 0..len−n), joined by
     * single spaces — the span-dedup primitive (see text.SpanDedup). Unlike
     * [[shinglesFromTokens]] there is no short-input fallback: inputs with
     * fewer than n tokens yield an EMPTY array (a span shorter than the
-    * span length is not a span). Same zip_with-over-shifted-slices
-    * formulation (see the O(len²) note above for why not the indexing
-    * form); the window count is clamped at 0 so short inputs never reach
-    * `slice` with a negative length (an ANSI runtime error).
+    * span length is not a span). Compiled (`expressions.Shingles`,
+    * sliding mode) since r15; values bit-identical to the zip_with form.
     */
-  def slidingFromTokens(toks: Column, n: Int): Column = {
-    val m = greatest(size(toks) - (n - 1), lit(0))
-    (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), m),
-        (a, b) => concat(a, lit(" "), b))
-    }
-  }
+  def slidingFromTokens(toks: Column, n: Int): Column =
+    graft.core.Graft.column(graft.functions.expressions.Shingles(
+      graft.core.Graft.expression(toks), n, sliding = true,
+      distinct = false))
 
   /** Convenience single-expression form — fine for small frames, but
     * prefer projecting tokens + shinglesFromTokens on large corpora (see
@@ -81,9 +73,13 @@ object TextFunctions {
   def shingleSet(text: Column, n: Int = 3): Column =
     array_distinct(shingles(text, n))
 
-  /** Distinct shingle set from materialized tokens (the scale path). */
+  /** Distinct shingle set from materialized tokens (the scale path) —
+    * compiled shingling + first-occurrence dedup in the same call.
+    */
   def shingleSetFromTokens(toks: Column, n: Int = 3): Column =
-    array_distinct(shinglesFromTokens(toks, n))
+    graft.core.Graft.column(graft.functions.expressions.Shingles(
+      graft.core.Graft.expression(toks), n, sliding = false,
+      distinct = true))
 
   /** Polynomial rolling hash of a string: fold over code points of
     * (h*31 + cp) % HashMod. Deterministic, engine-portable. Backed by a

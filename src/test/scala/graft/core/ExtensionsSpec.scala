@@ -18,6 +18,21 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0) shouldBe 11.0
   }
 
+  it should "expose graft_shingles and graft_shingle_set to SQL" in {
+    spark.sql("SELECT graft_shingles(array('a','b','c','d'), 3) AS s")
+      .collect().head.getSeq[String](0) shouldBe Seq("a b c", "b c d")
+    // short input falls back to the token list
+    spark.sql("SELECT graft_shingles(array('a','b'), 3) AS s")
+      .collect().head.getSeq[String](0) shouldBe Seq("a", "b")
+    // distinct keeps the first occurrence
+    spark.sql("SELECT graft_shingle_set(array('x','y','x','y','x'), 2) AS s")
+      .collect().head.getSeq[String](0) shouldBe Seq("x y", "y x")
+    // n must be a literal
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_shingles(array('a'), cast(rand()*2 AS INT))")
+        .collect()
+  }
+
   it should "expose graft_jaccard over array sets" in {
     spark.sql("SELECT graft_jaccard(array('a','b','c'), array('b','c','d')) AS j")
       .collect().head.getDouble(0) shouldBe 0.5
