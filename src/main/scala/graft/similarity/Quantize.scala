@@ -24,23 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** Max |x| over the vector: left fold, no summation. */
-  private def absMax(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
-
-  /** THE quantization formula — the engine-portability-critical round-half-
-    * up mapping, in exactly one place so the d10/d11 oracles can never
-    * diverge from half of the call sites. `amax` must be a materialized
-    * column, not an inline aggregate: HOF lambda argument expressions
-    * re-evaluate per element, so inlining would fold the whole vector
-    * again for every component (the O(len²) trap PLANS.md documents for
-    * shingles). amax = 0 (zero vector) quantizes to all-zero rather than
-    * dividing by zero.
+  /** THE quantization kernel — amax fold + round-half-up map as ONE
+    * compiled call per row (`expressions.Int8Quantize`, r15: the HOF
+    * predecessor paid an interpreted `aggregate` pass for amax plus an
+    * interpreted `transform` per component; the compiled form is two
+    * primitive loops, bit-identical, with `amax` riding in the struct —
+    * it IS the dequantization scale `writeIvfQuantized` persists). In
+    * exactly one place so the d10/d11 oracles can never diverge from
+    * half of the call sites.
     */
-  private def quantizedExpr(v: Column, amax: Column): Column =
-    when(amax === 0.0, transform(v, _ => lit(0.0)))
-      .otherwise(transform(v,
-        x => floor(x * lit(127.0) / amax + lit(0.5)).cast("double")))
+  private def quantized(v: Column): Column =
+    graft.core.Graft.column(graft.functions.expressions.Int8Quantize(
+      graft.core.Graft.expression(v)))
 
   /** Append `outCol` = int8-quantized `vecCol` (components integral in
     * [-127, 127], stored as array<double> so downstream kernels — Ann.dot —
@@ -49,25 +44,19 @@ object Quantize {
     * composes with the pruning paths (quantize AFTER cell/bucket
     * assignment, keeping the cell id).
     */
-  def withQuantized(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
-    val clash = df.columns.filter(Set("__qz_v", "__qz_amax")).distinct
-    require(clash.isEmpty, // fail fast, don't silently eat caller columns
-      s"withQuantized reserves __qz_v/__qz_amax; rename ${clash.mkString(",")}")
-    df.withColumn("__qz_v", col(vecCol).cast("array<double>"))
-      .withColumn("__qz_amax", absMax(col("__qz_v")))
-      .withColumn(outCol, quantizedExpr(col("__qz_v"), col("__qz_amax")))
-      .drop("__qz_v", "__qz_amax")
-  }
+  def withQuantized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      quantized(col(vecCol).cast("array<double>")).getField("qvec"))
 
   /** Quantize `vecCol` to integral components in [-127, 127].
     * Output: (id, qvec array<double> of integral values, amax).
     */
   def scalarQuantize(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("amax", absMax(col("v")))
-      .withColumn("qvec", quantizedExpr(col("v"), col("amax")))
-      .select(col("id"), col("qvec"), col("amax"))
+    df.select(col(idCol).as("id"),
+        quantized(col(vecCol).cast("array<double>")).as("__qz"))
+      .select(col("id"), col("__qz.qvec").as("qvec"),
+        col("__qz.amax").as("amax"))
 
   /** Exact top-k cosine neighbors in the QUANTIZED space, full form with
     * per-frame column names — quantizes both sides, then delegates to
@@ -157,11 +146,9 @@ object Quantize {
   def writeIvfQuantized(assignedCorpus: DataFrame, path: String): Unit =
     Ivf.writePartitioned(
       assignedCorpus
-        .withColumn("__qz_v", col("vec").cast("array<double>"))
-        .withColumn("amax", absMax(col("__qz_v")))
-        .withColumn("qvec",
-          quantizedExpr(col("__qz_v"), col("amax")).cast("array<tinyint>"))
-        .select(col("id"), col("cid"), col("amax"), col("qvec")),
+        .withColumn("__qz", quantized(col("vec").cast("array<double>")))
+        .select(col("id"), col("cid"), col("__qz.amax").as("amax"),
+          col("__qz.qvec").cast("array<tinyint>").as("qvec")),
       path)
 
   /** Search a `writeIvfQuantized` corpus: probed cell ids (≤ nlist, tiny)

@@ -93,6 +93,24 @@ class PqExpressionsSpec extends SparkSpec {
     wantF.exceptAll(gotF).count() shouldBe 0
   }
 
+  it should "quantize bitwise-identically to the HOF amax fold + transform" in {
+    val df = ((0 until 120).map(i =>
+      (i.toLong, Seq.fill(10)(rng.nextDouble() * 4 - 2))) ++
+      Seq((900L, Seq.fill(10)(0.0)))) // zero vector -> all-zero, no divide
+      .toDF("id", "v")
+    val got = graft.similarity.Quantize.scalarQuantize(df, "id", "v")
+    val amaxHof = aggregate($"v", lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val want = df.withColumn("amax", amaxHof)
+      .select($"id",
+        when($"amax" === 0.0, transform($"v", _ => lit(0.0)))
+          .otherwise(transform($"v",
+            x => floor(x * lit(127.0) / $"amax" + lit(0.5)).cast("double")))
+          .as("qvec"),
+        $"amax")
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
+  }
+
   it should "keep Pq.topK equal to itself under float inputs and stay map-only on encode" in {
     val corpus = (0 until 60).map(i =>
       (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
