@@ -1136,6 +1136,59 @@ object PipelineQueries {
           |      FROM sc)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // Binary (1-bit) quantization + Hamming search — the compression
+    // limit of the ANN family (the gate BinaryQuant's scaladoc promised
+    // as d36, written r15): bit j = sign of the d19 hyperplane dot
+    // (Charikar/SimHash for real vectors), codes pack 16 bits into one
+    // BIGINT word via the acc·2+bit fold, candidates rank on
+    // popcount(xor) with nid tie-break, shortlist 20 → exact cosine
+    // rerank. Every stage replays in DuckDB: the hyperplane dots are
+    // d19's proven fold contract, the sign test is exact where the dot
+    // is exact, and pack/XOR/popcount are integer arithmetic.
+    GateQuery(
+      "d36_ann_binary_hamming",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val enc = graft.similarity.BinaryQuant.encode(
+          e, "vec_id", "embedding", dim = 64, bits = 16)
+        graft.similarity.BinaryQuant.searchHamming(enc, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dim = 64, bits = 16, k = 5, shortlist = 20)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT vec_id, v,
+                list_transform(range(0, 16), j ->
+                  list_dot_product(v, list_transform(range(0, 64), i ->
+                    CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+              FROM e),
+        b AS (SELECT vec_id, v,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(pv, x -> CASE WHEN x > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                  (acc, bit) -> acc * 2 + bit) AS code,
+                sqrt(list_dot_product(v, v)) AS nrm
+              FROM p),
+        q AS (SELECT * FROM b WHERE vec_id < 10),
+        cand AS (SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY bit_count(xor(q.code, c.code)) ASC,
+                              c.vec_id) AS srn
+            FROM q JOIN b c ON q.vec_id <> c.vec_id)
+          WHERE srn <= 20),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                    DESC, nid) AS rnk
+              FROM cand JOIN q ON cand.qid = q.vec_id
+                        JOIN b c ON cand.nid = c.vec_id)
+        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(
       "t01_langid",

@@ -50,13 +50,13 @@ object BinaryQuant {
   /** Packs the sign bits of a projected-coordinate array column into
     * array<long> words: word w = fold over its coordinates of
     * acc·2 + [p > 0] (first coordinate is the word's MSB). Exact
-    * integer arithmetic, max 2^32 − 1 per word.
+    * integer arithmetic, max 2^32 − 1 per word. ONE compiled call per
+    * row (`expressions.PackBits`, r15 — the HOF form interpreted a
+    * transform-of-aggregate per word).
     */
   private def pack(pcol: Column, bits: Int): Column =
-    transform(sequence(lit(0), lit(numWords(bits) - 1)), w =>
-      aggregate(slice(pcol, w * lit(wordBits) + lit(1), lit(wordBits)),
-        lit(0L), (acc, p) =>
-          acc * lit(2L) + when(p > lit(0.0), lit(1L)).otherwise(lit(0L))))
+    graft.core.Graft.column(graft.functions.expressions.PackBits(
+      graft.core.Graft.expression(pcol), bits))
 
   /** Adds `bcode` (array<long>, [[numWords]](bits) words of 32 sign
     * bits): bit j = [hyperplane_j · vec > 0] with hyperplane rows from
@@ -73,11 +73,13 @@ object BinaryQuant {
   }
 
   /** Hamming distance between two packed code columns: Σ_w
-    * popcount(a_w XOR b_w). Integer, exact, engine-portable.
+    * popcount(a_w XOR b_w). Integer, exact, engine-portable. ONE
+    * compiled call per candidate PAIR (`expressions.HammingWords`, r15 —
+    * the search's hottest site, the `AdcDot` analogue).
     */
   def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0L), (acc, c) => acc + c.cast("long"))
+    graft.core.Graft.column(graft.functions.expressions.HammingWords(
+      graft.core.Graft.expression(a), graft.core.Graft.expression(b)))
 
   /** Approximate top-k cosine neighbors by Hamming shortlist → exact
     * rerank: queries are encoded on the fly, every (query, corpus)

@@ -55,18 +55,17 @@ object Kmeans {
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
 
     def assigned: DataFrame = {
-      val cLit = typedLit(centroids.map(_._2))
-      // dist_j = Σ (q_i − c_j_i)²; argmin by (dist, j) min-struct
-      val dists = transform(cLit, c =>
-        aggregate(zip_with(col("q"), c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, d) => acc + d))
-      val best = aggregate(
-        zip_with(dists, sequence(lit(0L), lit((k - 1).toLong)),
-          (d, j) => struct(d.as("d"), j.as("j"))),
-        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("j")),
-        (acc, s) => when(s("d") < acc("d"), s).otherwise(acc))
-      q.select(col(idCol), col("q"), best.getField("j").as("cluster"),
-        best.getField("d").as("dist2_micro"))
+      // dist_j = Σ (q_i − c_j_i)²; argmin by (dist, j) — ONE compiled
+      // call per row (expressions.KmeansAssign, r15: the HOF min-struct
+      // fold ran k·dims interpreted lambda steps per row per round;
+      // integer arithmetic, so the longs are identical by construction)
+      val best = graft.core.Graft.column(
+        graft.functions.expressions.KmeansAssign(
+          graft.core.Graft.expression(col("q")),
+          centroids.sortBy(_._1).map(_._2.toArray)))
+      q.withColumn("__km", best)
+        .select(col(idCol), col("q"), col("__km.cluster").as("cluster"),
+          col("__km.dist2_micro").as("dist2_micro"))
     }
 
     for (_ <- 1 to rounds) {

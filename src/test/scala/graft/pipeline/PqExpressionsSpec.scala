@@ -93,6 +93,35 @@ class PqExpressionsSpec extends SparkSpec {
     wantF.exceptAll(gotF).count() shouldBe 0
   }
 
+  it should "pack sign bits and fold Hamming distances like the HOF forms" in {
+    val bits = 48 // two words: 32 + 16
+    val df = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(bits)(rng.nextDouble() * 2 - 1),
+        Seq.fill(bits)(rng.nextDouble() * 2 - 1)))
+      .toDF("id", "pa", "pb")
+    def hofPack(pcol: Column): Column =
+      transform(sequence(lit(0), lit(1)), w =>
+        aggregate(slice(pcol, w * lit(32) + lit(1), lit(32)),
+          lit(0L), (acc, p) =>
+            acc * lit(2L) + when(p > lit(0.0), lit(1L)).otherwise(lit(0L))))
+    def hofHam(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0L), (acc, c) => acc + c.cast("long"))
+    val packA = Graft.column(graft.functions.expressions.PackBits(
+      Graft.expression($"pa"), bits))
+    val packB = Graft.column(graft.functions.expressions.PackBits(
+      Graft.expression($"pb"), bits))
+    val got = df.select($"id", packA.as("ca"), packB.as("cb"))
+      .select($"id", $"ca", $"cb",
+        Graft.column(graft.functions.expressions.HammingWords(
+          Graft.expression($"ca"), Graft.expression($"cb"))).as("hd"))
+    val want = df.select($"id", hofPack($"pa").as("ca"),
+        hofPack($"pb").as("cb"))
+      .select($"id", $"ca", $"cb", hofHam($"ca", $"cb").as("hd"))
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
+  }
+
   it should "quantize bitwise-identically to the HOF amax fold + transform" in {
     val df = ((0 until 120).map(i =>
       (i.toLong, Seq.fill(10)(rng.nextDouble() * 4 - 2))) ++
