@@ -223,6 +223,17 @@ case class NearestCellsTwoLevel(child: Expression, supers: CentroidTable,
   require(supers.size >= 1, "super-centroid table must be non-empty")
   require(leaves.length == supers.size,
     s"leaves must have one table per super: ${leaves.length} vs ${supers.size}")
+  // `leaves` is indexed POSITIONALLY by super cid — require density so a
+  // hand-built model with sparse or shifted sids fails loudly here
+  // instead of ranking against the wrong leaf table (ADVICE r15).
+  // IvfHier.hierarchy renumbers supers 0..nsuper-1, so this holds for
+  // every model it builds.
+  require({
+    var i = 0
+    var dense = true
+    while (dense && i < supers.size) { dense = supers.cids(i) == i; i += 1 }
+    dense
+  }, "super-centroid cids must be dense 0..size-1 (leaves index by sid)")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true

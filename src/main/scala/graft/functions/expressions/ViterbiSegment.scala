@@ -34,7 +34,10 @@ object VocabTable {
     pieces.foreach { case (p, c) =>
       require(p.nonEmpty, "empty piece in vocabulary")
       m.put(p, java.lang.Long.valueOf(c))
-      if (p.length > maxLen) maxLen = p.length
+      // CODE POINTS, not UTF-16 units — the DP window must count what
+      // the SQL replay counts (DuckDB len() is code-point-based)
+      val len = p.codePointCount(0, p.length)
+      if (len > maxLen) maxLen = len
     }
     new VocabTable(m, maxLen)
   }
@@ -85,11 +88,27 @@ case class ViterbiSegment(child: Expression, vocab: VocabTable)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType}")
 
-  /** Instance entry point shared by eval and generated code. */
+  /** Instance entry point shared by eval and generated code.
+    *
+    * The DP indexes by Unicode CODE POINTS, not UTF-16 units: piece
+    * lengths, the 62-position mask limit, and the boundary-mask bits
+    * must count what the exhaustive SQL replay counts (DuckDB
+    * substr/len are code-point-based). With UTF-16 indexing a word of
+    * 40 non-BMP characters (80 UTF-16 units) would be rejected by the
+    * 62-limit while the oracle happily segments it, and mask bits would
+    * sit at surrogate offsets (ADVICE r15).
+    */
   def segment(word: UTF8String): GenericArrayData = {
     val w = word.toString
-    val m = w.length
+    val m = w.codePointCount(0, w.length)
     if (m == 0 || m > 62) return null
+    // UTF-16 offset of code point i (offs(m) = w.length) — all
+    // substring boundaries below are code-point boundaries
+    val offs = new Array[Int](m + 1)
+    var ci = 0
+    var u = 0
+    while (ci < m) { offs(ci) = u; u = w.offsetByCodePoints(u, 1); ci += 1 }
+    offs(m) = w.length
     val INF = Long.MaxValue
     val cost = new Array[Long](m + 1)
     val np = new Array[Int](m + 1)
@@ -103,7 +122,7 @@ case class ViterbiSegment(child: Expression, vocab: VocabTable)
       var j = i - 1
       while (j >= maxJ) {
         if (cost(j) != INF) {
-          val c = vocab.costs.get(w.substring(j, i))
+          val c = vocab.costs.get(w.substring(offs(j), offs(i)))
           if (c != null) {
             val nc = cost(j) + c.longValue()
             val nn = np(j) + 1
@@ -126,7 +145,7 @@ case class ViterbiSegment(child: Expression, vocab: VocabTable)
     var k = np(m) - 1
     while (pos > 0) {
       val j = back(pos)
-      pieces(k) = UTF8String.fromString(w.substring(j, pos))
+      pieces(k) = UTF8String.fromString(w.substring(offs(j), offs(pos)))
       pos = j
       k -= 1
     }
