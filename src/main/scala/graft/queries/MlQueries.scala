@@ -63,6 +63,92 @@ object MlQueries {
     * single backslash, and only interpolated triple-quoted literals
     * process escapes.
     */
+  /** t59's seed chain: the SAME census/substring/seed stages as
+    * [[unigramVocabCtes]], but over the bounded `gw` word set (top-100
+    * words of ≤ 10 chars) so the two exhaustive-enumeration E-steps
+    * stay tractable, plus `chs` (the census's single-character set —
+    * the M-step's segmentability floor). Seed vocabulary lands as
+    * `voc0` (the round-0 model).
+    */
+  private val unigramGwSeedCtes: String =
+    """tok AS (SELECT unnest(list_filter(
+      |        regexp_split_to_array(lower(text), '\s+'),
+      |        tk -> len(tk) >= 1)) AS word
+      |      FROM documents),
+      |w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+      |      FROM tok WHERE len(word) <= 20 GROUP BY 1),
+      |gw AS (SELECT word, wcnt FROM w WHERE len(word) <= 10
+      |       ORDER BY wcnt DESC, word LIMIT 100),
+      |chs AS (SELECT DISTINCT substr(word, i, 1) AS piece
+      |        FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i
+      |              FROM gw)),
+      |pi AS (SELECT word, wcnt, unnest(range(1, len(word) + 1)) AS i
+      |       FROM gw),
+      |pij AS (SELECT wcnt, substr(word, i, l) AS piece
+      |        FROM (SELECT word, wcnt, i,
+      |                unnest(range(1, least(5, len(word) - i + 1) + 1)) AS l
+      |              FROM pi)),
+      |pc AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+      |       FROM pij GROUP BY 1),
+      |mult AS (SELECT piece, cnt, row_number() OVER (
+      |           ORDER BY cnt DESC, piece ASC) AS rnk
+      |         FROM pc WHERE len(piece) >= 2),
+      |voc0s AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1
+      |          UNION ALL
+      |          SELECT piece, cnt FROM mult WHERE rnk <= 150),
+      |tots AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM voc0s),
+      |voc0 AS (SELECT piece, cnt,
+      |           CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |             * 1000000 + 0.5) AS BIGINT) AS cost
+      |         FROM voc0s CROSS JOIN tots)""".stripMargin
+
+  /** One unrolled hard-EM round for the t59 oracle: exhaustive Viterbi
+    * E-step over voc{r-1} (every segmentation of every gw word
+    * enumerated recursively, argmin by the (cost, piece-count,
+    * boundary-mask) triple — the t58 machinery), piece census weighted
+    * by wcnt, then the M-step refresh: census chars floored at count 1
+    * (the segmentability guarantee), multi-char pieces on their E-step
+    * counts alone, micro-nat costs renormalized over the refreshed
+    * frame — UnigramTok.{estepCounts, emTrainStep} stage for stage.
+    */
+  private def emRound(r: Int): String = {
+    val vin = s"voc${r - 1}"
+    s"""seg$r AS (
+       |  SELECT word, wcnt, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |         0 AS np, CAST(0 AS BIGINT) AS mask,
+       |         CAST('' AS VARCHAR) AS pieces
+       |  FROM gw
+       |  UNION ALL
+       |  SELECT s.word, s.wcnt, s.pos + len(v.piece), s.cost + v.cost,
+       |         s.np + 1,
+       |         s.mask + CASE WHEN s.pos = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE (CAST(1 AS BIGINT) << s.pos) END,
+       |         CASE WHEN s.pieces = '' THEN v.piece
+       |           ELSE s.pieces || ' ' || v.piece END
+       |  FROM seg$r s JOIN $vin v
+       |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+       |  WHERE s.pos < len(s.word)),
+       |cc$r AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+       |          SELECT wcnt, unnest(string_split(pieces, ' ')) AS piece
+       |          FROM (SELECT word, wcnt, pieces,
+       |                  row_number() OVER (PARTITION BY word
+       |                    ORDER BY cost, np, mask) AS rn
+       |                FROM seg$r WHERE pos = len(word))
+       |          WHERE rn = 1) GROUP BY 1),
+       |rf$r AS (SELECT COALESCE(ch.piece, cc.piece) AS piece,
+       |           CASE WHEN ch.piece IS NOT NULL
+       |                THEN greatest(COALESCE(cc.cnt, CAST(0 AS BIGINT)),
+       |                              CAST(1 AS BIGINT))
+       |                ELSE cc.cnt END AS cnt
+       |         FROM chs ch FULL OUTER JOIN cc$r cc ON cc.piece = ch.piece),
+       |rfv$r AS (SELECT piece, cnt FROM rf$r WHERE cnt >= 1),
+       |tot$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM rfv$r),
+       |voc$r AS (SELECT piece, cnt,
+       |            CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |              * 1000000 + 0.5) AS BIGINT) AS cost
+       |          FROM rfv$r CROSS JOIN tot$r)""".stripMargin
+  }
+
   private val unigramVocabCtes: String =
     """tok AS (SELECT unnest(list_filter(
       |        regexp_split_to_array(lower(text), '\s+'),
@@ -547,6 +633,56 @@ object MlQueries {
         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
                  AS BIGINT) AS rank, piece, cnt
         FROM cc
+        QUALIFY rank <= 40
+        ORDER BY rank""")),
+
+    // Unigram-LM hard-EM TRAINING LOOP — the t52/t54 discipline applied
+    // to the probabilistic trainer (t57 gates the seed, t58 one E-step;
+    // this gates the LOOP: 2 unrolled EM rounds + the final prune, the
+    // exact training-loop half whose spec-only status hid the r13 BPE
+    // decode bug's class). The census is the bounded t58 word set so
+    // BOTH exhaustive E-step enumerations stay tractable; the engine
+    // runs the production emTrainWords loop (compiled Viterbi E-step,
+    // char-floored M-step, renormalize, prune) and the oracle replays
+    // every stage: two recursive-CTE enumerations, two char-floored
+    // refreshes, two renormalizations, then the prune's top-60
+    // multi-char + all-chars cut and its final cost pass. Output:
+    // top-40 of the trained vocabulary with counts AND costs, so the
+    // round-2 normalization itself is oracle-pinned.
+    GateQuery(
+      "t59_unigram_emtrain",
+      (s, dir) => {
+        val words = graft.text.UnigramTok.wordCensus(
+          t(s, dir, "documents"), "text", maxWordLen = 20)
+        val gw = words.filter(length(col("word")) <= 10)
+          .orderBy(col("wcnt").desc, col("word").asc).limit(100)
+        graft.text.UnigramTok.emTrainWords(gw, vocabSize = 60,
+            iters = 2, maxPieceLen = 5, multiPieces = 150)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+          .filter(col("rank") <= 40)
+          .select(col("rank"), col("piece"), col("cnt"), col("cost"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH RECURSIVE $unigramGwSeedCtes,
+        ${emRound(1)},
+        ${emRound(2)},
+        prn AS (SELECT piece, cnt FROM voc2 WHERE len(piece) = 1
+                UNION ALL
+                SELECT piece, cnt FROM (
+                  SELECT piece, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, piece ASC) AS rnk
+                  FROM voc2 WHERE len(piece) >= 2) WHERE rnk <= 60),
+        totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM prn),
+        vocf AS (SELECT piece, cnt,
+                   CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS cost
+                 FROM prn CROSS JOIN totf)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+                 AS BIGINT) AS rank, piece, cnt, cost
+        FROM vocf
         QUALIFY rank <= 40
         ORDER BY rank"""))
   )

@@ -15,10 +15,12 @@ import graft.functions.expressions.{ViterbiSegment, VocabTable}
   *
   * Every stage is engine-portable arithmetic (the repo-wide micro-nat
   * integer log-prob convention: lw = −⌊ln(p)·10⁶ + 0.5⌋ as a long), so
-  * both the seed census (gate t57) and a full Viterbi E-step (gate t58,
+  * the seed census (gate t57), a full Viterbi E-step (gate t58,
   * replayed EXHAUSTIVELY in SQL — every segmentation enumerated by a
   * recursive CTE, the DP's argmin matched by ORDER BY cost, count,
-  * boundary-mask) are oracle-gated, not just spec'd.
+  * boundary-mask), AND the hard-EM training loop itself (gate t59 —
+  * two unrolled E/M rounds plus the prune, chained CTEs off the t58
+  * machinery) are oracle-gated, not just spec'd.
   *
   * Scale shape: the corpus is touched ONCE (word census — the same
   * weighted-vocabulary move as `Bpe.mergeLoop`; every EM round then
@@ -143,9 +145,19 @@ object UnigramTok {
     */
   def emTrain(df: DataFrame, textCol: String, vocabSize: Int = 400,
       iters: Int = 2, maxPieceLen: Int = 6, multiPieces: Int = 400,
-      maxWordLen: Int = 20): DataFrame = {
+      maxWordLen: Int = 20): DataFrame =
+    emTrainWords(wordCensus(df, textCol, maxWordLen), vocabSize, iters,
+      maxPieceLen, multiPieces)
+
+  /** The training loop over an explicit (word, wcnt) census — the form
+    * gate t59 replays (its census is a bounded top-N word subset so the
+    * oracle's exhaustive-enumeration E-steps stay tractable; the loop
+    * code is THIS one either way).
+    */
+  def emTrainWords(words: DataFrame, vocabSize: Int = 400,
+      iters: Int = 2, maxPieceLen: Int = 6, multiPieces: Int = 400)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val words = wordCensus(df, textCol, maxWordLen)
     words.persist()
     var vocabDf = seedVocab(words, maxPieceLen, multiPieces)
     var i = 0

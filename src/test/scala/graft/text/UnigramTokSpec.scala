@@ -69,6 +69,19 @@ class UnigramTokSpec extends SparkSpec {
     (seg("a" * 62, Map("a" -> 1L)) should not be None)
   }
 
+  it should "index by code points, not UTF-16 units" in {
+    val g = "𝄞" // 𝄞 U+1D11E, one code point, two UTF-16 units
+    // 40 astral chars = 80 UTF-16 units: the 62-position limit counts
+    // code points (the oracle's len()), so this must segment
+    seg(g * 40, Map(g -> 5L)) shouldBe Some(Seq.fill(40)(g))
+    // pieces spanning an astral char resolve at code-point boundaries
+    seg(s"${g}ab",
+      Map(g -> 10L, "a" -> 10L, "b" -> 10L, s"${g}a" -> 15L)) shouldBe
+      Some(Seq(s"${g}a", "b"))
+    // the limit still rejects 63 code points
+    seg(g * 63, Map(g -> 1L)) shouldBe None
+  }
+
   behavior of "UnigramTok"
 
   private def corpus = Seq(
@@ -103,6 +116,51 @@ class UnigramTokSpec extends SparkSpec {
       prev = cost
     }
     words.unpersist()
+  }
+
+  it should "match an independent driver-side replay of two hard-EM rounds" in {
+    // the t59 contract in miniature: seed → (exhaustive-argmin E-step →
+    // char-floored M-step → renormalize) × 2, re-derived here with the
+    // brute segmenter and Scala collections — an independent engine for
+    // every stage of emTrainWords, costs included
+    val words = UnigramTok.wordCensus(corpus, "text")
+    val census: Map[String, Long] = words.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def withCostsRef(cnts: Map[String, Long]): Map[String, (Long, Long)] = {
+      val total = cnts.values.sum
+      cnts.map { case (p, c) =>
+        p -> (c, -math.floor(
+          math.log(c.toDouble / total.toDouble) * 1e6 + 0.5).toLong)
+      }
+    }
+    // seed: substrings of length 1..4, all chars + top-30 multi
+    val seedCnt = census.toSeq.flatMap { case (w, c) =>
+      for {
+        i <- 0 until w.length
+        j <- (i + 1) to math.min(w.length, i + 4)
+      } yield (w.substring(i, j), c)
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val topMulti = seedCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(30)
+    var ref = withCostsRef(seedCnt.filter(_._1.length == 1) ++ topMulti)
+    val censusChars = census.keys.flatMap(_.map(_.toString)).toSet
+    for (_ <- 1 to 2) {
+      val costs = ref.map { case (p, (_, cost)) => p -> cost }
+      val counts = census.toSeq.flatMap { case (w, wc) =>
+        brute(w, costs).getOrElse(Nil).map(p => (p, wc))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      ref = withCostsRef(
+        counts.filter { case (p, _) => !censusChars.contains(p) } ++
+          censusChars.map(ch =>
+            ch -> math.max(counts.getOrElse(ch, 0L), 1L)))
+    }
+    // vocabSize larger than the surviving multi set ⇒ the prune's final
+    // renormalization runs over the same frame, costs unchanged
+    val engine = UnigramTok.emTrainWords(words, vocabSize = 1000,
+        iters = 2, maxPieceLen = 4, multiPieces = 30)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    engine shouldBe ref
   }
 
   it should "train deterministically end-to-end" in {
