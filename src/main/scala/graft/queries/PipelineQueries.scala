@@ -1189,6 +1189,212 @@ object PipelineQueries {
                         JOIN b c ON cand.nid = c.vec_id)
         SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // IVF × binary quantization composed — the Hamming analogue of d34's
+    // IVF-PQ (the composition BinaryQuant's scaladoc promised): d07's
+    // cell pruning (candidates only from each query's nprobe probed
+    // cells) + d36's packed-code popcount(xor) shortlist within them +
+    // exact cosine rerank. The oracle is literally d07's cent/asn/prb
+    // CTEs feeding d36's hyperplane/pack CTEs — the composition (encode
+    // passes cell ids through) verified bitwise, not prose. Same
+    // determinism dependencies as d07/d36.
+    GateQuery(
+      "d37_ann_ivf_binary",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", ivf)
+        val enc = graft.similarity.BinaryQuant.encode(
+          assigned, "id", "vec", dim = 64, bits = 16)
+        graft.similarity.BinaryQuant.searchIvfHamming(enc, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", ivf,
+          dim = 64, bits = 16, k = 5, nprobe = 2, shortlist = 20)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+                        v AS cv, list_dot_product(v, v) AS cnorm
+                 FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+                       FROM e ORDER BY hk, vec_id LIMIT 8)),
+        asn AS (SELECT vec_id, cid FROM (
+                  SELECT e.vec_id, cent.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+                                    cent.cid) AS rn
+                  FROM e, cent) WHERE rn = 1),
+        prbI AS (SELECT qid, cid FROM (
+                  SELECT q.vec_id AS qid, cent.cid,
+                         row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+                                    cent.cid) AS rn
+                  FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+        p AS (SELECT vec_id, v,
+                list_transform(range(0, 16), j ->
+                  list_dot_product(v, list_transform(range(0, 64), i ->
+                    CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+              FROM e),
+        b AS (SELECT vec_id, v,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(pv, x -> CASE WHEN x > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                  (acc, bit) -> acc * 2 + bit) AS code,
+                sqrt(list_dot_product(v, v)) AS nrm
+              FROM p),
+        q AS (SELECT * FROM b WHERE vec_id < 10),
+        cand AS (SELECT pr.qid, a.vec_id AS nid
+                 FROM prbI pr JOIN asn a ON a.cid = pr.cid
+                 WHERE pr.qid <> a.vec_id),
+        sh AS (SELECT qid, nid FROM (
+                 SELECT c0.qid, c0.nid,
+                        row_number() OVER (PARTITION BY c0.qid
+                          ORDER BY bit_count(xor(q.code, cb.code)) ASC,
+                                   c0.nid) AS srn
+                 FROM cand c0 JOIN q ON q.vec_id = c0.qid
+                              JOIN b cb ON cb.vec_id = c0.nid)
+               WHERE srn <= 20),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                    DESC, nid) AS rnk
+              FROM sh JOIN q ON sh.qid = q.vec_id
+                      JOIN b c ON sh.nid = c.vec_id)
+        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // Hier-assigned IVFADC — the full FAISS lattice closed: d35's
+    // residual-PQ machinery over d32's two-level coarse quantizer (the
+    // measured ≥10× configuration — PLANS.md r15: the compiled two-level
+    // rank beats flat at every probed factor). Corpus rows assign via
+    // top-2 supers → argmin leaf; queries probe the same two-stage rank;
+    // residuals, codebooks, reconstruction norms, and the q·cent + ADC
+    // decomposition are d35's verbatim over the hier cell ids. The
+    // oracle is d32's cent/sup/lmap/rsup/asn/prb CTEs feeding d35's
+    // res/cb/enc/rh/csq/qc/pd/ad/shl CTEs — composition verified
+    // bitwise. Same determinism dependencies as d32/d35.
+    GateQuery(
+      "d38_ann_ivfadc_hier",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        val cb = graft.similarity.Pq.sampleResidualCodebooks(
+          assigned, model, m = 4, ksub = 8)
+        val enc = graft.similarity.Pq.encodeResidual(assigned, model, cb)
+        graft.similarity.Pq.searchIvfPqResidualHier(enc, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          h, cb, k = 5, wprobe = 2, nprobe = 2, shortlist = 10)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT r.vec_id, r.v, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |res AS (SELECT a.vec_id, a.cid,
+          |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+          |        FROM asn a JOIN cent c ON c.cid = a.cid),
+          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, rv
+          |        FROM (SELECT vec_id, rv, (vec_id * 2654435761) % 1000003 AS hk
+          |              FROM res ORDER BY hk, vec_id LIMIT 8)),
+          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+          |cb0 AS (SELECT j.j, smp.r, smp.rv[j.j*16+1 : j.j*16+16] AS cv
+          |        FROM smp, js j),
+          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
+          |sub AS (SELECT res.vec_id, j.j, res.rv[j.j*16+1 : j.j*16+16] AS sv
+          |        FROM res, js j),
+          |enc AS (SELECT vec_id, j, r FROM (
+          |          SELECT s.vec_id, s.j, c.r,
+          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
+          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
+          |                            c.r) AS rn
+          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
+          |rh AS (SELECT en.vec_id, flatten(list(cb.cv ORDER BY en.j)) AS rhat
+          |       FROM enc en JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |       GROUP BY en.vec_id),
+          |csq AS (SELECT x.vec_id, list_dot_product(x.xr, x.xr) AS csqn FROM (
+          |          SELECT rh.vec_id,
+          |                 list_transform(range(1, 65),
+          |                   i -> c.cv[i] + rh.rhat[i]) AS xr
+          |          FROM rh JOIN asn a ON a.vec_id = rh.vec_id
+          |                  JOIN cent c ON c.cid = a.cid) x),
+          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
+          |      FROM e WHERE vec_id < 10),
+          |qc AS (SELECT p.qid, p.cid, list_dot_product(q.v, c.cv) AS qcent
+          |       FROM prb p JOIN q ON q.vec_id = p.qid
+          |                  JOIN cent c ON c.cid = p.cid),
+          |cand AS (SELECT p.qid, a.vec_id AS nid, a.cid
+          |         FROM prb p JOIN asn a ON a.cid = p.cid
+          |         WHERE p.qid <> a.vec_id),
+          |pd AS (SELECT c.qid, c.nid, en.j,
+          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], cb.cv) AS d
+          |       FROM cand c JOIN enc en ON en.vec_id = c.nid
+          |                   JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |                   JOIN q ON q.vec_id = c.qid),
+          |ad AS (SELECT qid, nid,
+          |          (((0 + max(CASE WHEN j = 0 THEN d END))
+          |            + max(CASE WHEN j = 1 THEN d END))
+          |            + max(CASE WHEN j = 2 THEN d END))
+          |            + max(CASE WHEN j = 3 THEN d END) AS adot
+          |       FROM pd GROUP BY qid, nid),
+          |shl AS (SELECT qid, nid FROM (
+          |          SELECT ad.qid, ad.nid,
+          |                 row_number() OVER (PARTITION BY ad.qid
+          |                   ORDER BY (qc.qcent + ad.adot)
+          |                     / (q.qnrm * sqrt(csq.csqn)) DESC,
+          |                            ad.nid) AS srn
+          |          FROM ad JOIN q ON q.vec_id = ad.qid
+          |                  JOIN csq ON csq.vec_id = ad.nid
+          |                  JOIN asn a ON a.vec_id = ad.nid
+          |                  JOIN qc ON qc.qid = ad.qid AND qc.cid = a.cid)
+          |        WHERE srn <= 10),
+          |sc AS (SELECT shl.qid, shl.nid,
+          |         list_dot_product(a.v, b.v)
+          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+          |       FROM shl JOIN e a ON a.vec_id = shl.qid
+          |                JOIN e b ON b.vec_id = shl.nid),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(
       "t01_langid",

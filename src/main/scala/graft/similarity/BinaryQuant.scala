@@ -37,8 +37,9 @@ import org.apache.spark.sql.functions._
   * encode once, persist `bcode` next to the id, and the candidate scan
   * reads bits/8 bytes per row instead of the vector. `searchHamming`'s
   * candidate pass is the same join shape as brute force at 64× less
-  * scan and ~30× less arithmetic; compose with IVF cells exactly like
-  * [[Pq.searchIvfPq]] when even the linear code scan is too much.
+  * scan and ~30× less arithmetic; [[searchIvfHamming]] composes with
+  * IVF cells (the [[Pq.searchIvfPq]] shape) when even the linear code
+  * scan is too much.
   */
 object BinaryQuant {
 
@@ -99,6 +100,43 @@ object BinaryQuant {
     val shortW = Window.partitionBy("qid")
       .orderBy(col("hd").asc, col("nid"))
     val short = broadcast(qs).join(cand, col("qid") =!= col("nid"))
+      .withColumn("hd", hamming(col("qcode"), col("ncode")))
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "nid")
+    Pq.rerank(short, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Cell-pruned Hamming search — the IVF × binary-quantization
+    * composition the scaladoc above promises (the [[Pq.searchIvfPq]]
+    * shape): candidates come only from each query's `nprobe` probed
+    * cells, the Hamming shortlist runs over packed codes within them,
+    * and the exact cosine rerank finishes. `encodedAssigned` is an
+    * `Ivf.assign`-shaped corpus run through [[encode]] (id, cid, bcode)
+    * — at 100 TB this pairs with `Ivf.writePartitioned` exactly like
+    * IVF-PQ: partition pruning opens nprobe/nlist of the files AND each
+    * file stores bits/8 bytes per row instead of the vector. The query
+    * code rides the probe frame (duplicated ×nprobe per query —
+    * numWords longs, cheaper than a join to dedupe it, the qtab
+    * convention).
+    */
+  def searchIvfHamming(encodedAssigned: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, ivf: Ivf.Model,
+      dim: Int, bits: Int, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val prb = encode(Ivf.probes(queries, idCol, vecCol, ivf, nprobe),
+        "qid", "qvec", dim, bits)
+      .select(col("qid"), col("cid"), col("bcode").as("qcode"))
+    val probeSide =
+      if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
+      else prb
+    val cand = encodedAssigned.select(col("cid"), col("id").as("nid"),
+      col("bcode").as("ncode"))
+    val shortW = Window.partitionBy("qid")
+      .orderBy(col("hd").asc, col("nid"))
+    val short = cand.join(probeSide, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
       .withColumn("hd", hamming(col("qcode"), col("ncode")))
       .withColumn("srn", row_number().over(shortW))
       .filter(col("srn") <= shortlist)

@@ -342,6 +342,42 @@ object Pq {
       Ivf.probes(queries, idCol, vecCol, ivf, nprobe), cb)
       .withColumn("qcent",
         Ann.dot(col("qvec"), element_at(centMapLit(ivf), col("cid"))))
+    residualAdcSearch(prb, encodedAssigned, corpus, queries, idCol,
+      vecCol, k, nprobe, shortlist)
+  }
+
+  /** IVFADC over a HIERARCHICALLY assigned corpus — the measured ≥10×
+    * configuration (PLANS.md r15: the compiled two-level rank beats flat
+    * at every probed factor, 5.6× at 32×): `encodedAssigned` comes from
+    * `IvfHier.assignHier` → [[encodeResidual]] against `h.leaves` (the
+    * leaf model IS the flat model, so cell ids, centroids, and residual
+    * codebooks are shared — with wassign = nsuper the two pipelines are
+    * bit-identical end to end). Probing is the compiled two-stage rank
+    * (top-`wprobe` supers → `nprobe` of their leaves, map-side — no
+    * rank over all nlist leaves); everything after the probe frame —
+    * the q·centroid decomposition, ADC fold, shortlist, exact rerank —
+    * is `searchIvfPqResidual`'s verbatim.
+    */
+  def searchIvfPqResidualHier(encodedAssigned: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, h: IvfHier.HierModel, cb: Codebooks, k: Int,
+      wprobe: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val prb = withQueryTables(
+      IvfHier.probesHier(queries, idCol, vecCol, h, wprobe, nprobe), cb)
+      .withColumn("qcent",
+        Ann.dot(col("qvec"), element_at(centMapLit(h.leaves), col("cid"))))
+    residualAdcSearch(prb, encodedAssigned, corpus, queries, idCol,
+      vecCol, k, nprobe, shortlist)
+  }
+
+  /** Shared tail of the residual (IVFADC) searches: cell join from a
+    * probe frame carrying (qid, cid, qtab, __qnrm, qcent), approx score
+    * (q·cent + ADC fold) / (|q|·√csqn), shortlist, exact rerank.
+    */
+  private def residualAdcSearch(prb: DataFrame, encodedAssigned: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val probeSide =
       if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
       else prb

@@ -112,4 +112,46 @@ class BinaryQuantSpec extends SparkSpec {
     // never leaves the cluster
     rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
   }
+
+  "searchIvfHamming" should "equal the flat Hamming search when probing every cell" in {
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val encA = BinaryQuant.encode(assigned, "id", "vec",
+      dim = 16, bits = 16)
+    val res = BinaryQuant.searchIvfHamming(encA, corpus, q, "vec_id",
+      "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 4,
+      shortlist = 79)
+    val enc = BinaryQuant.encode(corpus, "vec_id", "embedding",
+      dim = 16, bits = 16)
+    val flat = BinaryQuant.searchHamming(enc, corpus, q, "vec_id",
+      "embedding", dim = 16, bits = 16, k = 5, shortlist = 79)
+    rowsOf(res, "qid", "rank", "nid") shouldBe
+      rowsOf(flat, "qid", "rank", "nid")
+  }
+
+  it should "recover in-cluster neighbors from pruned cells" in {
+    val q = corpus.filter($"vec_id" < 4)
+    // nlist = 5, not 4: the 4 hash-smallest rows cover only clusters
+    // {0,1,3}, leaving cluster 2's rows scattered across foreign cells.
+    // The fifth sample adds cluster 2's centroid — but it also gives
+    // cluster 0 TWO centroids (rows 0 and 68), splitting its 20 rows
+    // across two cells, so nprobe = 2 below: pruning still drops ≥ 3 of
+    // 5 cells while every query's probed pair covers its cluster.
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 5)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val encA = BinaryQuant.encode(assigned, "id", "vec",
+      dim = 16, bits = 16)
+    val res = BinaryQuant.searchIvfHamming(encA, corpus, q, "vec_id",
+      "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 2,
+      shortlist = 10)
+    val rows = res.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.length shouldBe 20
+    rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
+  }
 }

@@ -197,4 +197,28 @@ class PqSpec extends SparkSpec {
     rows.length shouldBe 20
     rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
   }
+
+  "searchIvfPqResidualHier" should "equal the flat residual search when the two-level rank covers all supers" in {
+    // wassign = wprobe = nsuper ⇒ the two-level rank sees every leaf, so
+    // assignment, probing, residuals, codes, and the full ADC pipeline
+    // are bit-identical to the flat path — the d38 composition's
+    // equivalence anchor
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val h = graft.similarity.IvfHier.hierarchy(ivf, nsuper = 2)
+    val assignedH = graft.similarity.IvfHier.assignHier(
+      corpus, "vec_id", "embedding", h, wassign = 2)
+    val cb = Pq.sampleResidualCodebooks(assignedH, ivf, m = 4, ksub = 8)
+    val encH = Pq.encodeResidual(assignedH, ivf, cb)
+    val hier = Pq.searchIvfPqResidualHier(encH, corpus, q, "vec_id",
+      "embedding", h, cb, k = 5, wprobe = 2, nprobe = 2, shortlist = 10)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val enc = Pq.encodeResidual(assigned, ivf, cb)
+    val flat = Pq.searchIvfPqResidual(enc, corpus, q, "vec_id",
+      "embedding", ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+    rowsOf(hier, "qid", "rank", "nid") shouldBe
+      rowsOf(flat, "qid", "rank", "nid")
+  }
 }

@@ -39,6 +39,9 @@ import org.apache.spark.sql.functions._
   *   - X160 `UnigramTok.segment` — the compiled Viterbi DP is one
   *     per-row expression (the E-step's only exchange is its
   *     piece-count aggregation, bounded by the live vocabulary)
+  *   - X161/d37 `BinaryQuant.encode` over an IVF-assigned corpus — the
+  *     cell-pruned Hamming layout's corpus pass (assign + hyperplane
+  *     dots + bit pack) is one map stage
   */
 class ShuffleContractSpec extends SparkSpec {
   import spark.implicits._
@@ -137,6 +140,18 @@ class ShuffleContractSpec extends SparkSpec {
       e, "vec_id", "embedding", model, nprobe = 2))
     assertMapOnly(graft.similarity.Ivf.assign(
       e, "vec_id", "embedding", model))
+  }
+
+  "BinaryQuant.encode over an IVF-assigned corpus (X161/d37)" should "stay map-only" in {
+    // the d37 layout's corpus-scale pass: compiled IVF assign + hyperplane
+    // dots + bit pack fuse into one map stage — at 100 TB this is the
+    // difference between a scan-speed encode and a corpus shuffle
+    val e = tbl("embeddings")
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      e, "vec_id", "embedding", nlist = 8)
+    val assigned = graft.similarity.Ivf.assign(e, "vec_id", "embedding", ivf)
+    assertMapOnly(graft.similarity.BinaryQuant.encode(
+      assigned, "id", "vec", dim = 64, bits = 16))
   }
 
   "UnigramTok.segment (X160)" should "stay map-only on the word census shape" in {
