@@ -30,9 +30,17 @@ object TextFunctions {
   /** Whitespace tokenization (ANY whitespace run — newlines and tabs
     * included, not just literal spaces: real corpora are line-wrapped),
     * empty tokens dropped.
+    *
+    * Since r16 this is the compiled `expressions.WhitespaceTokens` —
+    * one native byte scan per row instead of regex `split` + an
+    * interpreted `ArrayFilter` (the CodegenFallback the r16 audit found
+    * on ~40 batch gates' corpus-scale paths, this being the first map
+    * stage of nearly every text operator). Values are bit-identical;
+    * WhitespaceTokensSpec pins equality against the exact HOF form.
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    graft.core.Graft.column(graft.functions.expressions.WhitespaceTokens(
+      graft.core.Graft.expression(text)))
 
   /** Word n-gram shingles (joined by single spaces); inputs shorter than
     * n tokens fall back to their token list so they still dedup.

@@ -76,22 +76,24 @@ object Ann {
 
   /** Bucket key for one hash table: sign bits of `planes` projections.
     *
-    * The plane matrix ships as a nested array LITERAL and the projection
-    * runs through zip_with/aggregate — a constant-size expression tree.
-    * (The unrolled form — planes×dim element_at terms — made Catalyst
-    * optimize a ~1000-node tree per union branch and dominated runtime
-    * with planning, not math.)
+    * Each plane ships as ONE array literal (`typedlit` — a single
+    * Literal node, not dim CreateArray children: the per-element-literal
+    * unrolling made Catalyst optimize a ~1000-node tree per union branch
+    * and dominated runtime with planning, not math) feeding the compiled
+    * `DotProduct`, and the weighted bit sum unrolls over the 4–6 planes
+    * — a ~3·planes-node tree with NO higher-order functions. The r16
+    * FallbackAudit found the previous transform/zip_with/aggregate
+    * wrapper was the last interpreted per-row stage on the d06/d09
+    * corpus paths (each embedding row paid 3 interpreted HOF passes per
+    * table). Bucket values are bit-identical: DotProduct accumulates
+    * left-to-right exactly like the zip_with fold it replaced, sign
+    * bits and the exact long sum are order-free.
     */
-  def lshBucket(vec: Column, dim: Int, planes: Int, tbl: Int = 0): Column = {
-    val planeMatrix = array((0 until planes).map { p =>
-      array((0 until dim).map(d => lit(planeComponent(tbl, p, d))): _*)
-    }: _*)
-    val weights = array((0 until planes).map(p => lit(1L << p)): _*)
-    val bits = transform(planeMatrix, plane =>
-      when(dot(vec, plane) >= 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, weights, (b, w) => b * w), lit(0L),
-      (acc, v) => acc + v)
-  }
+  def lshBucket(vec: Column, dim: Int, planes: Int, tbl: Int = 0): Column =
+    (0 until planes).map { p =>
+      val plane = typedlit((0 until dim).map(d => planeComponent(tbl, p, d)))
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
 
   /** (id, vec, nrm, table, bucket) keys across `tables` independent hash
     * tables — OR-amplification: a pair is a candidate if it collides in
