@@ -87,10 +87,22 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- synthesize the factor× tables --------------------------------
+    // Synthesis is deterministic, so A/B rep runs can reuse the previous
+    // run's tables (SPARK_GRAFT_SCALE_REUSE=1): re-writing ~factor× sf0.1
+    // of parquet right before the timed section drives loadavg to ~10 on
+    // this box and was the dominant session-variance source in the r15/r16
+    // probes. The flag only skips when a marker records the SAME sfDir +
+    // factor — a stale dir from another configuration never gets reused.
+    val marker = java.nio.file.Paths.get(s"$scaleDir/_graft_synth")
+    val stamp = s"$sfDir|$factor"
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == stamp
     def base(name: String): DataFrame =
       spark.read.parquet(s"$sfDir/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$scaleDir/$name.parquet")
+      if (!reuse) df.write.mode("overwrite").parquet(s"$scaleDir/$name.parquet")
 
     write(copies(base("lineitem"), factor)(i => df =>
       shiftKeys(df, Seq("l_orderkey", "l_partkey", "l_suppkey"), i)),
@@ -120,6 +132,12 @@ object ScaleProbe {
             slice(col("embedding"), i % dim + 1, dim - i % dim),
             slice(col("embedding"), 1, i % dim)))),
       "embeddings")
+    if (!reuse) {
+      Option(marker.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(marker, stamp.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     // ---- probe: one untimed warmup at base SF amortizes codegen/JIT,
     // then one timed run per scale. Stage counts ride along: the
