@@ -684,6 +684,84 @@ object MlQueries {
                  AS BIGINT) AS rank, piece, cnt, cost
         FROM vocf
         QUALIFY rank <= 40
+        ORDER BY rank""")),
+
+    // Unigram-LM SERVING census — the t55 discipline applied to X160
+    // (t53/t55 closed BPE's serve halves; this closes unigram's): encode
+    // a BROADER word set (top-150 of ≤ 12 chars — not the training
+    // census) through the vocabulary t59 trained and prune, and census
+    // the emitted pieces. Serving-only behaviors this pins that t57–t59
+    // cannot: segmentation under the PRUNED vocabulary (pieces EM used
+    // but pruning dropped must re-segment through survivors), and the
+    // drop contract for unservable words (a word containing a character
+    // the training census never saw has NO complete segmentation — both
+    // engines must emit nothing for it, not a partial path). The oracle
+    // chains t59's full train replay (seed → 2 EM rounds → prune) into
+    // a third exhaustive enumeration against the FINAL vocabulary.
+    GateQuery(
+      "t60_unigram_encode",
+      (s, dir) => {
+        val words = graft.text.UnigramTok.wordCensus(
+          t(s, dir, "documents"), "text", maxWordLen = 20)
+        val gw = words.filter(length(col("word")) <= 10)
+          .orderBy(col("wcnt").desc, col("word").asc).limit(100)
+        val trained = graft.text.UnigramTok.emTrainWords(gw,
+          vocabSize = 60, iters = 2, maxPieceLen = 5, multiPieces = 150)
+        val serveWords = words.filter(length(col("word")) <= 12)
+          .orderBy(col("wcnt").desc, col("word").asc).limit(150)
+        graft.text.UnigramTok.estepCounts(serveWords,
+            graft.text.UnigramTok.vocabOf(trained))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
+          .filter(col("rank") <= 40)
+          .select(col("rank"), col("piece"), col("cnt"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH RECURSIVE $unigramGwSeedCtes,
+        ${emRound(1)},
+        ${emRound(2)},
+        prn AS (SELECT piece, cnt FROM voc2 WHERE len(piece) = 1
+                UNION ALL
+                SELECT piece, cnt FROM (
+                  SELECT piece, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, piece ASC) AS rnk
+                  FROM voc2 WHERE len(piece) >= 2) WHERE rnk <= 60),
+        totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM prn),
+        vocf AS (SELECT piece, cnt,
+                   CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS cost
+                 FROM prn CROSS JOIN totf),
+        sw AS (SELECT word, wcnt FROM w WHERE len(word) <= 12
+               ORDER BY wcnt DESC, word LIMIT 150),
+        segs AS (
+          SELECT word, wcnt, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+                 0 AS np, CAST(0 AS BIGINT) AS mask,
+                 CAST('' AS VARCHAR) AS pieces
+          FROM sw
+          UNION ALL
+          SELECT s.word, s.wcnt, s.pos + len(v.piece), s.cost + v.cost,
+                 s.np + 1,
+                 s.mask + CASE WHEN s.pos = 0 THEN CAST(0 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << s.pos) END,
+                 CASE WHEN s.pieces = '' THEN v.piece
+                   ELSE s.pieces || ' ' || v.piece END
+          FROM segs s JOIN vocf v
+            ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+          WHERE s.pos < len(s.word)),
+        done AS (SELECT word, wcnt, pieces,
+                   row_number() OVER (PARTITION BY word
+                     ORDER BY cost, np, mask) AS rn
+                 FROM segs WHERE pos = len(word)),
+        pu AS (SELECT wcnt, unnest(string_split(pieces, ' ')) AS piece
+               FROM done WHERE rn = 1),
+        cc AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+               FROM pu GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
+                 AS BIGINT) AS rank, piece, cnt
+        FROM cc
+        QUALIFY rank <= 40
         ORDER BY rank"""))
   )
 }

@@ -163,6 +163,34 @@ class UnigramTokSpec extends SparkSpec {
     engine shouldBe ref
   }
 
+  it should "serve a trained vocabulary: drop unservable words, cover the rest" in {
+    // the t60 contract: serving runs on words OUTSIDE the training
+    // census; a word containing a character training never saw has no
+    // complete segmentation and must contribute NOTHING (not a partial
+    // path), while every served word's pieces concatenate back to it
+    val words = Seq(("abab", 5L), ("ab", 3L), ("cd", 2L))
+      .toDF("word", "wcnt")
+    val trained = UnigramTok.emTrainWords(words, vocabSize = 10,
+      iters = 2, maxPieceLen = 3, multiPieces = 10)
+    val vocab = UnigramTok.vocabOf(trained)
+    val serve = Seq(("abab", 5L), ("abcd", 4L), ("ax", 7L))
+      .toDF("word", "wcnt")
+    val census = UnigramTok.estepCounts(serve, vocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    census.keys.exists(_.contains("x")) shouldBe false // ax dropped whole
+    // abcd (4) + abab (5) served: every emitted piece is vocabulary
+    census.keySet.subsetOf(
+      trained.collect().map(_.getString(0)).toSet) shouldBe true
+    // coverage: piece counts weighted by wcnt reconstruct the served
+    // characters exactly (4+5 words, zero contribution from ax)
+    val served = UnigramTok.segment(col("word"), vocab)
+    val rows = serve.select(col("word"), served.as("p")).collect()
+    rows.filter(_.getString(0) != "ax").foreach { r =>
+      r.getSeq[String](1).mkString shouldBe r.getString(0)
+    }
+    rows.find(_.getString(0) == "ax").get.isNullAt(1) shouldBe true
+  }
+
   it should "train deterministically end-to-end" in {
     val a = UnigramTok.emTrain(corpus, "text", vocabSize = 40, iters = 2,
       maxPieceLen = 4, multiPieces = 50).collect().toSeq
