@@ -1395,6 +1395,99 @@ object PipelineQueries {
           |      FROM sc)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // Hier-assigned binary-Hamming — the d38 move applied to the binary
+    // arm, closing the coarse-quantizer × code lattice: the two-level
+    // assign/probe (d32's CTEs) feeding d37's pack/popcount/rerank CTEs.
+    // With wassign = nsuper the hier pipeline is flat-d37 bit-for-bit
+    // (BinaryQuantSpec pins it); here wassign=wprobe=2 exercises the
+    // pruned two-stage path. Same determinism dependencies as d32/d36.
+    GateQuery(
+      "d39_ann_binary_hier",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        val enc = graft.similarity.BinaryQuant.encode(
+          assigned, "id", "vec", dim = 64, bits = 16)
+        graft.similarity.BinaryQuant.searchIvfHammingHier(enc, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", h,
+          dim = 64, bits = 16, k = 5, wprobe = 2, nprobe = 2,
+          shortlist = 20)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, cid FROM (
+          |          SELECT r.vec_id, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |p AS (SELECT vec_id, v,
+          |        list_transform(range(0, 16), j ->
+          |          list_dot_product(v, list_transform(range(0, 64), i ->
+          |            CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+          |                 THEN CAST(1.0 AS DOUBLE)
+          |                 ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+          |      FROM e),
+          |b AS (SELECT vec_id, v,
+          |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(pv, x -> CASE WHEN x > 0
+          |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          |          (acc, bit) -> acc * 2 + bit) AS code,
+          |        sqrt(list_dot_product(v, v)) AS nrm
+          |      FROM p),
+          |q AS (SELECT * FROM b WHERE vec_id < 10),
+          |cand AS (SELECT pr.qid, a.vec_id AS nid
+          |         FROM prb pr JOIN asn a ON a.cid = pr.cid
+          |         WHERE pr.qid <> a.vec_id),
+          |sh AS (SELECT qid, nid FROM (
+          |         SELECT c0.qid, c0.nid,
+          |                row_number() OVER (PARTITION BY c0.qid
+          |                  ORDER BY bit_count(xor(q.code, cb.code)) ASC,
+          |                           c0.nid) AS srn
+          |         FROM cand c0 JOIN q ON q.vec_id = c0.qid
+          |                      JOIN b cb ON cb.vec_id = c0.nid)
+          |       WHERE srn <= 20),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid
+          |          ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+          |            DESC, nid) AS rnk
+          |      FROM sh JOIN q ON sh.qid = q.vec_id
+          |              JOIN b c ON sh.nid = c.vec_id)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(
       "t01_langid",

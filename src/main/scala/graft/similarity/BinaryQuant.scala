@@ -128,6 +128,41 @@ object BinaryQuant {
     val prb = encode(Ivf.probes(queries, idCol, vecCol, ivf, nprobe),
         "qid", "qvec", dim, bits)
       .select(col("qid"), col("cid"), col("bcode").as("qcode"))
+    cellHammingSearch(prb, encodedAssigned, corpus, queries, idCol,
+      vecCol, k, nprobe, shortlist)
+  }
+
+  /** Cell-pruned Hamming search over a HIERARCHICALLY assigned corpus —
+    * the [[Pq.searchIvfPqResidualHier]] move applied to the binary arm:
+    * `encodedAssigned` comes from `IvfHier.assignHier` → [[encode]]
+    * (leaf cell ids pass through exactly as flat ones do, so with
+    * wassign = nsuper the two pipelines are bit-identical end to end),
+    * probing is the compiled two-stage rank (top-`wprobe` supers →
+    * `nprobe` of their leaves), and the Hamming shortlist + exact
+    * rerank are [[searchIvfHamming]]'s verbatim. The measured ≥10×
+    * coarse-quantizer configuration, now available at every code
+    * granularity: raw (d32), PQ-residual (d38), one bit (this).
+    */
+  def searchIvfHammingHier(encodedAssigned: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      h: IvfHier.HierModel, dim: Int, bits: Int, k: Int, wprobe: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val prb = encode(
+        IvfHier.probesHier(queries, idCol, vecCol, h, wprobe, nprobe),
+        "qid", "qvec", dim, bits)
+      .select(col("qid"), col("cid"), col("bcode").as("qcode"))
+    cellHammingSearch(prb, encodedAssigned, corpus, queries, idCol,
+      vecCol, k, nprobe, shortlist)
+  }
+
+  /** Shared tail of the cell-pruned Hamming searches: cell join from a
+    * (qid, cid, qcode) probe frame, popcount(xor) shortlist within the
+    * probed cells, exact cosine rerank.
+    */
+  private def cellHammingSearch(prb: DataFrame, encodedAssigned: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val probeSide =
       if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
       else prb

@@ -154,4 +154,31 @@ class BinaryQuantSpec extends SparkSpec {
     rows.length shouldBe 20
     rows.foreach { case (qid, nid) => nid % 4 shouldBe qid % 4 }
   }
+
+  "searchIvfHammingHier" should "equal the flat IVF search when the two-level rank covers all supers" in {
+    // wassign = wprobe = nsuper ⇒ the two-level rank sees every leaf, so
+    // assignment, probing, codes, shortlist, and rerank are
+    // bit-identical to the flat IVF path — the d39 composition's
+    // equivalence anchor (the PqSpec d38 case, binary arm)
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val h = graft.similarity.IvfHier.hierarchy(ivf, nsuper = 2)
+    val assignedH = graft.similarity.IvfHier.assignHier(
+      corpus, "vec_id", "embedding", h, wassign = 2)
+    val encH = BinaryQuant.encode(assignedH, "id", "vec",
+      dim = 16, bits = 16)
+    val hier = BinaryQuant.searchIvfHammingHier(encH, corpus, q,
+      "vec_id", "embedding", h, dim = 16, bits = 16, k = 5, wprobe = 2,
+      nprobe = 2, shortlist = 10)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val encF = BinaryQuant.encode(assigned, "id", "vec",
+      dim = 16, bits = 16)
+    val flat = BinaryQuant.searchIvfHamming(encF, corpus, q, "vec_id",
+      "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 2,
+      shortlist = 10)
+    rowsOf(hier, "qid", "rank", "nid") shouldBe
+      rowsOf(flat, "qid", "rank", "nid")
+  }
 }
