@@ -1488,6 +1488,84 @@ object PipelineQueries {
           |              JOIN b c ON sh.nid = c.vec_id)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
 
+    // Hier-assigned int8 search — Quantize.hierTopK's oracle gate. This
+    // is THE measured 100 TB mutual-NN configuration (the r14/r15 probes
+    // run every corpus vector through exactly this path via
+    // MutualNn.hierMutualTopOne), and it was the one remaining scale
+    // path covered only by spec; with this the coarse-quantizer × code
+    // matrix is gate-complete on the hier column too (raw d32, int8
+    // d40, PQ-residual d38, binary d39). Oracle = d39's two-stage
+    // assign/probe CTEs feeding d11's quantize/score CTEs.
+    GateQuery(
+      "d40_ann_int8_hier",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        graft.similarity.Quantize.hierTopK(assigned,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding", h,
+            k = 5, wprobe = 2, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT r.vec_id, r.v, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |qz AS (SELECT vec_id, cid,
+          |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+          |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
+          |         END AS qv
+          |       FROM (SELECT vec_id, cid, v,
+          |               list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+          |                 (acc, x) -> greatest(acc, x)) AS amax
+          |             FROM asn)),
+          |n AS (SELECT vec_id, cid, qv,
+          |        sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+          |sc AS (SELECT prb.qid, a.vec_id AS nid,
+          |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
+          |       FROM prb JOIN n a ON prb.cid = a.cid
+          |                JOIN n qq ON qq.vec_id = prb.qid
+          |       WHERE prb.qid <> a.vec_id),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(
       "t01_langid",

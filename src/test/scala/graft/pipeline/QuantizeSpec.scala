@@ -108,4 +108,26 @@ class QuantizeSpec extends SparkSpec {
     val (e, p) = (pairs(exact), pairs(pruned))
     (e & p).size.toDouble / e.size should be >= 0.8
   }
+
+  it should "serve hierTopK identically to ivfTopK when the two-level rank covers all supers" in {
+    // wassign = wprobe = nsuper ⇒ two-level assignment and probing see
+    // every leaf, so the quantized scoring is bit-identical to the flat
+    // path — the d40 composition's equivalence anchor
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 2)
+    val assignedH = graft.similarity.IvfHier.assignHier(
+      corpus, "vec_id", "embedding", h, wassign = 2)
+    val hier = Quantize.hierTopK(assignedH, queries, "vec_id",
+      "embedding", h, k = 5, wprobe = 2, nprobe = 2)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    val flat = Quantize.ivfTopK(assigned, queries, "vec_id", "embedding",
+      model, k = 5, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    rows(hier) shouldBe rows(flat)
+  }
 }
