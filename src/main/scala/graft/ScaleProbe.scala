@@ -99,6 +99,9 @@ object ScaleProbe {
       java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8) == stamp
+    // invalidate BEFORE the first overwrite: an interrupted synthesis
+    // must not leave a stale matching marker next to mixed-factor tables
+    if (!reuse) java.nio.file.Files.deleteIfExists(marker)
     def base(name: String): DataFrame =
       spark.read.parquet(s"$sfDir/$name.parquet")
     def write(df: DataFrame, name: String): Unit =

@@ -31,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fragments (which `split` emits and the filter drops) never
   *    materialize;
   *  - "" and all-whitespace input → empty array; null → null.
+  *
+  * Determinism note (pre-existing, faithfully preserved): Java `\s`
+  * includes \x0B where RE2-lineage engines' `\s` (e.g. DuckDB's
+  * regexp_split_to_array in the oracles) does not — a corpus containing
+  * a vertical tab would diverge engine-vs-oracle on every text gate,
+  * under the HOF form exactly as under this one. The gate corpora
+  * contain none.
   */
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 

@@ -149,6 +149,24 @@ object MlQueries {
        |          FROM rfv$r CROSS JOIN tot$r)""".stripMargin
   }
 
+  /** The t59/t60 prune + final renormalization: top-60 multi-char +
+    * all-chars cut over voc2, micro-nat costs over the pruned frame —
+    * `emTrainWords`' closing stages, shared verbatim by both oracles so
+    * the prune contract cannot silently diverge between them.
+    */
+  private val unigramPruneCtes: String =
+    """prn AS (SELECT piece, cnt FROM voc2 WHERE len(piece) = 1
+      |        UNION ALL
+      |        SELECT piece, cnt FROM (
+      |          SELECT piece, cnt, row_number() OVER (
+      |            ORDER BY cnt DESC, piece ASC) AS rnk
+      |          FROM voc2 WHERE len(piece) >= 2) WHERE rnk <= 60),
+      |totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM prn),
+      |vocf AS (SELECT piece, cnt,
+      |           CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |             * 1000000 + 0.5) AS BIGINT) AS cost
+      |         FROM prn CROSS JOIN totf)""".stripMargin
+
   private val unigramVocabCtes: String =
     """tok AS (SELECT unnest(list_filter(
       |        regexp_split_to_array(lower(text), '\s+'),
@@ -669,17 +687,7 @@ object MlQueries {
         WITH RECURSIVE $unigramGwSeedCtes,
         ${emRound(1)},
         ${emRound(2)},
-        prn AS (SELECT piece, cnt FROM voc2 WHERE len(piece) = 1
-                UNION ALL
-                SELECT piece, cnt FROM (
-                  SELECT piece, cnt, row_number() OVER (
-                    ORDER BY cnt DESC, piece ASC) AS rnk
-                  FROM voc2 WHERE len(piece) >= 2) WHERE rnk <= 60),
-        totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM prn),
-        vocf AS (SELECT piece, cnt,
-                   CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-                     * 1000000 + 0.5) AS BIGINT) AS cost
-                 FROM prn CROSS JOIN totf)
+        $unigramPruneCtes
         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC)
                  AS BIGINT) AS rank, piece, cnt, cost
         FROM vocf
@@ -701,16 +709,20 @@ object MlQueries {
     GateQuery(
       "t60_unigram_encode",
       (s, dir) => {
+        // persisted: BOTH the training subset (gw) and the serving set
+        // derive from this census — unpersisted it would tokenize the
+        // corpus twice; freed by the harness's per-query clearCache
         val words = graft.text.UnigramTok.wordCensus(
-          t(s, dir, "documents"), "text", maxWordLen = 20)
+          t(s, dir, "documents"), "text", maxWordLen = 20).persist()
         val gw = words.filter(length(col("word")) <= 10)
           .orderBy(col("wcnt").desc, col("word").asc).limit(100)
         val trained = graft.text.UnigramTok.emTrainWords(gw,
           vocabSize = 60, iters = 2, maxPieceLen = 5, multiPieces = 150)
+        val vocab = graft.text.UnigramTok.vocabOf(trained)
+        trained.unpersist() // vocabOf collected it; the cache is dead
         val serveWords = words.filter(length(col("word")) <= 12)
           .orderBy(col("wcnt").desc, col("word").asc).limit(150)
-        graft.text.UnigramTok.estepCounts(serveWords,
-            graft.text.UnigramTok.vocabOf(trained))
+        graft.text.UnigramTok.estepCounts(serveWords, vocab)
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
               .orderBy(col("cnt").desc, col("piece").asc)).cast("long"))
@@ -722,17 +734,7 @@ object MlQueries {
         WITH RECURSIVE $unigramGwSeedCtes,
         ${emRound(1)},
         ${emRound(2)},
-        prn AS (SELECT piece, cnt FROM voc2 WHERE len(piece) = 1
-                UNION ALL
-                SELECT piece, cnt FROM (
-                  SELECT piece, cnt, row_number() OVER (
-                    ORDER BY cnt DESC, piece ASC) AS rnk
-                  FROM voc2 WHERE len(piece) >= 2) WHERE rnk <= 60),
-        totf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM prn),
-        vocf AS (SELECT piece, cnt,
-                   CAST(-floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
-                     * 1000000 + 0.5) AS BIGINT) AS cost
-                 FROM prn CROSS JOIN totf),
+        $unigramPruneCtes,
         sw AS (SELECT word, wcnt FROM w WHERE len(word) <= 12
                ORDER BY wcnt DESC, word LIMIT 150),
         segs AS (

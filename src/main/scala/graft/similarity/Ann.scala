@@ -90,7 +90,8 @@ object Ann {
     * bits and the exact long sum are order-free.
     */
   def lshBucket(vec: Column, dim: Int, planes: Int, tbl: Int = 0): Column =
-    (0 until planes).map { p =>
+    if (planes == 0) lit(0L) // degenerate single-bucket LSH, as the old fold
+    else (0 until planes).map { p =>
       val plane = typedlit((0 until dim).map(d => planeComponent(tbl, p, d)))
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
