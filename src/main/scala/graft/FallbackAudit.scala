@@ -38,6 +38,12 @@ object FallbackAudit {
       } catch {
         case scala.util.control.NonFatal(e) =>
           Some(q.name -> Seq(s"ERROR:${e.getClass.getSimpleName}" -> 1))
+      } finally {
+        // q.fn is not side-effect free for every gate (t59/t60 run their
+        // EM training loop at DataFrame-construction time and persist
+        // frames); clear per gate — the bench harness's discipline — so
+        // the sweep doesn't accumulate cache across ~200 gates.
+        spark.catalog.clearCache()
       }
     }
     rows.foreach { case (name, hs) =>

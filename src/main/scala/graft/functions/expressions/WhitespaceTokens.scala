@@ -54,7 +54,15 @@ case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 
   /** Instance entry point shared by eval and generated code. */
   def tokenize(s: UTF8String): GenericArrayData = {
-    val b = s.getBytes
+    // getBytes returns the UNDERLYING buffer (no copy) when the string is
+    // exactly array-aligned (offset 0, full length); the token UTF8Strings
+    // below are views over `b`, so an aliased buffer would let emitted
+    // tokens alias caller-owned (possibly reused) memory. One reference
+    // check buys the defensive copy only in the aliased case.
+    val raw = s.getBytes
+    val b = if (raw.asInstanceOf[AnyRef] eq s.getBaseObject)
+      java.util.Arrays.copyOf(raw, raw.length)
+    else raw
     val n = b.length
     // count tokens first: token arrays are built exactly-sized with no
     // growth copies (documents are the hot input; two passes over the
