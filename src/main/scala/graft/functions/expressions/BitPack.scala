@@ -135,3 +135,147 @@ case class HammingWords(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_hamming_words"
 }
+
+/** Packed-code words → the bits/8-byte on-disk layout
+  * (`BinaryQuant.writeIvfBinary`): each full 32-bit word emits its 4
+  * bytes big-endian; the LAST word (holding r = bits − 32·(nWords−1)
+  * low bits, value < 2^r by the `PackBits` fold) emits only ⌈r/8⌉
+  * bytes — total ⌈bits/8⌉ bytes per row, the storage argument the
+  * binary arm is built on (a 64-dim float64 vector stores as 8 bytes).
+  * Null input → null; word-count mismatch vs `bits` → null (contract
+  * violation, like [[HammingWords]]).
+  */
+case class WordsToCode(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1, s"bits must be >= 1: $bits")
+
+  private val nWords = (bits + 31) / 32
+  private val lastBits = bits - 32 * (nWords - 1)
+  private val lastBytes = (lastBits + 7) / 8
+  private val totalBytes = 4 * (nWords - 1) + lastBytes
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got $other")
+    }
+
+  /** Instance entry point shared by eval and generated code. */
+  def toBytes(words: ArrayData): Array[Byte] = {
+    if (words.numElements() != nWords) return null
+    val out = new Array[Byte](totalBytes)
+    var w = 0
+    var o = 0
+    while (w < nWords) {
+      if (words.isNullAt(w)) return null
+      val v = words.getLong(w)
+      val nb = if (w == nWords - 1) lastBytes else 4
+      var b = nb - 1
+      while (b >= 0) {
+        out(o + b) = (v >>> (8 * (nb - 1 - b))).toByte
+        b -= 1
+      }
+      o += nb
+      w += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    toBytes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordsToCode", this,
+      classOf[WordsToCode].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("codeBytes")
+      s"""
+         |byte[] $r = $ref.toBytes($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WordsToCode = copy(child = newChild)
+
+  override def prettyName: String = "graft_words_to_code"
+}
+
+/** Inverse of [[WordsToCode]]: the ⌈bits/8⌉-byte stored code back to
+  * the 32-bit-per-long word array every Hamming kernel expects — a
+  * lossless round-trip by construction (`BinaryCodeSpec` pins it).
+  * Null input → null; byte-length mismatch vs `bits` → null.
+  */
+case class CodeToWords(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1, s"bits must be >= 1: $bits")
+
+  private val nWords = (bits + 31) / 32
+  private val lastBits = bits - 32 * (nWords - 1)
+  private val lastBytes = (lastBits + 7) / 8
+  private val totalBytes = 4 * (nWords - 1) + lastBytes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got $other")
+    }
+
+  /** Instance entry point shared by eval and generated code. */
+  def toWords(code: Array[Byte]): ArrayData = {
+    if (code.length != totalBytes) return null
+    val out = new Array[Long](nWords)
+    var w = 0
+    var o = 0
+    while (w < nWords) {
+      val nb = if (w == nWords - 1) lastBytes else 4
+      var acc = 0L
+      var b = 0
+      while (b < nb) {
+        acc = (acc << 8) | (code(o + b) & 0xffL)
+        b += 1
+      }
+      out(w) = acc
+      o += nb
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    toWords(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codeToWords", this,
+      classOf[CodeToWords].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("codeWords")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.toWords($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CodeToWords = copy(child = newChild)
+
+  override def prettyName: String = "graft_code_to_words"
+}

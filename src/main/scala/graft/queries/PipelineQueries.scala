@@ -240,6 +240,190 @@ object PipelineQueries {
     "row column sort", "stream table hash", "window fast query",
     "part filter scan", "value slow hash", "slow key order")
 
+
+  /** Shared oracles for the ANN composition gates and their
+    * through-storage twins (d41/d42/d43): the storage round-trips are
+    * lossless by construction, so each stored gate MUST replay its
+    * in-memory twin's oracle verbatim -- one copy per oracle, the
+    * d16-reuses-d11 discipline.
+    */
+  private def ivfBinaryOracle: String =
+    """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+                        v AS cv, list_dot_product(v, v) AS cnorm
+                 FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+                       FROM e ORDER BY hk, vec_id LIMIT 8)),
+        asn AS (SELECT vec_id, cid FROM (
+                  SELECT e.vec_id, cent.cid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+                                    cent.cid) AS rn
+                  FROM e, cent) WHERE rn = 1),
+        prbI AS (SELECT qid, cid FROM (
+                  SELECT q.vec_id AS qid, cent.cid,
+                         row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+                                    cent.cid) AS rn
+                  FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+        p AS (SELECT vec_id, v,
+                list_transform(range(0, 16), j ->
+                  list_dot_product(v, list_transform(range(0, 64), i ->
+                    CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+              FROM e),
+        b AS (SELECT vec_id, v,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(pv, x -> CASE WHEN x > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                  (acc, bit) -> acc * 2 + bit) AS code,
+                sqrt(list_dot_product(v, v)) AS nrm
+              FROM p),
+        q AS (SELECT * FROM b WHERE vec_id < 10),
+        cand AS (SELECT pr.qid, a.vec_id AS nid
+                 FROM prbI pr JOIN asn a ON a.cid = pr.cid
+                 WHERE pr.qid <> a.vec_id),
+        sh AS (SELECT qid, nid FROM (
+                 SELECT c0.qid, c0.nid,
+                        row_number() OVER (PARTITION BY c0.qid
+                          ORDER BY bit_count(xor(q.code, cb.code)) ASC,
+                                   c0.nid) AS srn
+                 FROM cand c0 JOIN q ON q.vec_id = c0.qid
+                              JOIN b cb ON cb.vec_id = c0.nid)
+               WHERE srn <= 20),
+        r AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                    DESC, nid) AS rnk
+              FROM sh JOIN q ON sh.qid = q.vec_id
+                      JOIN b c ON sh.nid = c.vec_id)
+        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  private def hierBinaryOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, cid FROM (
+          |          SELECT r.vec_id, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |p AS (SELECT vec_id, v,
+          |        list_transform(range(0, 16), j ->
+          |          list_dot_product(v, list_transform(range(0, 64), i ->
+          |            CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+          |                 THEN CAST(1.0 AS DOUBLE)
+          |                 ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
+          |      FROM e),
+          |b AS (SELECT vec_id, v,
+          |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |          list_transform(pv, x -> CASE WHEN x > 0
+          |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          |          (acc, bit) -> acc * 2 + bit) AS code,
+          |        sqrt(list_dot_product(v, v)) AS nrm
+          |      FROM p),
+          |q AS (SELECT * FROM b WHERE vec_id < 10),
+          |cand AS (SELECT pr.qid, a.vec_id AS nid
+          |         FROM prb pr JOIN asn a ON a.cid = pr.cid
+          |         WHERE pr.qid <> a.vec_id),
+          |sh AS (SELECT qid, nid FROM (
+          |         SELECT c0.qid, c0.nid,
+          |                row_number() OVER (PARTITION BY c0.qid
+          |                  ORDER BY bit_count(xor(q.code, cb.code)) ASC,
+          |                           c0.nid) AS srn
+          |         FROM cand c0 JOIN q ON q.vec_id = c0.qid
+          |                      JOIN b cb ON cb.vec_id = c0.nid)
+          |       WHERE srn <= 20),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid
+          |          ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+          |            DESC, nid) AS rnk
+          |      FROM sh JOIN q ON sh.qid = q.vec_id
+          |              JOIN b c ON sh.nid = c.vec_id)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private def hierInt8Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT r.vec_id, r.v, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |qz AS (SELECT vec_id, cid,
+          |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+          |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
+          |         END AS qv
+          |       FROM (SELECT vec_id, cid, v,
+          |               list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+          |                 (acc, x) -> greatest(acc, x)) AS amax
+          |             FROM asn)),
+          |n AS (SELECT vec_id, cid, qv,
+          |        sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
+          |sc AS (SELECT prb.qid, a.vec_id AS nid,
+          |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
+          |       FROM prb JOIN n a ON prb.cid = a.cid
+          |                JOIN n qq ON qq.vec_id = prb.qid
+          |       WHERE prb.qid <> a.vec_id),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // Exact dedup by content key over a simulated re-crawl (corpus ∪ copy
@@ -1213,57 +1397,7 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      Some("""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
-                        v AS cv, list_dot_product(v, v) AS cnorm
-                 FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-                       FROM e ORDER BY hk, vec_id LIMIT 8)),
-        asn AS (SELECT vec_id, cid FROM (
-                  SELECT e.vec_id, cent.cid,
-                         row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
-                                    cent.cid) AS rn
-                  FROM e, cent) WHERE rn = 1),
-        prbI AS (SELECT qid, cid FROM (
-                  SELECT q.vec_id AS qid, cent.cid,
-                         row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
-                                    cent.cid) AS rn
-                  FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
-        p AS (SELECT vec_id, v,
-                list_transform(range(0, 16), j ->
-                  list_dot_product(v, list_transform(range(0, 64), i ->
-                    CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
-                         THEN CAST(1.0 AS DOUBLE)
-                         ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
-              FROM e),
-        b AS (SELECT vec_id, v,
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  list_transform(pv, x -> CASE WHEN x > 0
-                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-                  (acc, bit) -> acc * 2 + bit) AS code,
-                sqrt(list_dot_product(v, v)) AS nrm
-              FROM p),
-        q AS (SELECT * FROM b WHERE vec_id < 10),
-        cand AS (SELECT pr.qid, a.vec_id AS nid
-                 FROM prbI pr JOIN asn a ON a.cid = pr.cid
-                 WHERE pr.qid <> a.vec_id),
-        sh AS (SELECT qid, nid FROM (
-                 SELECT c0.qid, c0.nid,
-                        row_number() OVER (PARTITION BY c0.qid
-                          ORDER BY bit_count(xor(q.code, cb.code)) ASC,
-                                   c0.nid) AS srn
-                 FROM cand c0 JOIN q ON q.vec_id = c0.qid
-                              JOIN b cb ON cb.vec_id = c0.nid)
-               WHERE srn <= 20),
-        r AS (SELECT qid, nid,
-                row_number() OVER (PARTITION BY qid
-                  ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
-                    DESC, nid) AS rnk
-              FROM sh JOIN q ON sh.qid = q.vec_id
-                      JOIN b c ON sh.nid = c.vec_id)
-        SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")),
+      Some(ivfBinaryOracle)),
 
     // Hier-assigned IVFADC — the full FAISS lattice closed: d35's
     // residual-PQ machinery over d32's two-level coarse quantizer (the
@@ -1419,74 +1553,7 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      Some(
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
-          |                v AS cv, list_dot_product(v, v) AS cnorm
-          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
-          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
-          |               cv AS sv, list_dot_product(cv, cv) AS snorm
-          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
-          |              FROM cent ORDER BY hk, cid LIMIT 4)),
-          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
-          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
-          |                  row_number() OVER (PARTITION BY cent.cid
-          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
-          |                             sup.sid) AS rn
-          |           FROM cent, sup) WHERE rn = 1),
-          |rsup AS (SELECT vec_id, v, sid FROM (
-          |           SELECT e.vec_id, e.v, sup.sid,
-          |                  row_number() OVER (PARTITION BY e.vec_id
-          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
-          |                             sup.sid) AS rn
-          |           FROM e, sup) WHERE rn <= 2),
-          |asn AS (SELECT vec_id, cid FROM (
-          |          SELECT r.vec_id, l.cid,
-          |                 row_number() OVER (PARTITION BY r.vec_id
-          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
-          |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
-          |prb AS (SELECT qid, cid FROM (
-          |          SELECT r.vec_id AS qid, l.cid,
-          |                 row_number() OVER (PARTITION BY r.vec_id
-          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
-          |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
-          |          WHERE r.vec_id < 10) WHERE rn <= 2),
-          |p AS (SELECT vec_id, v,
-          |        list_transform(range(0, 16), j ->
-          |          list_dot_product(v, list_transform(range(0, 64), i ->
-          |            CASE WHEN (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
-          |                 THEN CAST(1.0 AS DOUBLE)
-          |                 ELSE CAST(-1.0 AS DOUBLE) END))) AS pv
-          |      FROM e),
-          |b AS (SELECT vec_id, v,
-          |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |          list_transform(pv, x -> CASE WHEN x > 0
-          |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-          |          (acc, bit) -> acc * 2 + bit) AS code,
-          |        sqrt(list_dot_product(v, v)) AS nrm
-          |      FROM p),
-          |q AS (SELECT * FROM b WHERE vec_id < 10),
-          |cand AS (SELECT pr.qid, a.vec_id AS nid
-          |         FROM prb pr JOIN asn a ON a.cid = pr.cid
-          |         WHERE pr.qid <> a.vec_id),
-          |sh AS (SELECT qid, nid FROM (
-          |         SELECT c0.qid, c0.nid,
-          |                row_number() OVER (PARTITION BY c0.qid
-          |                  ORDER BY bit_count(xor(q.code, cb.code)) ASC,
-          |                           c0.nid) AS srn
-          |         FROM cand c0 JOIN q ON q.vec_id = c0.qid
-          |                      JOIN b cb ON cb.vec_id = c0.nid)
-          |       WHERE srn <= 20),
-          |r AS (SELECT qid, nid,
-          |        row_number() OVER (PARTITION BY qid
-          |          ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
-          |            DESC, nid) AS rnk
-          |      FROM sh JOIN q ON sh.qid = q.vec_id
-          |              JOIN b c ON sh.nid = c.vec_id)
-          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(hierBinaryOracle)),
 
     // Hier-assigned int8 search — Quantize.hierTopK's oracle gate. This
     // is THE measured 100 TB mutual-NN configuration (the r14/r15 probes
@@ -1511,60 +1578,89 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      Some(
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
-          |                v AS cv, list_dot_product(v, v) AS cnorm
-          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
-          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
-          |               cv AS sv, list_dot_product(cv, cv) AS snorm
-          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
-          |              FROM cent ORDER BY hk, cid LIMIT 4)),
-          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
-          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
-          |                  row_number() OVER (PARTITION BY cent.cid
-          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
-          |                             sup.sid) AS rn
-          |           FROM cent, sup) WHERE rn = 1),
-          |rsup AS (SELECT vec_id, v, sid FROM (
-          |           SELECT e.vec_id, e.v, sup.sid,
-          |                  row_number() OVER (PARTITION BY e.vec_id
-          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
-          |                             sup.sid) AS rn
-          |           FROM e, sup) WHERE rn <= 2),
-          |asn AS (SELECT vec_id, v, cid FROM (
-          |          SELECT r.vec_id, r.v, l.cid,
-          |                 row_number() OVER (PARTITION BY r.vec_id
-          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
-          |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
-          |prb AS (SELECT qid, cid FROM (
-          |          SELECT r.vec_id AS qid, l.cid,
-          |                 row_number() OVER (PARTITION BY r.vec_id
-          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
-          |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
-          |          WHERE r.vec_id < 10) WHERE rn <= 2),
-          |qz AS (SELECT vec_id, cid,
-          |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
-          |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
-          |         END AS qv
-          |       FROM (SELECT vec_id, cid, v,
-          |               list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
-          |                 (acc, x) -> greatest(acc, x)) AS amax
-          |             FROM asn)),
-          |n AS (SELECT vec_id, cid, qv,
-          |        sqrt(list_dot_product(qv, qv)) AS nrm FROM qz),
-          |sc AS (SELECT prb.qid, a.vec_id AS nid,
-          |         list_dot_product(qq.qv, a.qv) / (qq.nrm * a.nrm) AS sim
-          |       FROM prb JOIN n a ON prb.cid = a.cid
-          |                JOIN n qq ON qq.vec_id = prb.qid
-          |       WHERE prb.qid <> a.vec_id),
-          |r AS (SELECT qid, nid,
-          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
-          |      FROM sc)
-          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(hierInt8Oracle)),
+
+    // d40 through STORAGE — the measured 100 TB configuration finally
+    // has its on-disk twin (the r16 verdict's top storage gap): the
+    // hier-assigned corpus persists through writeIvfQuantized (leaf cids
+    // ARE flat cids, so the cid-partitioned array<tinyint> layout
+    // applies verbatim), and searchIvfQuantizedHier reads back ONLY the
+    // two-stage-probed cells (partition-pruned). Lossless round-trip ⇒
+    // oracle = d40's verbatim (the d16-reuses-d11 discipline).
+    GateQuery(
+      "d41_ann_int8_hier_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d41_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Quantize.writeIvfQuantized(assigned, path)
+        graft.similarity.Quantize.searchIvfQuantizedHier(path,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding", h,
+            k = 5, wprobe = 2, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(hierInt8Oracle)),
+
+    // d37 through STORAGE — the packed binary codes get the on-disk
+    // layout their scaladoc argues from: writeIvfBinary persists
+    // (id, cid, code BINARY of ⌈bits/8⌉ bytes) partitioned by cell id,
+    // searchIvfBinary partition-prunes to the probed cells and decodes
+    // the bytes back to the exact PackBits words (lossless). Oracle =
+    // d37's verbatim.
+    GateQuery(
+      "d42_ann_ivf_binary_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", ivf)
+        val enc = graft.similarity.BinaryQuant.encode(
+          assigned, "id", "vec", dim = 64, bits = 16)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d42_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.BinaryQuant.writeIvfBinary(enc, path, bits = 16)
+        graft.similarity.BinaryQuant.searchIvfBinary(path, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", ivf,
+          dim = 64, bits = 16, k = 5, nprobe = 2, shortlist = 20)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfBinaryOracle)),
+
+    // d39 through STORAGE — the hier coarse quantizer over the stored
+    // binary codes, completing the stored × {flat, hier} × {int8,
+    // binary} matrix: the same writeIvfBinary layout (leaf cids are
+    // flat cids), probed via the compiled two-stage rank. Oracle =
+    // d39's verbatim.
+    GateQuery(
+      "d43_ann_binary_hier_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        val enc = graft.similarity.BinaryQuant.encode(
+          assigned, "id", "vec", dim = 64, bits = 16)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d43_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.BinaryQuant.writeIvfBinary(enc, path, bits = 16)
+        graft.similarity.BinaryQuant.searchIvfBinaryHier(path, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", h,
+          dim = 64, bits = 16, k = 5, wprobe = 2, nprobe = 2,
+          shortlist = 20)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(hierBinaryOracle)),
 
     // Language-ID heuristic: marker-stopword counts + deterministic argmax.
     GateQuery(

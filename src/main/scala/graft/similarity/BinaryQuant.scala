@@ -156,6 +156,84 @@ object BinaryQuant {
       vecCol, k, nprobe, shortlist)
   }
 
+  /** Persist an encoded assigned corpus for the at-scale binary layout:
+    * PARTITIONED BY cell id (the `Ivf.writePartitioned` discipline — one
+    * directory per cell, probed reads partition-pruned) with the code
+    * stored as BINARY of ⌈bits/8⌉ bytes per row (`WordsToCode` — full
+    * words big-endian, the last word's low bits in ⌈r/8⌉ bytes). This is
+    * the bytes-on-disk win the scaladoc above argues from: a 64-bit code
+    * occupies 8 bytes next to the id, 64× below the float64 vector it
+    * stands in for. `encodedAssigned` is `Ivf.assign`/`IvfHier.assignHier`
+    * output run through [[encode]] — (id, cid, bcode).
+    */
+  def writeIvfBinary(encodedAssigned: DataFrame, path: String,
+      bits: Int): Unit =
+    Ivf.writePartitioned(
+      encodedAssigned.select(col("id"), col("cid"),
+        graft.core.Graft.column(graft.functions.expressions.WordsToCode(
+          graft.core.Graft.expression(col("bcode")), bits)).as("code")),
+      path)
+
+  /** Search a [[writeIvfBinary]] corpus — [[searchIvfHamming]] routed
+    * through storage: probed cell ids (≤ nlist, model-bounded — not a
+    * data-sized collect) push down as a partition filter so only the
+    * probed cells' code files are read, the stored bytes decode back to
+    * the exact words `PackBits` produced (lossless by construction), and
+    * the Hamming shortlist + exact rerank are verbatim. End to end the
+    * 100 TB binary read path: nprobe/nlist of the files at bits/8 bytes
+    * per row.
+    */
+  def searchIvfBinary(path: String, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, ivf: Ivf.Model, dim: Int, bits: Int,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val spark = queries.sparkSession
+    // probe lineage evaluated twice (cid collect + the probe join in the
+    // returned plan); deliberately NOT cache()d — the second consumer
+    // executes after this method returns (the searchIvfQuantized
+    // bounded-recompute rationale).
+    val prbRaw = Ivf.probes(queries, idCol, vecCol, ivf, nprobe)
+    val probedCids = prbRaw.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val prb = encode(prbRaw, "qid", "qvec", dim, bits)
+      .select(col("qid"), col("cid"), col("bcode").as("qcode"))
+    val enc = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("id"), col("cid"),
+        graft.core.Graft.column(graft.functions.expressions.CodeToWords(
+          graft.core.Graft.expression(col("code")), bits)).as("bcode"))
+    cellHammingSearch(prb, enc, corpus, queries, idCol, vecCol, k,
+      nprobe, shortlist)
+  }
+
+  /** [[searchIvfBinary]] with the hierarchical coarse quantizer doing
+    * the cell pruning ([[searchIvfHammingHier]] through storage): leaf
+    * cids are flat cids, so the [[writeIvfBinary]] layout applies
+    * verbatim — only the probe stage changes to the compiled two-stage
+    * rank. The stored counterpart of the measured 100 TB binary
+    * configuration.
+    */
+  def searchIvfBinaryHier(path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      h: IvfHier.HierModel, dim: Int, bits: Int, k: Int, wprobe: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val spark = queries.sparkSession
+    val prbRaw = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe,
+      nprobe)
+    val probedCids = prbRaw.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val prb = encode(prbRaw, "qid", "qvec", dim, bits)
+      .select(col("qid"), col("cid"), col("bcode").as("qcode"))
+    val enc = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("id"), col("cid"),
+        graft.core.Graft.column(graft.functions.expressions.CodeToWords(
+          graft.core.Graft.expression(col("code")), bits)).as("bcode"))
+    cellHammingSearch(prb, enc, corpus, queries, idCol, vecCol, k,
+      nprobe, shortlist)
+  }
+
   /** Shared tail of the cell-pruned Hamming searches: cell join from a
     * (qid, cid, qcode) probe frame, popcount(xor) shortlist within the
     * probed cells, exact cosine rerank.

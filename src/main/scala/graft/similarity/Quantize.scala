@@ -174,4 +174,30 @@ object Quantize {
     Ivf.scoreProbedCells(qc,
       quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
+
+  /** Search a `writeIvfQuantized` corpus with the HIERARCHICAL coarse
+    * quantizer doing the cell pruning — `hierTopK` routed through
+    * storage, the stored counterpart of the measured 100 TB
+    * configuration (d40): leaf cids are flat cids, so the
+    * cid-partitioned tinyint layout applies verbatim; only the probe
+    * stage changes to the compiled two-stage rank (`IvfHier.probesHier`
+    * — nsuper + w·nlist/nsuper centroid dots per query instead of
+    * nlist). Probed cell ids (model-bounded) push down as a partition
+    * filter exactly as in `searchIvfQuantized`.
+    */
+  def searchIvfQuantizedHier(path: String, queries: DataFrame,
+      idCol: String, vecCol: String, h: IvfHier.HierModel, k: Int,
+      wprobe: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    // not cache()d — the searchIvfQuantized bounded-recompute rationale
+    val prb = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe, nprobe)
+    val probedCids = prb.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val qc = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("id"), col("cid"),
+        col("qvec").cast("array<double>").as("vec"))
+    Ivf.scoreProbedCells(qc,
+      quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
+  }
 }

@@ -181,4 +181,82 @@ class BinaryQuantSpec extends SparkSpec {
     rowsOf(hier, "qid", "rank", "nid") shouldBe
       rowsOf(flat, "qid", "rank", "nid")
   }
+
+  "WordsToCode/CodeToWords" should "round-trip packed codes at ceil(bits/8) bytes" in {
+    // the on-disk layout contract: full words big-endian in 4 bytes, the
+    // last word's low r bits in ceil(r/8) bytes — exercised across word
+    // boundaries (multi-word, partial last word, sub-byte code)
+    import graft.functions.expressions.{CodeToWords, WordsToCode}
+    for (bits <- Seq(1, 7, 8, 16, 32, 33, 40, 64)) {
+      val dim = math.max(bits, 16)
+      val rng = new scala.util.Random(bits)
+      val df = (0 until 10).map { i =>
+        (i.toLong, Array.fill(dim)(rng.nextFloat() * 2f - 1f))
+      }.toDF("vec_id", "embedding")
+      val enc = BinaryQuant.encode(df, "vec_id", "embedding", dim, bits)
+      val rt = enc.select($"vec_id", $"bcode",
+        graft.core.Graft.column(WordsToCode(
+          graft.core.Graft.expression($"bcode"), bits)).as("code"))
+        .select($"vec_id", $"bcode", $"code",
+          graft.core.Graft.column(CodeToWords(
+            graft.core.Graft.expression($"code"), bits)).as("back"))
+      rt.collect().foreach { r =>
+        r.getAs[Array[Byte]]("code").length shouldBe (bits + 7) / 8
+        r.getSeq[Long](r.fieldIndex("back")) shouldBe
+          r.getSeq[Long](r.fieldIndex("bcode"))
+      }
+    }
+  }
+
+  "searchIvfBinary" should "serve cid-partitioned binary storage identically to the in-memory path" in {
+    // the 100 TB binary read path: BINARY codes of bits/8 bytes in a
+    // cid-partitioned store → partition-pruned scan → lossless decode →
+    // identical shortlist + rerank (the QuantizeSpec d16 pattern)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bin").toString
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val enc = BinaryQuant.encode(assigned, "id", "vec",
+      dim = 16, bits = 16)
+    BinaryQuant.writeIvfBinary(enc, dir, bits = 16)
+    // codes really are 2-byte BINARY on disk
+    val onDisk = spark.read.parquet(dir)
+    onDisk.schema("code").dataType.simpleString shouldBe "binary"
+    onDisk.select(expr("max(length(code))")).head().getInt(0) shouldBe 2
+    val stored = BinaryQuant.searchIvfBinary(dir, corpus, q, "vec_id",
+      "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 2,
+      shortlist = 10)
+    val mem = BinaryQuant.searchIvfHamming(enc, corpus, q, "vec_id",
+      "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 2,
+      shortlist = 10)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    // and the scan is partition-pruned on the probed cells
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
+      .findFirstIn(planStr) should not be empty
+  }
+
+  "searchIvfBinaryHier" should "serve the stored hier path identically to searchIvfHammingHier" in {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bin_h").toString
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val h = graft.similarity.IvfHier.hierarchy(ivf, nsuper = 2)
+    val assignedH = graft.similarity.IvfHier.assignHier(
+      corpus, "vec_id", "embedding", h, wassign = 1)
+    val encH = BinaryQuant.encode(assignedH, "id", "vec",
+      dim = 16, bits = 16)
+    BinaryQuant.writeIvfBinary(encH, dir, bits = 16)
+    val stored = BinaryQuant.searchIvfBinaryHier(dir, corpus, q,
+      "vec_id", "embedding", h, dim = 16, bits = 16, k = 5, wprobe = 1,
+      nprobe = 2, shortlist = 10)
+    val mem = BinaryQuant.searchIvfHammingHier(encH, corpus, q,
+      "vec_id", "embedding", h, dim = 16, bits = 16, k = 5, wprobe = 1,
+      nprobe = 2, shortlist = 10)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+  }
 }

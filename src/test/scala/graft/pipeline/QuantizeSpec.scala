@@ -130,4 +130,28 @@ class QuantizeSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     rows(hier) shouldBe rows(flat)
   }
+
+  it should "serve hier-probed int8 storage identically to hierTopK with a pruned scan" in {
+    // the d41 contract: the hier-assigned corpus goes through the SAME
+    // cid-partitioned tinyint layout as the flat path (leaf cids are
+    // flat cids), and the two-stage-probed cells push down as a
+    // partition filter — the measured 100 TB configuration's read path
+    val dir = java.nio.file.Files.createTempDirectory("ivf_int8_h").toString
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 2)
+    val assignedH = graft.similarity.IvfHier.assignHier(
+      corpus, "vec_id", "embedding", h, wassign = 1)
+    Quantize.writeIvfQuantized(assignedH, dir)
+    val stored = Quantize.searchIvfQuantizedHier(dir, queries,
+      "vec_id", "embedding", h, k = 10, wprobe = 1, nprobe = 2)
+    val mem = Quantize.hierTopK(assignedH, queries,
+      "vec_id", "embedding", h, k = 10, wprobe = 1, nprobe = 2)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
+      .findFirstIn(planStr) should not be empty
+  }
 }
