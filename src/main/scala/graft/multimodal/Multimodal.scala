@@ -275,6 +275,118 @@ object Multimodal {
     out
   }
 
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+
+  /** WebP: RIFF-framed ("RIFF"[size]"WEBP" — the [[wavMeta]] chunk walk
+    * with a different form type), dimensions in one of three chunk
+    * variants, all located by the walk:
+    *  - "VP8 " (lossy): a key frame's 3-byte frame tag (keyframe bit 0
+    *    clear) then start code 9D 01 2A, then width/height as u16LE with
+    *    the low 14 bits the dimension (upper 2 bits are scaling hints);
+    *  - "VP8L" (lossless): signature byte 0x2F, then a 32-bit LE field
+    *    packing width−1 in bits 0–13 and height−1 in bits 14–27;
+    *  - "VP8X" (extended): 4 flag/reserved bytes, then canvas width−1
+    *    and height−1 as u24LE.
+    * None for non-WebP bytes, truncation mid-chunk, a malformed frame
+    * tag/signature, or no dimension-bearing chunk.
+    */
+  def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 12 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+      return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      val p = i + 8
+      if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
+        b(i + 3) == ' ') {
+        // key frame: frame-tag bit 0 clear, start code 9D 01 2A
+        return if (size >= 10 && p + 10 <= b.length &&
+          (u8(b, p) & 1) == 0 && u8(b, p + 3) == 0x9d &&
+          u8(b, p + 4) == 0x01 && u8(b, p + 5) == 0x2a)
+          Some((le16(b, p + 6) & 0x3fff, le16(b, p + 8) & 0x3fff))
+        else None
+      } else if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
+        b(i + 3) == 'L') {
+        return if (size >= 5 && p + 5 <= b.length && u8(b, p) == 0x2f) {
+          val bits = le32(b, p + 1)
+          Some((1 + (bits & 0x3fff).toInt,
+            1 + ((bits >> 14) & 0x3fff).toInt))
+        } else None
+      } else if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
+        b(i + 3) == 'X') {
+        return if (size >= 10 && p + 10 <= b.length)
+          Some((1 + le24(b, p + 4), 1 + le24(b, p + 7)))
+        else None
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size % 2).toInt
+    }
+    None
+  }
+
+  /** Minimal WebP blob in any of the three dimension-bearing variants
+    * ("vp8", "vp8l", "vp8x"). Synthesis twin of [[webpDims]]: real RIFF
+    * framing and real chunk bitstream headers, no pixel payload (the
+    * metadata pass never reads samples). Dimensions cap at the
+    * bitstream's own limits (14-bit for vp8/vp8l, 24-bit canvas for
+    * vp8x).
+    */
+  def synthWebp(width: Int, height: Int, variant: String): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"dims >= 1: $width x $height")
+    def w32(out: Array[Byte], i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val payload: Array[Byte] = variant match {
+      case "vp8" =>
+        require(width < (1 << 14) && height < (1 << 14),
+          s"vp8 dims are 14-bit: $width x $height")
+        val p = new Array[Byte](10)
+        // 3-byte frame tag: keyframe (bit 0 clear), all else zero
+        p(3) = 0x9d.toByte; p(4) = 0x01; p(5) = 0x2a
+        p(6) = (width & 0xff).toByte; p(7) = ((width >> 8) & 0xff).toByte
+        p(8) = (height & 0xff).toByte; p(9) = ((height >> 8) & 0xff).toByte
+        p
+      case "vp8l" =>
+        require(width <= (1 << 14) && height <= (1 << 14),
+          s"vp8l dims are 14-bit + 1: $width x $height")
+        val p = new Array[Byte](5)
+        p(0) = 0x2f
+        w32(p, 1, ((width - 1).toLong & 0x3fff) |
+          (((height - 1).toLong & 0x3fff) << 14))
+        p
+      case "vp8x" =>
+        require(width <= (1 << 24) && height <= (1 << 24),
+          s"vp8x canvas is 24-bit + 1: $width x $height")
+        val p = new Array[Byte](10)
+        val w = width - 1
+        val h = height - 1
+        p(4) = (w & 0xff).toByte; p(5) = ((w >> 8) & 0xff).toByte
+        p(6) = ((w >> 16) & 0xff).toByte
+        p(7) = (h & 0xff).toByte; p(8) = ((h >> 8) & 0xff).toByte
+        p(9) = ((h >> 16) & 0xff).toByte
+        p
+      case other => throw new IllegalArgumentException(
+        s"unknown WebP variant: $other (vp8 | vp8l | vp8x)")
+    }
+    val fourcc = variant match {
+      case "vp8" => "VP8 "; case "vp8l" => "VP8L"; case _ => "VP8X"
+    }
+    val pad = payload.length % 2
+    val out = new Array[Byte](12 + 8 + payload.length + pad)
+    "RIFF".getBytes.copyToArray(out, 0)
+    w32(out, 4, 4L + 8L + payload.length + pad)
+    "WEBP".getBytes.copyToArray(out, 8)
+    fourcc.getBytes.copyToArray(out, 12)
+    w32(out, 16, payload.length.toLong)
+    payload.copyToArray(out, 20)
+    out
+  }
+
   /** Parsed MP4/ISO-BMFF movie metadata. durationMs is exact integral
     * duration·1000 div timescale (the mvhd units contract).
     */
@@ -483,6 +595,9 @@ object Multimodal {
     else if (b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') "webp"
     else if (b.length >= 8 &&
       b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
@@ -501,7 +616,8 @@ object Multimodal {
   def decodeDims(bytes: Array[Byte]): (Int, Int) = {
     if (bytes == null || bytes.isEmpty) return (0, 0)
     pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
-      .orElse(bmpDims(bytes)).orElse(tiffDims(bytes)).getOrElse {
+      .orElse(bmpDims(bytes)).orElse(tiffDims(bytes))
+      .orElse(webpDims(bytes)).getOrElse {
       var h = 0L
       var i = 0
       while (i < math.min(bytes.length, 256)) {
@@ -547,6 +663,7 @@ object Multimodal {
     case "mp4"  => "video/mp4"
     case "bmp"  => "image/bmp"
     case "tiff" => "image/tiff"
+    case "webp" => "image/webp"
     case _      => "application/octet-stream"
   }
 

@@ -4090,6 +4090,51 @@ object PipelineQueries {
           CAST(16 + doc_id % 480 AS INT) AS height
         FROM documents ORDER BY asset_id""")),
 
+    // WebP dimension decode through real container bytes — the last
+    // ubiquitous image container after m01/m04 (real multimodal crawls
+    // are WebP-heavy). RIFF-framed (the wavMeta chunk walk with form
+    // type WEBP); doc_id % 3 picks the dimension-bearing chunk variant:
+    // lossy VP8 key-frame header (14-bit LE dims after the 9D 01 2A
+    // start code), lossless VP8L (width-1/height-1 packed in a 32-bit
+    // LE field), extended VP8X (24-bit LE canvas-1). decodeDims routes
+    // by magic bytes, as m04.
+    GateQuery(
+      "m05_webp_dims",
+      (s, dir) => {
+        import s.implicits._
+        val assets = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = 16 + (nc % 640).toInt
+            val h = 16 + (id % 480).toInt
+            val variant = (id % 3) match {
+              case 0 => "vp8"
+              case 1 => "vp8l"
+              case _ => "vp8x"
+            }
+            val bytes = graft.multimodal.Multimodal.synthWebp(w, h, variant)
+            (id, variant, bytes,
+              graft.multimodal.Multimodal.sniffFormat(bytes))
+          }
+          .toDF("asset_id", "variant", "media", "sniffed")
+        val dims = assets.as[(Long, String, Array[Byte], String)]
+          .map { case (id, variant, bytes, sniffed) =>
+            val (w, h) = graft.multimodal.Multimodal.decodeDims(bytes)
+            (id, variant, sniffed, w, h)
+          }
+          .toDF("asset_id", "variant", "sniffed", "width", "height")
+        dims.orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+            ELSE 'vp8x' END AS variant,
+          'webp' AS sniffed,
+          CAST(16 + n_chars % 640 AS INT) AS width,
+          CAST(16 + doc_id % 480 AS INT) AS height
+        FROM documents ORDER BY asset_id""")),
+
     // NDCG@10 of the token-count ranking against n_chars-derived grades,
     // per source: the graded position-weighted eval closing the metric
     // family (AUC/AP = binary order, recall@k = set overlap). The

@@ -272,4 +272,37 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.tiffDims(Multimodal.synthTiff(10, 10, true).take(9))
       .shouldBe(None)
   }
+
+  it should "round-trip WebP dims through all three chunk variants" in {
+    for (variant <- Seq("vp8", "vp8l", "vp8x")) {
+      val b = Multimodal.synthWebp(640, 480, variant)
+      Multimodal.webpDims(b) shouldBe Some((640, 480))
+      Multimodal.sniffFormat(b) shouldBe "webp"
+      Multimodal.decodeDims(b) shouldBe ((640, 480))
+    }
+    // 1x1 and the 14-bit edge both survive the bit packing
+    Multimodal.webpDims(Multimodal.synthWebp(1, 1, "vp8l")) shouldBe
+      Some((1, 1))
+    Multimodal.webpDims(Multimodal.synthWebp(16383, 16383, "vp8")) shouldBe
+      Some((16383, 16383))
+    Multimodal.webpDims(Multimodal.synthWebp(16384, 16384, "vp8l")) shouldBe
+      Some((16384, 16384))
+  }
+
+  it should "reject truncated, desynced, or non-key-frame WebP bytes" in {
+    val vp8 = Multimodal.synthWebp(64, 64, "vp8")
+    // truncation anywhere in the chunk walk → None, never a throw
+    for (n <- Seq(4, 11, 15, 21, vp8.length - 1))
+      Multimodal.webpDims(vp8.take(n)) shouldBe None
+    // WAV is RIFF too — form type must disambiguate
+    Multimodal.webpDims(Multimodal.synthWav(2, 44100, 16, 100)) shouldBe None
+    Multimodal.sniffFormat(vp8) should not be "wav"
+    // interframe (frame-tag keyframe bit set) carries no dimensions
+    val inter = vp8.clone(); inter(20) = (inter(20) | 1).toByte
+    Multimodal.webpDims(inter) shouldBe None
+    // corrupt VP8L signature byte
+    val vp8l = Multimodal.synthWebp(64, 64, "vp8l")
+    vp8l(20) = 0x2e
+    Multimodal.webpDims(vp8l) shouldBe None
+  }
 }
