@@ -1,10 +1,11 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingles of a token array — the corpus-scale dedup
@@ -109,4 +110,77 @@ case class Shingles(child: Expression, n: Int, sliding: Boolean,
       : Shingles = copy(child = newChild)
 
   override def prettyName: String = "graft_shingles"
+}
+
+/** Adjacent token pairs as structs — `zip_with(slice(t, 1, n−1),
+  * slice(t, 2, n−1), (a, b) -> struct(a AS prev, b AS term))` as ONE
+  * compiled call per row. The [[Shingles]] motivation for the bigram-LM
+  * family's map stage (t33 nominated by the r17 32× probe: the HOF
+  * form paid two interpreted slices, a zip_with lambda per pair, and a
+  * boxed struct per element): pairs are emitted once, no intermediate
+  * slice arrays, inside whole-stage codegen.
+  *
+  * Semantics are EXACTLY the HOF form's on null-free token arrays:
+  * len < 2 → empty array (both slices are empty). Null input → null;
+  * a null token element → null (the HOF form would emit a struct with
+  * a null field instead — out-of-contract: `tokens()` never yields
+  * null elements).
+  */
+case class BigramPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("prev", StringType, nullable = false),
+    StructField("term", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+    }
+
+  /** Instance entry point shared by eval and generated code. */
+  def pairs(toks: ArrayData): GenericArrayData = {
+    val len = toks.numElements()
+    if (len < 2)
+      return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](len - 1)
+    var prev: UTF8String = if (toks.isNullAt(0)) return null
+      else toks.getUTF8String(0)
+    var i = 1
+    while (i < len) {
+      if (toks.isNullAt(i)) return null
+      val cur = toks.getUTF8String(i)
+      out(i - 1) = new GenericInternalRow(
+        Array[Any](prev, cur)): InternalRow
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramPairs", this,
+      classOf[BigramPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pairResult")
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+         |  $ref.pairs($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BigramPairs = copy(child = newChild)
+
+  override def prettyName: String = "graft_bigram_pairs"
 }

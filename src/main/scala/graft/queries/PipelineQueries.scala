@@ -1607,6 +1607,37 @@ object PipelineQueries {
       },
       Some(hierInt8Oracle)),
 
+    // INCREMENTAL INGESTION into the d16 store — the batched-write half
+    // of the 100 TB layout: the corpus lands in two batches (overwrite,
+    // then appendIvfQuantized), each assigned against the FROZEN
+    // centroid model and quantized per-vector (amax is per-row, so
+    // batching cannot change any stored byte). The search reads the
+    // union through the same partition-pruned path; oracle = d16's =
+    // d11's verbatim — batch boundaries must be invisible.
+    GateQuery(
+      "d44_ann_stored_append",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d44_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        // overwrite clears any previous run's files; the append is then
+        // deterministic (exactly two batches in the final store)
+        graft.similarity.Quantize.writeIvfQuantized(
+          assigned.filter(col("id") % 2 === 0), path)
+        graft.similarity.Quantize.appendIvfQuantized(
+          assigned.filter(col("id") % 2 =!= 0), path)
+        graft.similarity.Quantize.searchIvfQuantized(path,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracle)),
+
     // d37 through STORAGE — the packed binary codes get the on-disk
     // layout their scaladoc argues from: writeIvfBinary persists
     // (id, cid, code BINARY of ⌈bits/8⌉ bytes) partitioned by cell id,

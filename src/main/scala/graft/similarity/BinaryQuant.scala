@@ -168,11 +168,22 @@ object BinaryQuant {
     */
   def writeIvfBinary(encodedAssigned: DataFrame, path: String,
       bits: Int): Unit =
-    Ivf.writePartitioned(
-      encodedAssigned.select(col("id"), col("cid"),
-        graft.core.Graft.column(graft.functions.expressions.WordsToCode(
-          graft.core.Graft.expression(col("bcode")), bits)).as("code")),
-      path)
+    Ivf.writePartitioned(binaryStorageRows(encodedAssigned, bits), path)
+
+  /** Append an encoded batch into an existing [[writeIvfBinary]] store
+    * (`Ivf.appendPartitioned` — the d44 incremental-ingestion
+    * discipline on the binary arm: codes are per-row functions of the
+    * frozen hyperplanes, so batching cannot change any stored byte).
+    */
+  def appendIvfBinary(encodedBatch: DataFrame, path: String,
+      bits: Int): Unit =
+    Ivf.appendPartitioned(binaryStorageRows(encodedBatch, bits), path)
+
+  private def binaryStorageRows(encodedAssigned: DataFrame,
+      bits: Int): DataFrame =
+    encodedAssigned.select(col("id"), col("cid"),
+      graft.core.Graft.column(graft.functions.expressions.WordsToCode(
+        graft.core.Graft.expression(col("bcode")), bits)).as("code"))
 
   /** Search a [[writeIvfBinary]] corpus — [[searchIvfHamming]] routed
     * through storage: probed cell ids (≤ nlist, model-bounded — not a

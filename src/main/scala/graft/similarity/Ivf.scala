@@ -196,6 +196,19 @@ object Ivf {
   def writePartitioned(assignedCorpus: DataFrame, path: String): Unit =
     assignedCorpus.write.partitionBy("cid").mode("overwrite").parquet(path)
 
+  /** Append an assigned batch into an existing `writePartitioned` store —
+    * the incremental-ingestion half of the 100 TB layout: new rows assign
+    * against the FROZEN centroid model (the index is shared; re-training
+    * would move cell boundaries under existing files) and land as new
+    * files inside their cells' directories. Readers are unchanged —
+    * partition pruning sees one directory per cell regardless of how
+    * many ingestion batches populated it. Compaction of many small batch
+    * files is an offline file-level concern (rewrite a cell directory),
+    * not a query-path one.
+    */
+  def appendPartitioned(assignedBatch: DataFrame, path: String): Unit =
+    assignedBatch.write.partitionBy("cid").mode("append").parquet(path)
+
   /** Search a `writePartitioned` corpus: the probed cell ids (≤ nlist
     * values — bounded and tiny by construction, this is NOT a data-sized
     * collect) come back to the driver and are pushed as a partition

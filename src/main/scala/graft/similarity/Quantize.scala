@@ -144,12 +144,28 @@ object Quantize {
     * (x ≈ q·amax/127).
     */
   def writeIvfQuantized(assignedCorpus: DataFrame, path: String): Unit =
-    Ivf.writePartitioned(
-      assignedCorpus
-        .withColumn("__qz", quantized(col("vec").cast("array<double>")))
-        .select(col("id"), col("cid"), col("__qz.amax").as("amax"),
-          col("__qz.qvec").cast("array<tinyint>").as("qvec")),
-      path)
+    Ivf.writePartitioned(quantizedStorageRows(assignedCorpus), path)
+
+  /** Append an assigned batch into an existing `writeIvfQuantized` store
+    * (`Ivf.appendPartitioned` — the incremental-ingestion discipline:
+    * the batch assigns against the FROZEN centroid model, quantizes
+    * per-vector exactly as the initial write did, and lands as new
+    * files inside its cells' directories; `searchIvfQuantized{,Hier}`
+    * read the union unchanged).
+    */
+  def appendIvfQuantized(assignedBatch: DataFrame, path: String): Unit =
+    Ivf.appendPartitioned(quantizedStorageRows(assignedBatch), path)
+
+  /** The storage projection shared by write and append — per-vector
+    * quantization CANNOT depend on which batch a row arrived in (amax
+    * is per-row), which is what makes batched ingestion byte-identical
+    * to a one-shot write.
+    */
+  private def quantizedStorageRows(assignedCorpus: DataFrame): DataFrame =
+    assignedCorpus
+      .withColumn("__qz", quantized(col("vec").cast("array<double>")))
+      .select(col("id"), col("cid"), col("__qz.amax").as("amax"),
+        col("__qz.qvec").cast("array<tinyint>").as("qvec"))
 
   /** Search a `writeIvfQuantized` corpus: probed cell ids (≤ nlist, tiny)
     * push down as a partition filter — only the probed cells' int8 files

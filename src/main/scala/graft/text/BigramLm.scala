@@ -48,12 +48,14 @@ object BigramLm {
     val uni = occ.groupBy("term").agg(count(lit(1)).as("cu"))
     val stats = uni.agg(sum("cu").as("n_total"), count(lit(1)).as("v_size"))
 
-    // map-side bigrams: two shifted slices zipped — no self-join
-    val nm1 = size(col("t")) - 1
+    // map-side bigrams — no self-join, and since r17 ONE compiled call
+    // per row (`BigramPairs`; the 32× probe nominated the HOF
+    // zip_with-of-shifted-slices form: two interpreted slices + a
+    // lambda per pair + a boxed struct per element on the corpus path)
     val bg = toks
-      .select(col("id"), explode(zip_with(
-        slice(col("t"), lit(1), nm1), slice(col("t"), lit(2), nm1),
-        (a, b) => struct(a.as("prev"), b.as("term")))).as("p"))
+      .select(col("id"), explode(graft.core.Graft.column(
+        graft.functions.expressions.BigramPairs(
+          graft.core.Graft.expression(col("t"))))).as("p"))
       .select(col("id"), col("p.prev").as("prev"), col("p.term").as("term"))
     val bi = bg.groupBy("prev", "term").agg(count(lit(1)).as("cb"))
 

@@ -225,6 +225,13 @@ class BinaryQuantSpec extends SparkSpec {
     val onDisk = spark.read.parquet(dir)
     onDisk.schema("code").dataType.simpleString shouldBe "binary"
     onDisk.select(expr("max(length(code))")).head().getInt(0) shouldBe 2
+    // batched ingestion (the d44 discipline on the binary arm): rewrite
+    // the store in two batches — codes are per-row, so the stored bytes
+    // must be batch-invariant
+    BinaryQuant.writeIvfBinary(enc.filter($"id" % 2 === 0), dir, bits = 16)
+    BinaryQuant.appendIvfBinary(enc.filter($"id" % 2 =!= 0), dir, bits = 16)
+    rowsOf(spark.read.parquet(dir), "id", "cid") shouldBe
+      rowsOf(enc.select("id", "cid"), "id", "cid")
     val stored = BinaryQuant.searchIvfBinary(dir, corpus, q, "vec_id",
       "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 2,
       shortlist = 10)

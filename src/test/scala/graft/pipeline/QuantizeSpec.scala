@@ -154,4 +154,31 @@ class QuantizeSpec extends SparkSpec {
     "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
       .findFirstIn(planStr) should not be empty
   }
+
+  it should "serve a batched-append store identically to a one-shot write" in {
+    // incremental ingestion: three batches against the frozen model must
+    // produce a store the search cannot distinguish from one write —
+    // per-vector quantization (amax per row) is what makes the stored
+    // bytes batch-invariant
+    val oneShot = java.nio.file.Files.createTempDirectory("ivf_one").toString
+    val batched = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val queries = corpus.filter($"vec_id" < 8)
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    Quantize.writeIvfQuantized(assigned, oneShot)
+    Quantize.writeIvfQuantized(assigned.filter($"id" % 3 === 0), batched)
+    Quantize.appendIvfQuantized(assigned.filter($"id" % 3 === 1), batched)
+    Quantize.appendIvfQuantized(assigned.filter($"id" % 3 === 2), batched)
+    // same stored rows cell for cell...
+    rowsOf(spark.read.parquet(batched), "id", "cid", "amax") shouldBe
+      rowsOf(spark.read.parquet(oneShot), "id", "cid", "amax")
+    // ...and rank-identical search results
+    val a = Quantize.searchIvfQuantized(batched, queries,
+      "vec_id", "embedding", model, k = 10, nprobe = 2)
+    val b = Quantize.searchIvfQuantized(oneShot, queries,
+      "vec_id", "embedding", model, k = 10, nprobe = 2)
+    rowsOf(a, "qid", "rank", "nid") shouldBe rowsOf(b, "qid", "rank", "nid")
+  }
 }

@@ -80,4 +80,36 @@ class ShinglesSpec extends SparkSpec {
         .shingleSetFromTokens($"toks", 2).as("d"))
       .as[Seq[String]].head() shouldBe Seq("x y", "y x")
   }
+
+  "BigramPairs" should "match the HOF zip_with-of-slices form bitwise" in {
+    // the exact pre-r17 BigramLm formulation, verbatim
+    def hofPairs(toks: Column): Column = {
+      val nm1 = org.apache.spark.sql.functions.size(toks) - 1
+      zip_with(slice(toks, lit(1), nm1), slice(toks, lit(2), nm1),
+        (a, b) => struct(a.as("prev"), b.as("term")))
+    }
+    def compiled(toks: Column): Column =
+      graft.core.Graft.column(graft.functions.expressions.BigramPairs(
+        graft.core.Graft.expression(toks)))
+    // BigramLm's contract filters empty token arrays BEFORE the pair
+    // stage (the HOF form throws on slice length −1 there; the compiled
+    // form is total and returns empty — strictly more defined)
+    val df = (0 until 300).map(i => (i.toLong, randTokens(12)))
+      .toDF("id", "toks")
+      .filter(org.apache.spark.sql.functions.size($"toks") > 0)
+    val got = df.select($"id", explode(compiled($"toks")).as("p"))
+      .select($"id", $"p.prev", $"p.term")
+    val want = df.select($"id", explode(hofPairs($"toks")).as("p"))
+      .select($"id", $"p.prev", $"p.term")
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
+    // short inputs → empty (both slices empty); null input → null
+    val edge = Seq((1L, Some(Seq("a"))), (2L, Some(Seq.empty[String])),
+      (3L, None)).toDF("id", "toks")
+    val rows = edge.select($"id", compiled($"toks").as("p"))
+      .orderBy("id").collect()
+    rows(0).getSeq[Any](1) shouldBe Seq.empty
+    rows(1).getSeq[Any](1) shouldBe Seq.empty
+    rows(2).isNullAt(1) shouldBe true
+  }
 }
