@@ -472,6 +472,110 @@ object Multimodal {
     }
   }
 
+  /** ftyp major brands that mark a HEIF-family still image rather than
+    * a movie: AV1-coded (avif/avis) and HEVC-coded (heic/heif) plus the
+    * codec-agnostic mif1 structural brand. Dimensions for ALL of them
+    * live in the same `ispe` item property — one parser covers the two
+    * image formats displacing JPEG in modern crawls.
+    */
+  private val heifBrands = Set("avif", "avis", "heic", "heif", "mif1")
+
+  /** AVIF/HEIC (HEIF family, ISO-BMFF): dimensions live in the `ispe`
+    * (image spatial extents) item property — a fullbox of width/height
+    * u32BE — nested meta(fullbox) → iprp → ipco → ispe. The walk is
+    * [[mp4Meta]]'s box discipline (length-prefixed, located by walking,
+    * 64-bit largesize honored); the ftyp major brand must be one of
+    * [[heifBrands]]. Multiple ispe properties (thumbnails, alpha
+    * auxiliaries) are resolved by taking the LARGEST area — the primary
+    * image is the full-resolution one, and the primary-item indirection
+    * (pitm → ipma association) is deliberately out of scope for a
+    * metadata pass. None for non-BMFF bytes, a non-HEIF brand,
+    * truncation mid-walk, or a missing ispe.
+    */
+  def avifDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 16) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return None
+    def boxAt(i: Int, limit: Int): Option[(String, Int, Int)] = {
+      if (i + 8 > limit) return None
+      val size32 = be32(b, i)
+      val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+      val (pStart, boxEnd) =
+        if (size32 == 1L) {
+          if (i + 16 > limit) return None
+          (i + 16, i + be64(b, i + 8))
+        } else if (size32 == 0L) (i + 8, limit.toLong)
+        else (i + 8, i + size32)
+      if (boxEnd < pStart || boxEnd > limit) None
+      else Some((tpe, pStart, boxEnd.toInt))
+    }
+    var best: Option[(Int, Int)] = None
+    def takeIspe(p: Int, e: Int): Unit =
+      if (p + 12 <= e) {
+        val w = be32(b, p + 4).toInt
+        val h = be32(b, p + 8).toInt
+        if (w > 0 && h > 0 && best.forall { case (bw, bh) =>
+          w.toLong * h > bw.toLong * bh }) best = Some((w, h))
+      }
+    // walk children of [from, to) looking for the chain tail; `skip`
+    // counts fullbox version/flags bytes before the children start
+    def walk(from: Int, to: Int, chain: List[String]): Boolean = {
+      var j = from
+      while (j + 8 <= to) {
+        boxAt(j, to) match {
+          case None => return false // desynced / truncated
+          case Some((tpe, p, e)) =>
+            chain match {
+              case head :: rest if tpe == head =>
+                if (rest.isEmpty) takeIspe(p, e)
+                else {
+                  val skip = if (head == "meta") 4 else 0
+                  if (!walk(p + skip, e, rest)) return false
+                }
+              case _ =>
+            }
+            j = e
+        }
+      }
+      true
+    }
+    boxAt(0, b.length) match {
+      case Some(("ftyp", p, e)) if p + 4 <= e &&
+        heifBrands.contains(new String(b, p, 4, "ISO-8859-1")) =>
+        if (!walk(e, b.length, List("meta", "iprp", "ipco", "ispe")))
+          return None
+        best
+      case _ => None
+    }
+  }
+
+  /** Minimal HEIF-family blob: ftyp(brand) + meta(iprp(ipco(ispe))).
+    * Synthesis twin of [[avifDims]] (the synthMp4 convention) — real
+    * nested ISO-BMFF boxes, no coded payload.
+    */
+  def synthAvif(width: Int, height: Int,
+      brand: String = "avif"): Array[Byte] = {
+    require(heifBrands.contains(brand), s"not a HEIF brand: $brand")
+    require(width >= 1 && height >= 1, s"dims >= 1: $width x $height")
+    // sizes inside out: ispe 20, ipco 8+20, iprp 8+28, meta 12+36
+    val out = new Array[Byte](16 + 48)
+    def w32(i: Int, v: Long): Unit = {
+      out(i) = ((v >> 24) & 0xff).toByte
+      out(i + 1) = ((v >> 16) & 0xff).toByte
+      out(i + 2) = ((v >> 8) & 0xff).toByte
+      out(i + 3) = (v & 0xff).toByte
+    }
+    def wType(i: Int, t: String): Unit =
+      t.getBytes("ISO-8859-1").copyToArray(out, i)
+    w32(0, 16L); wType(4, "ftyp"); wType(8, brand); w32(12, 0L)
+    w32(16, 48L); wType(20, "meta") // fullbox: version/flags at 24
+    w32(28, 36L); wType(32, "iprp")
+    w32(36, 28L); wType(40, "ipco")
+    w32(44, 20L); wType(48, "ispe") // fullbox: version/flags at 52
+    w32(56, width.toLong); w32(60, height.toLong)
+    out
+  }
+
   /** Build a minimal valid ISO-BMFF blob — ftyp(brand) +
     * moov(mvhd v0 + nTracks empty trak boxes). The synthesis twin of
     * [[mp4Meta]] (the synthWav convention): gates and specs round-trip
@@ -598,6 +702,10 @@ object Multimodal {
     else if (b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') "webp"
+    else if (b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p' &&
+      heifBrands.contains(new String(b, 8, 4, "ISO-8859-1")))
+      (if (b(8) == 'a') "avif" else "heic")
     else if (b.length >= 8 &&
       b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
@@ -617,7 +725,7 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) return (0, 0)
     pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
       .orElse(bmpDims(bytes)).orElse(tiffDims(bytes))
-      .orElse(webpDims(bytes)).getOrElse {
+      .orElse(webpDims(bytes)).orElse(avifDims(bytes)).getOrElse {
       var h = 0L
       var i = 0
       while (i < math.min(bytes.length, 256)) {
@@ -664,6 +772,8 @@ object Multimodal {
     case "bmp"  => "image/bmp"
     case "tiff" => "image/tiff"
     case "webp" => "image/webp"
+    case "avif" => "image/avif"
+    case "heic" => "image/heic"
     case _      => "application/octet-stream"
   }
 

@@ -114,6 +114,20 @@ object PipelineQueries {
     streamDir.toString
   }
 
+  /** Recursive delete for gate-scoped temp stores whose writers are not
+    * idempotent across runs (append sinks — d45's store). No-op when the
+    * path does not exist.
+    */
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val all = java.nio.file.Files.walk(p)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+      finally all.close()
+    }
+  }
+
   /** Run a streaming frame to completion against a uniquely-named memory
     * sink and hand the materialized rows to `f`; the sink view is dropped
     * either way. Streaming gates are synchronous: file sources replay a
@@ -1631,6 +1645,44 @@ object PipelineQueries {
         graft.similarity.Quantize.appendIvfQuantized(
           assigned.filter(col("id") % 2 =!= 0), path)
         graft.similarity.Quantize.searchIvfQuantized(path,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracle)),
+
+    // CONTINUOUS ingestion into the d16 store via Structured Streaming —
+    // the streaming twin of d44: the corpus replays as a file stream in
+    // genuinely incremental micro-batches (staged as two parquet files,
+    // maxFilesPerTrigger=1), each vector cell-assigned ON the stream
+    // (stateless compiled rank, no state stores) and appended through
+    // the same per-vector quantization. Batch-invariance of the stored
+    // bytes (d44's property) means the finished store must serve d11's
+    // results exactly — oracle = d16's = d11's verbatim.
+    GateQuery(
+      "d45_stream_ann_ingest",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val tmp = sys.props("java.io.tmpdir")
+        val hex = java.lang.Integer.toHexString(dir.hashCode)
+        val store = s"$tmp/graft_d45_store_$hex"
+        val stage = s"$tmp/graft_d45_stage_$hex"
+        // the append sink is not idempotent across gate re-runs: reset
+        deleteRecursively(store)
+        // stage as TWO files so the file source forms real increments
+        e.filter(col("vec_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        e.filter(col("vec_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(stage)
+        val stream = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        val q = graft.streaming.EventStreams.ingestVectorsIvfInt8(
+          stream, "vec_id", "embedding", model, store).start()
+        try q.processAllAvailable() finally q.stop()
+        graft.similarity.Quantize.searchIvfQuantized(store,
             e.filter(col("vec_id") < 10), "vec_id", "embedding",
             model, k = 5, nprobe = 2)
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
@@ -4162,6 +4214,51 @@ object PipelineQueries {
           CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
             ELSE 'vp8x' END AS variant,
           'webp' AS sniffed,
+          CAST(16 + n_chars % 640 AS INT) AS width,
+          CAST(16 + doc_id % 480 AS INT) AS height
+        FROM documents ORDER BY asset_id""")),
+
+    // AVIF/HEIC dimension decode through real nested ISO-BMFF boxes —
+    // the HEIF still-image family displacing JPEG in modern crawls:
+    // dims live in the `ispe` item property (meta → iprp → ipco →
+    // ispe), the same walk discipline as m03's movie boxes; doc_id % 4
+    // picks the ftyp major brand (AV1- vs HEVC-coded, plus their
+    // sequence variants). decodeDims routes by the ftyp brand.
+    GateQuery(
+      "m06_avif_dims",
+      (s, dir) => {
+        import s.implicits._
+        val assets = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val w = 16 + (nc % 640).toInt
+            val h = 16 + (id % 480).toInt
+            val brand = (id % 4) match {
+              case 0 => "avif"
+              case 1 => "avis"
+              case 2 => "heic"
+              case _ => "heif"
+            }
+            val bytes = graft.multimodal.Multimodal.synthAvif(w, h, brand)
+            (id, brand, bytes,
+              graft.multimodal.Multimodal.sniffFormat(bytes))
+          }
+          .toDF("asset_id", "brand", "media", "sniffed")
+        val dims = assets.as[(Long, String, Array[Byte], String)]
+          .map { case (id, brand, bytes, sniffed) =>
+            val (w, h) = graft.multimodal.Multimodal.decodeDims(bytes)
+            (id, brand, sniffed, w, h)
+          }
+          .toDF("asset_id", "brand", "sniffed", "width", "height")
+        dims.orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE doc_id % 4 WHEN 0 THEN 'avif' WHEN 1 THEN 'avis'
+            WHEN 2 THEN 'heic' ELSE 'heif' END AS brand,
+          CASE WHEN doc_id % 4 <= 1 THEN 'avif' ELSE 'heic' END
+            AS sniffed,
           CAST(16 + n_chars % 640 AS INT) AS width,
           CAST(16 + doc_id % 480 AS INT) AS height
         FROM documents ORDER BY asset_id""")),

@@ -431,4 +431,30 @@ object EventStreams {
         sink(id,
           graft.text.Divergence.jsTokens(batch, reference, textCol).head())
     }
+
+  /** Continuous vector ingestion into the cid-partitioned int8 store —
+    * the streaming half of the 100 TB ANN layout (d16 proves the read
+    * path, d44 the batched-append write path; this drives the same
+    * appends from Structured Streaming): each arriving vector is
+    * assigned to its cell ON THE STREAM (the compiled `NearestCells`
+    * rank is a stateless map — the streaming plan carries it directly,
+    * zero state stores), and each micro-batch lands via
+    * `Quantize.appendIvfQuantized` — per-vector quantization makes the
+    * stored bytes batch-invariant, so however the source batches
+    * arrivals, the store converges to the one-shot write byte for byte.
+    * The model is FROZEN (the d44/d29 shared-index contract); re-train
+    * + re-assign is an offline rebuild, not a streaming concern.
+    *
+    * The caller starts the returned writer, picking trigger/checkpoint.
+    */
+  def ingestVectorsIvfInt8(vectors: DataFrame, idCol: String,
+      vecCol: String, model: graft.similarity.Ivf.Model, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    graft.similarity.Ivf.assign(vectors, idCol, vecCol, model)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          graft.similarity.Quantize.appendIvfQuantized(batch, path)
+      }
 }

@@ -305,4 +305,27 @@ class MultimodalSpec extends SparkSpec {
     vp8l(20) = 0x2e
     Multimodal.webpDims(vp8l) shouldBe None
   }
+
+  it should "round-trip HEIF-family dims through the nested ispe walk" in {
+    for (brand <- Seq("avif", "avis", "heic", "heif", "mif1")) {
+      val b = Multimodal.synthAvif(1920, 1080, brand)
+      Multimodal.avifDims(b) shouldBe Some((1920, 1080))
+      Multimodal.decodeDims(b) shouldBe ((1920, 1080))
+    }
+    Multimodal.sniffFormat(Multimodal.synthAvif(8, 8, "avif")) shouldBe "avif"
+    Multimodal.sniffFormat(Multimodal.synthAvif(8, 8, "heic")) shouldBe "heic"
+  }
+
+  it should "reject movies, truncation, and alien brands in the HEIF walk" in {
+    // a plain MP4 has the ftyp walk but a movie brand — not a still image
+    val mov = Multimodal.synthMp4("isom", 600, 1200, 1)
+    Multimodal.avifDims(mov) shouldBe None
+    Multimodal.sniffFormat(mov) shouldBe "mp4"
+    val ok = Multimodal.synthAvif(64, 64, "avif")
+    // truncation at every nesting level → None, never a throw
+    for (n <- Seq(8, 15, 20, 30, 45, ok.length - 1))
+      Multimodal.avifDims(ok.take(n)) shouldBe None
+    // mp4Meta must NOT claim a HEIF still (no moov)
+    Multimodal.mp4Meta(ok) shouldBe None
+  }
 }

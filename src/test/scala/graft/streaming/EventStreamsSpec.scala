@@ -433,4 +433,41 @@ class EventStreamsSpec extends SparkSpec {
       rowsOf(batchKept, "keep_id") shouldBe Set(Seq(1L), Seq(5L))
     } finally query.stop()
   }
+
+  it should "stream-ingest vectors into a store identical to a one-shot write" in {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(5)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat()))
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpusDf, "vec_id", "embedding", nlist = 3)
+    val streamed = java.nio.file.Files
+      .createTempDirectory("vec_stream").toString + "/store"
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("vec_oneshot").toString + "/store"
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.ingestVectorsIvfInt8(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model, streamed).start()
+    try {
+      // three arrival waves — the store must not care
+      input.addData(corpus.take(20)); q.processAllAvailable()
+      input.addData(corpus.slice(20, 45)); q.processAllAvailable()
+      input.addData(corpus.drop(45)); q.processAllAvailable()
+    } finally q.stop()
+    graft.similarity.Quantize.writeIvfQuantized(
+      graft.similarity.Ivf.assign(corpusDf, "vec_id", "embedding", model),
+      oneShot)
+    rowsOf(spark.read.parquet(streamed), "id", "cid", "amax") shouldBe
+      rowsOf(spark.read.parquet(oneShot), "id", "cid", "amax")
+    val a = graft.similarity.Quantize.searchIvfQuantized(streamed,
+      corpusDf.filter($"vec_id" < 5), "vec_id", "embedding", model,
+      k = 5, nprobe = 2)
+    val b = graft.similarity.Quantize.searchIvfQuantized(oneShot,
+      corpusDf.filter($"vec_id" < 5), "vec_id", "embedding", model,
+      k = 5, nprobe = 2)
+    rowsOf(a, "qid", "rank", "nid") shouldBe rowsOf(b, "qid", "rank", "nid")
+  }
 }
