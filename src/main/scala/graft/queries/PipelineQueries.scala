@@ -1652,6 +1652,39 @@ object PipelineQueries {
       },
       Some(ivfQuantizedOracle)),
 
+    // OFFLINE COMPACTION of an append-fragmented store — the maintenance
+    // half of the d44/d45 ingestion story: four appended batches leave
+    // many small files per cell; compactPartitioned rewrites one file
+    // per cell into a NEW path (swap is the caller's atomic rename —
+    // never in place under concurrent probes). Rows, bytes, layout
+    // unchanged ⇒ the compacted store serves d11's oracle verbatim.
+    GateQuery(
+      "d46_ann_stored_compact",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        val tmp = sys.props("java.io.tmpdir")
+        val hex = java.lang.Integer.toHexString(dir.hashCode)
+        val frag = s"$tmp/graft_d46_frag_$hex"
+        val compacted = s"$tmp/graft_d46_cmp_$hex"
+        graft.similarity.Quantize.writeIvfQuantized(
+          assigned.filter(col("id") % 4 === 0), frag)
+        (1 to 3).foreach { r =>
+          graft.similarity.Quantize.appendIvfQuantized(
+            assigned.filter(col("id") % 4 === r), frag)
+        }
+        graft.similarity.Ivf.compactPartitioned(s, frag, compacted)
+        graft.similarity.Quantize.searchIvfQuantized(compacted,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracle)),
+
     // CONTINUOUS ingestion into the d16 store via Structured Streaming —
     // the streaming twin of d44: the corpus replays as a file stream in
     // genuinely incremental micro-batches (staged as two parquet files,

@@ -209,6 +209,24 @@ object Ivf {
   def appendPartitioned(assignedBatch: DataFrame, path: String): Unit =
     assignedBatch.write.partitionBy("cid").mode("append").parquet(path)
 
+  /** Offline compaction of a partitioned store: many small batch files
+    * per cell (the residue of `appendPartitioned` / streaming ingestion)
+    * rewritten as one file per cell directory into `dst` — rows, bytes,
+    * and the partition layout are unchanged, only the file count drops
+    * (at 100 TB the failure mode is listing/opening thousands of tiny
+    * parquet footers per probed cell, not data volume). Writes to a NEW
+    * path rather than in place: an in-place dynamic-partition overwrite
+    * under concurrent probes would serve partial cells; swap src → dst
+    * is the caller's atomic rename. One file per cell is right while
+    * cells are sized by the √-rules (≪ executor memory); a cell past a
+    * few hundred MB would pass a maxRecordsPerFile option instead.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit =
+    spark.read.parquet(src)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(dst)
+
   /** Search a `writePartitioned` corpus: the probed cell ids (≤ nlist
     * values — bounded and tiny by construction, this is NOT a data-sized
     * collect) come back to the driver and are pushed as a partition

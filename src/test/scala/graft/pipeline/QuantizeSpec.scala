@@ -180,5 +180,29 @@ class QuantizeSpec extends SparkSpec {
     val b = Quantize.searchIvfQuantized(oneShot, queries,
       "vec_id", "embedding", model, k = 10, nprobe = 2)
     rowsOf(a, "qid", "rank", "nid") shouldBe rowsOf(b, "qid", "rank", "nid")
+
+    // offline compaction: the appended store's many small batch files
+    // rewrite to ONE file per cell, rows and search ranks unchanged
+    val compacted = java.nio.file.Files
+      .createTempDirectory("ivf_cmp").toString
+    graft.similarity.Ivf.compactPartitioned(spark, batched, compacted)
+    def partFiles(root: String) = {
+      val all = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        all.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.getParent.getFileName.toString).toSeq
+      } finally all.close()
+    }
+    partFiles(batched).groupBy(identity).values
+      .exists(_.size > 1) shouldBe true // the appends really fragmented
+    partFiles(compacted).groupBy(identity).values
+      .foreach(_.size shouldBe 1) // one file per cell after compaction
+    rowsOf(spark.read.parquet(compacted), "id", "cid", "amax") shouldBe
+      rowsOf(spark.read.parquet(batched), "id", "cid", "amax")
+    val c = Quantize.searchIvfQuantized(compacted, queries,
+      "vec_id", "embedding", model, k = 10, nprobe = 2)
+    rowsOf(c, "qid", "rank", "nid") shouldBe rowsOf(b, "qid", "rank", "nid")
   }
 }
