@@ -1652,6 +1652,30 @@ object PipelineQueries {
       },
       Some(ivfQuantizedOracle)),
 
+    // The PAST-10⁵-LEAVES configuration of d40: both two-stage ranks in
+    // their broadcast-join form (assignHierJoin/probesHierJoin +
+    // hierTopKJoin) — at 10⁹ vectors the √-rules give ~1.6M leaves,
+    // which must ride a broadcast (once per executor), never the plan
+    // literal (once per task). Same driver-folded |c|², same compiled
+    // left-to-right dots, same (rel, cid) tie-breaks ⇒ bit-identical to
+    // the literal path, so the oracle is d40's verbatim.
+    GateQuery(
+      "d47_ann_int8_hier_join",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHierJoin(
+          e, "vec_id", "embedding", h, wassign = 2)
+        graft.similarity.Quantize.hierTopKJoin(assigned,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding", h,
+            k = 5, wprobe = 2, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(hierInt8Oracle)),
+
     // OFFLINE COMPACTION of an append-fragmented store — the maintenance
     // half of the d44/d45 ingestion story: four appended batches leave
     // many small files per cell; compactPartitioned rewrites one file

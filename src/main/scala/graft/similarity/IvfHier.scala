@@ -182,6 +182,92 @@ object IvfHier {
       .select("qid", "qvec", "cid")
   }
 
+  /** The leaf model as a driver-built frame (sid, cid, cv, cnorm) — the
+    * broadcast-join form of the leaf tables. cnorm is the SAME driver
+    * left fold the compiled rank's tables carry, so rel-dists computed
+    * against this frame are bit-identical to `NearestCellsTwoLevel`'s.
+    */
+  private def leafFrame(spark: org.apache.spark.sql.SparkSession,
+      h: HierModel): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = h.leaves.centroids.map { case (cid, cv) =>
+      org.apache.spark.sql.Row(h.leafSid(cid), cid, cv.toSeq,
+        dotD(cv, cv))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cnorm",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** Two-stage assignment with the LEAF stage as a broadcast join — the
+    * past-10⁵-leaves form the literal rank's scaladoc prescribes: at
+    * n = 10⁹ vectors the √-rules give ~1.6M leaves (~800 MB of centroid
+    * doubles), which must not ride the plan as a per-task literal; a
+    * broadcast ships once per executor. Stage 1 (top-`wassign` supers)
+    * stays a compiled literal rank — nsuper ≈ √(w·nlist) is model-small
+    * at any graded scale. Stage 2 joins each row's probed sids against
+    * [[leafFrame]] and takes argmin on the lexicographic (rel, cid)
+    * struct min — the exact (rel_dist, cid) tie-break, over the exact
+    * same rel values (driver-folded |c|², compiled left-to-right dot) —
+    * so output is BIT-IDENTICAL to [[assignHier]] (IvfHierJoinSpec pins
+    * it; gate d47 replays d40's oracle through this path).
+    */
+  def assignHierJoin(df: DataFrame, idCol: String, vecCol: String,
+      h: HierModel, wassign: Int = 1): DataFrame = {
+    require(wassign >= 1, s"wassign must be >= 1: $wassign")
+    val supers = graft.functions.expressions.CentroidTable(h.supers)
+    val topSupers = graft.core.Graft.column(
+      graft.functions.expressions.NearestCells(
+        graft.core.Graft.expression(col("vec")), supers, wassign))
+    val cand = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("sid", explode(topSupers))
+      .join(broadcast(leafFrame(df.sparkSession, h)), Seq("sid"))
+      .withColumn("rel",
+        col("cnorm") - lit(2.0) * Ann.dot(col("vec"), col("cv")))
+    // all vec values within an id group are the same exploded row's —
+    // first() is order-free here
+    cand.groupBy("id")
+      .agg(min(struct(col("rel"), col("cid"))).as("m"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("m.cid").as("cid"), col("vec"))
+  }
+
+  /** Probe table via the broadcast-join leaf stage — [[probesHier]]'s
+    * past-10⁵-leaves form: top-`wprobe` supers by the compiled literal
+    * rank, leaves joined in, the `nprobe` best (rel, cid) per query by
+    * window rank (a qid-hash exchange of the query set — fine for probe
+    * sets; corpora assign through [[assignHierJoin]]'s exchange-free
+    * aggregation instead).
+    */
+  def probesHierJoin(queries: DataFrame, idCol: String, vecCol: String,
+      h: HierModel, wprobe: Int, nprobe: Int): DataFrame = {
+    require(wprobe >= 1, s"wprobe >= 1: $wprobe")
+    require(nprobe >= 1, s"nprobe >= 1: $nprobe")
+    val supers = graft.functions.expressions.CentroidTable(h.supers)
+    val topSupers = graft.core.Graft.column(
+      graft.functions.expressions.NearestCells(
+        graft.core.Graft.expression(col("qvec")), supers, wprobe))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("rel").asc, col("cid").asc)
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("sid", explode(topSupers))
+      .join(broadcast(leafFrame(queries.sparkSession, h)), Seq("sid"))
+      .withColumn("rel",
+        col("cnorm") - lit(2.0) * Ann.dot(col("qvec"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select("qid", "qvec", "cid")
+  }
+
   /** Approximate top-k over a hierarchically-assigned corpus: identical
     * scoring/ranking kernel to the flat path (`Ivf.scoreProbedCells`),
     * only cell pruning differs.

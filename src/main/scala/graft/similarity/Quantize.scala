@@ -119,6 +119,24 @@ object Quantize {
       quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
   }
 
+  /** `hierTopK` with BOTH two-stage ranks in their broadcast-join form
+    * (`IvfHier.{assignHierJoin,probesHierJoin}` upstream feed the same
+    * kernel) — the past-10⁵-leaves configuration: at 10⁹ vectors the
+    * √-rules give ~1.6M leaves, too many to ride the plan as a literal.
+    * Bit-identical to `hierTopK` by the join forms' equivalence
+    * (IvfHierJoinSpec); gate d47 replays d40's oracle through it.
+    */
+  def hierTopKJoin(assignedCorpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, h: IvfHier.HierModel, k: Int,
+      wprobe: Int, nprobe: Int): DataFrame = {
+    val qc = withQuantized(assignedCorpus, "vec", "qvec")
+      .select(col("id"), col("cid"), col("qvec").as("vec"))
+    val prb = IvfHier.probesHierJoin(queries, idCol, vecCol, h, wprobe,
+      nprobe)
+    Ivf.scoreProbedCells(qc,
+      quantizedProbeSide(prb, queries, idCol, vecCol, nprobe), k)
+  }
+
   /** Probe side for the quantized paths: `prb` is `Ivf.probes` output
     * (cell pruning on the raw float vectors — same stage as Ivf.search,
     * passed in so callers that also need the probed-cid set build it
