@@ -438,6 +438,81 @@ object PipelineQueries {
           |      FROM sc)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** d34's oracle, shared with its through-storage twin d48 (the
+    * d16-reuses-d11 discipline: the smallint code round-trip is
+    * lossless, so the stored gate must replay this verbatim). */
+  private def ivfPqOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, cid FROM (
+          |          SELECT e.vec_id, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |prbI AS (SELECT qid, cid FROM (
+          |          SELECT q.vec_id AS qid, cent.cid,
+          |                 row_number() OVER (PARTITION BY q.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
+          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, v
+          |        FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |              FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+          |cb0 AS (SELECT j.j, smp.r, smp.v[j.j*16+1 : j.j*16+16] AS cv
+          |        FROM smp, js j),
+          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
+          |sub AS (SELECT e.vec_id, j.j, e.v[j.j*16+1 : j.j*16+16] AS sv
+          |        FROM e, js j),
+          |enc AS (SELECT vec_id, j, r, cn FROM (
+          |          SELECT s.vec_id, s.j, c.r, c.cn,
+          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
+          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
+          |                            c.r) AS rn
+          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
+          |csq AS (SELECT vec_id,
+          |          (((0 + max(CASE WHEN j = 0 THEN cn END))
+          |            + max(CASE WHEN j = 1 THEN cn END))
+          |            + max(CASE WHEN j = 2 THEN cn END))
+          |            + max(CASE WHEN j = 3 THEN cn END) AS csqn
+          |        FROM enc GROUP BY vec_id),
+          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
+          |      FROM e WHERE vec_id < 10),
+          |cand AS (SELECT p.qid, a.vec_id AS nid
+          |         FROM prbI p JOIN asn a ON a.cid = p.cid
+          |         WHERE p.qid <> a.vec_id),
+          |pd AS (SELECT c.qid, c.nid, en.j,
+          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], cb.cv) AS d
+          |       FROM cand c JOIN enc en ON en.vec_id = c.nid
+          |                   JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |                   JOIN q ON q.vec_id = c.qid),
+          |ad AS (SELECT qid, nid,
+          |          (((0 + max(CASE WHEN j = 0 THEN d END))
+          |            + max(CASE WHEN j = 1 THEN d END))
+          |            + max(CASE WHEN j = 2 THEN d END))
+          |            + max(CASE WHEN j = 3 THEN d END) AS adot
+          |       FROM pd GROUP BY qid, nid),
+          |shl AS (SELECT qid, nid FROM (
+          |          SELECT ad.qid, ad.nid,
+          |                 row_number() OVER (PARTITION BY ad.qid
+          |                   ORDER BY ad.adot / (q.qnrm * sqrt(csq.csqn)) DESC,
+          |                            ad.nid) AS srn
+          |          FROM ad JOIN q ON q.vec_id = ad.qid
+          |                  JOIN csq ON csq.vec_id = ad.nid) WHERE srn <= 10),
+          |sc AS (SELECT shl.qid, shl.nid,
+          |         list_dot_product(a.v, b.v)
+          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+          |       FROM shl JOIN e a ON a.vec_id = shl.qid
+          |                JOIN e b ON b.vec_id = shl.nid),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // Exact dedup by content key over a simulated re-crawl (corpus ∪ copy
@@ -1151,77 +1226,7 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      Some(
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
-          |                v AS cv, list_dot_product(v, v) AS cnorm
-          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
-          |asn AS (SELECT vec_id, cid FROM (
-          |          SELECT e.vec_id, cent.cid,
-          |                 row_number() OVER (PARTITION BY e.vec_id
-          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
-          |                            cent.cid) AS rn
-          |          FROM e, cent) WHERE rn = 1),
-          |prbI AS (SELECT qid, cid FROM (
-          |          SELECT q.vec_id AS qid, cent.cid,
-          |                 row_number() OVER (PARTITION BY q.vec_id
-          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
-          |                            cent.cid) AS rn
-          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent) WHERE rn <= 2),
-          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, v
-          |        FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-          |              FROM e ORDER BY hk, vec_id LIMIT 8)),
-          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-          |cb0 AS (SELECT j.j, smp.r, smp.v[j.j*16+1 : j.j*16+16] AS cv
-          |        FROM smp, js j),
-          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
-          |sub AS (SELECT e.vec_id, j.j, e.v[j.j*16+1 : j.j*16+16] AS sv
-          |        FROM e, js j),
-          |enc AS (SELECT vec_id, j, r, cn FROM (
-          |          SELECT s.vec_id, s.j, c.r, c.cn,
-          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
-          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
-          |                            c.r) AS rn
-          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
-          |csq AS (SELECT vec_id,
-          |          (((0 + max(CASE WHEN j = 0 THEN cn END))
-          |            + max(CASE WHEN j = 1 THEN cn END))
-          |            + max(CASE WHEN j = 2 THEN cn END))
-          |            + max(CASE WHEN j = 3 THEN cn END) AS csqn
-          |        FROM enc GROUP BY vec_id),
-          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
-          |      FROM e WHERE vec_id < 10),
-          |cand AS (SELECT p.qid, a.vec_id AS nid
-          |         FROM prbI p JOIN asn a ON a.cid = p.cid
-          |         WHERE p.qid <> a.vec_id),
-          |pd AS (SELECT c.qid, c.nid, en.j,
-          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], cb.cv) AS d
-          |       FROM cand c JOIN enc en ON en.vec_id = c.nid
-          |                   JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
-          |                   JOIN q ON q.vec_id = c.qid),
-          |ad AS (SELECT qid, nid,
-          |          (((0 + max(CASE WHEN j = 0 THEN d END))
-          |            + max(CASE WHEN j = 1 THEN d END))
-          |            + max(CASE WHEN j = 2 THEN d END))
-          |            + max(CASE WHEN j = 3 THEN d END) AS adot
-          |       FROM pd GROUP BY qid, nid),
-          |shl AS (SELECT qid, nid FROM (
-          |          SELECT ad.qid, ad.nid,
-          |                 row_number() OVER (PARTITION BY ad.qid
-          |                   ORDER BY ad.adot / (q.qnrm * sqrt(csq.csqn)) DESC,
-          |                            ad.nid) AS srn
-          |          FROM ad JOIN q ON q.vec_id = ad.qid
-          |                  JOIN csq ON csq.vec_id = ad.nid) WHERE srn <= 10),
-          |sc AS (SELECT shl.qid, shl.nid,
-          |         list_dot_product(a.v, b.v)
-          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-          |       FROM shl JOIN e a ON a.vec_id = shl.qid
-          |                JOIN e b ON b.vec_id = shl.nid),
-          |r AS (SELECT qid, nid,
-          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
-          |      FROM sc)
-          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(ivfPqOracle)),
 
     // IVFADC proper — PQ over RESIDUALS (x − centroid), the form FAISS
     // IndexIVFPQ actually ships: residuals are centered with far less
@@ -1651,6 +1656,34 @@ object PipelineQueries {
           .orderBy("qid", "rnk")
       },
       Some(ivfQuantizedOracle)),
+
+    // d34 through STORAGE — the PQ code granularity joins int8 (d41)
+    // and binary (d42/d43) in the stored matrix: codes persist as
+    // array<smallint> (lossless for any real ksub; parquet bit-packs to
+    // ~m·log2(ksub) bits/row) next to the reconstruction norm,
+    // cell-partitioned; the probed cells partition-prune and the ADC
+    // shortlist + rerank are verbatim. Oracle = d34's verbatim.
+    GateQuery(
+      "d48_ann_ivfpq_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", ivf)
+        val cb = graft.similarity.Pq.sampleCodebooks(
+          e, "vec_id", "embedding", m = 4, ksub = 8)
+        val enc = graft.similarity.Pq.encode(assigned, "id", "vec", cb)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d48_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Pq.writeIvfPq(enc, path, cb)
+        graft.similarity.Pq.searchIvfPqStored(path, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfPqOracle)),
 
     // The PAST-10⁵-LEAVES configuration of d40: both two-stage ranks in
     // their broadcast-join form (assignHierJoin/probesHierJoin +

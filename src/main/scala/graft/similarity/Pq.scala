@@ -175,6 +175,17 @@ object Pq {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val prb = withQueryTables(
       Ivf.probes(queries, idCol, vecCol, ivf, nprobe), cb)
+    cellAdcSearch(prb, encodedAssigned, corpus, queries, idCol, vecCol,
+      k, nprobe, shortlist)
+  }
+
+  /** Shared tail of the cell-pruned ADC searches: cell join from a
+    * qtab-carrying probe frame, m-lookup shortlist within the probed
+    * cells, exact rerank (the `BinaryQuant.cellHammingSearch` shape).
+    */
+  private def cellAdcSearch(prb: DataFrame, encodedAssigned: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val probeSide =
       if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
       else prb
@@ -184,6 +195,50 @@ object Pq {
       .filter(col("qid") =!= col("nid"))
     rerank(adcShortlist(pairs, shortlist), corpus, queries, idCol,
       vecCol, k)
+  }
+
+  /** Persist an encoded assigned corpus for the at-scale IVF-PQ layout
+    * (the X43/d42 discipline at the PQ code granularity): PARTITIONED
+    * BY cell id, codes stored as `array<smallint>` — lossless for any
+    * ksub ≤ 32767, and parquet's dictionary/bit-packing brings the
+    * on-disk cost to ~m·log₂(ksub) bits per row — plus the one
+    * reconstruction norm `csqn` the ADC denominator needs. The
+    * codebooks are MODEL data (m·ksub·ds doubles, driver-sized) and
+    * travel with the model, not the store.
+    */
+  def writeIvfPq(encodedAssigned: DataFrame, path: String,
+      cb: Codebooks): Unit = {
+    require(cb.ksub <= 32767,
+      s"smallint code storage requires ksub <= 32767: ${cb.ksub}")
+    Ivf.writePartitioned(
+      encodedAssigned.select(col("id"), col("cid"),
+        col("code").cast("array<smallint>").as("code"), col("csqn")),
+      path)
+  }
+
+  /** Search a [[writeIvfPq]] corpus — [[searchIvfPq]] through storage:
+    * probed cell ids (model-bounded) push down as a partition filter,
+    * stored codes cast back losslessly to the ints `AdcDot` indexes
+    * with, and the shortlist + exact rerank are verbatim. The 100 TB
+    * IVF-PQ read path: nprobe/nlist of the files at ~m bytes per row.
+    */
+  def searchIvfPqStored(path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, ivf: Ivf.Model,
+      cb: Codebooks, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val spark = queries.sparkSession
+    // probe lineage evaluated twice (cid collect + the probe join);
+    // deliberately NOT cache()d — the searchIvfQuantized rationale
+    val prbRaw = Ivf.probes(queries, idCol, vecCol, ivf, nprobe)
+    val probedCids = prbRaw.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val prb = withQueryTables(prbRaw, cb)
+    val enc = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("id"), col("cid"),
+        col("code").cast("array<int>").as("code"), col("csqn"))
+    cellAdcSearch(prb, enc, corpus, queries, idCol, vecCol, k, nprobe,
+      shortlist)
   }
 
   /** Append the ADC machinery to a (qid, qvec, ...) frame: `qtab[j][r] =

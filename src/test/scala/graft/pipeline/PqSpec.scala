@@ -221,4 +221,31 @@ class PqSpec extends SparkSpec {
     rowsOf(hier, "qid", "rank", "nid") shouldBe
       rowsOf(flat, "qid", "rank", "nid")
   }
+
+  it should "serve cid-partitioned PQ code storage identically to the in-memory path" in {
+    // the d48 contract: smallint codes round-trip losslessly, the scan
+    // is partition-pruned, ranks match searchIvfPq exactly
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq").toString
+    val q = corpus.filter($"vec_id" < 4)
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", ivf)
+    val cb = Pq.sampleCodebooks(corpus, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val enc = Pq.encode(assigned, "id", "vec", cb)
+    Pq.writeIvfPq(enc, dir, cb)
+    val onDisk = spark.read.parquet(dir).schema
+    onDisk("code").dataType.simpleString shouldBe "array<smallint>"
+    onDisk("csqn").dataType.simpleString shouldBe "double"
+    val stored = Pq.searchIvfPqStored(dir, corpus, q, "vec_id",
+      "embedding", ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+    val mem = Pq.searchIvfPq(enc, corpus, q, "vec_id", "embedding",
+      ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
+      .findFirstIn(planStr) should not be empty
+  }
 }
