@@ -513,6 +513,109 @@ object PipelineQueries {
           |      FROM sc)
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** d38's oracle, shared with its through-storage twin d49. */
+  private def hierIvfAdcOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
+          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
+          |               cv AS sv, list_dot_product(cv, cv) AS snorm
+          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
+          |              FROM cent ORDER BY hk, cid LIMIT 4)),
+          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
+          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
+          |                  row_number() OVER (PARTITION BY cent.cid
+          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM cent, sup) WHERE rn = 1),
+          |rsup AS (SELECT vec_id, v, sid FROM (
+          |           SELECT e.vec_id, e.v, sup.sid,
+          |                  row_number() OVER (PARTITION BY e.vec_id
+          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
+          |                             sup.sid) AS rn
+          |           FROM e, sup) WHERE rn <= 2),
+          |asn AS (SELECT vec_id, v, cid FROM (
+          |          SELECT r.vec_id, r.v, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT r.vec_id AS qid, l.cid,
+          |                 row_number() OVER (PARTITION BY r.vec_id
+          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
+          |                            l.cid) AS rn
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
+          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |res AS (SELECT a.vec_id, a.cid,
+          |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+          |        FROM asn a JOIN cent c ON c.cid = a.cid),
+          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, rv
+          |        FROM (SELECT vec_id, rv, (vec_id * 2654435761) % 1000003 AS hk
+          |              FROM res ORDER BY hk, vec_id LIMIT 8)),
+          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+          |cb0 AS (SELECT j.j, smp.r, smp.rv[j.j*16+1 : j.j*16+16] AS cv
+          |        FROM smp, js j),
+          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
+          |sub AS (SELECT res.vec_id, j.j, res.rv[j.j*16+1 : j.j*16+16] AS sv
+          |        FROM res, js j),
+          |enc AS (SELECT vec_id, j, r FROM (
+          |          SELECT s.vec_id, s.j, c.r,
+          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
+          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
+          |                            c.r) AS rn
+          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
+          |rh AS (SELECT en.vec_id, flatten(list(cb.cv ORDER BY en.j)) AS rhat
+          |       FROM enc en JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |       GROUP BY en.vec_id),
+          |csq AS (SELECT x.vec_id, list_dot_product(x.xr, x.xr) AS csqn FROM (
+          |          SELECT rh.vec_id,
+          |                 list_transform(range(1, 65),
+          |                   i -> c.cv[i] + rh.rhat[i]) AS xr
+          |          FROM rh JOIN asn a ON a.vec_id = rh.vec_id
+          |                  JOIN cent c ON c.cid = a.cid) x),
+          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
+          |      FROM e WHERE vec_id < 10),
+          |qc AS (SELECT p.qid, p.cid, list_dot_product(q.v, c.cv) AS qcent
+          |       FROM prb p JOIN q ON q.vec_id = p.qid
+          |                  JOIN cent c ON c.cid = p.cid),
+          |cand AS (SELECT p.qid, a.vec_id AS nid, a.cid
+          |         FROM prb p JOIN asn a ON a.cid = p.cid
+          |         WHERE p.qid <> a.vec_id),
+          |pd AS (SELECT c.qid, c.nid, en.j,
+          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], cb.cv) AS d
+          |       FROM cand c JOIN enc en ON en.vec_id = c.nid
+          |                   JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
+          |                   JOIN q ON q.vec_id = c.qid),
+          |ad AS (SELECT qid, nid,
+          |          (((0 + max(CASE WHEN j = 0 THEN d END))
+          |            + max(CASE WHEN j = 1 THEN d END))
+          |            + max(CASE WHEN j = 2 THEN d END))
+          |            + max(CASE WHEN j = 3 THEN d END) AS adot
+          |       FROM pd GROUP BY qid, nid),
+          |shl AS (SELECT qid, nid FROM (
+          |          SELECT ad.qid, ad.nid,
+          |                 row_number() OVER (PARTITION BY ad.qid
+          |                   ORDER BY (qc.qcent + ad.adot)
+          |                     / (q.qnrm * sqrt(csq.csqn)) DESC,
+          |                            ad.nid) AS srn
+          |          FROM ad JOIN q ON q.vec_id = ad.qid
+          |                  JOIN csq ON csq.vec_id = ad.nid
+          |                  JOIN asn a ON a.vec_id = ad.nid
+          |                  JOIN qc ON qc.qid = ad.qid AND qc.cid = a.cid)
+          |        WHERE srn <= 10),
+          |sc AS (SELECT shl.qid, shl.nid,
+          |         list_dot_product(a.v, b.v)
+          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+          |       FROM shl JOIN e a ON a.vec_id = shl.qid
+          |                JOIN e b ON b.vec_id = shl.nid),
+          |r AS (SELECT qid, nid,
+          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+          |      FROM sc)
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // Exact dedup by content key over a simulated re-crawl (corpus ∪ copy
@@ -1446,107 +1549,7 @@ object PipelineQueries {
           .select(col("qid"), col("rank").as("rnk"), col("nid"))
           .orderBy("qid", "rnk")
       },
-      Some(
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
-          |                v AS cv, list_dot_product(v, v) AS cnorm
-          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
-          |               FROM e ORDER BY hk, vec_id LIMIT 16)),
-          |sup AS (SELECT row_number() OVER (ORDER BY hk, cid) - 1 AS sid,
-          |               cv AS sv, list_dot_product(cv, cv) AS snorm
-          |        FROM (SELECT cid, cv, (cid * 2654435761) % 1000003 AS hk
-          |              FROM cent ORDER BY hk, cid LIMIT 4)),
-          |lmap AS (SELECT cid, cv, cnorm, sid FROM (
-          |           SELECT cent.cid, cent.cv, cent.cnorm, sup.sid,
-          |                  row_number() OVER (PARTITION BY cent.cid
-          |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
-          |                             sup.sid) AS rn
-          |           FROM cent, sup) WHERE rn = 1),
-          |rsup AS (SELECT vec_id, v, sid FROM (
-          |           SELECT e.vec_id, e.v, sup.sid,
-          |                  row_number() OVER (PARTITION BY e.vec_id
-          |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
-          |                             sup.sid) AS rn
-          |           FROM e, sup) WHERE rn <= 2),
-          |asn AS (SELECT vec_id, v, cid FROM (
-          |          SELECT r.vec_id, r.v, l.cid,
-          |                 row_number() OVER (PARTITION BY r.vec_id
-          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
-          |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
-          |prb AS (SELECT qid, cid FROM (
-          |          SELECT r.vec_id AS qid, l.cid,
-          |                 row_number() OVER (PARTITION BY r.vec_id
-          |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
-          |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid
-          |          WHERE r.vec_id < 10) WHERE rn <= 2),
-          |res AS (SELECT a.vec_id, a.cid,
-          |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
-          |        FROM asn a JOIN cent c ON c.cid = a.cid),
-          |smp AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS r, rv
-          |        FROM (SELECT vec_id, rv, (vec_id * 2654435761) % 1000003 AS hk
-          |              FROM res ORDER BY hk, vec_id LIMIT 8)),
-          |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-          |cb0 AS (SELECT j.j, smp.r, smp.rv[j.j*16+1 : j.j*16+16] AS cv
-          |        FROM smp, js j),
-          |cbn AS (SELECT j, r, cv, list_dot_product(cv, cv) AS cn FROM cb0),
-          |sub AS (SELECT res.vec_id, j.j, res.rv[j.j*16+1 : j.j*16+16] AS sv
-          |        FROM res, js j),
-          |enc AS (SELECT vec_id, j, r FROM (
-          |          SELECT s.vec_id, s.j, c.r,
-          |                 row_number() OVER (PARTITION BY s.vec_id, s.j
-          |                   ORDER BY c.cn - 2*list_dot_product(s.sv, c.cv),
-          |                            c.r) AS rn
-          |          FROM sub s JOIN cbn c ON c.j = s.j) WHERE rn = 1),
-          |rh AS (SELECT en.vec_id, flatten(list(cb.cv ORDER BY en.j)) AS rhat
-          |       FROM enc en JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
-          |       GROUP BY en.vec_id),
-          |csq AS (SELECT x.vec_id, list_dot_product(x.xr, x.xr) AS csqn FROM (
-          |          SELECT rh.vec_id,
-          |                 list_transform(range(1, 65),
-          |                   i -> c.cv[i] + rh.rhat[i]) AS xr
-          |          FROM rh JOIN asn a ON a.vec_id = rh.vec_id
-          |                  JOIN cent c ON c.cid = a.cid) x),
-          |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qnrm
-          |      FROM e WHERE vec_id < 10),
-          |qc AS (SELECT p.qid, p.cid, list_dot_product(q.v, c.cv) AS qcent
-          |       FROM prb p JOIN q ON q.vec_id = p.qid
-          |                  JOIN cent c ON c.cid = p.cid),
-          |cand AS (SELECT p.qid, a.vec_id AS nid, a.cid
-          |         FROM prb p JOIN asn a ON a.cid = p.cid
-          |         WHERE p.qid <> a.vec_id),
-          |pd AS (SELECT c.qid, c.nid, en.j,
-          |              list_dot_product(q.v[en.j*16+1 : en.j*16+16], cb.cv) AS d
-          |       FROM cand c JOIN enc en ON en.vec_id = c.nid
-          |                   JOIN cbn cb ON cb.j = en.j AND cb.r = en.r
-          |                   JOIN q ON q.vec_id = c.qid),
-          |ad AS (SELECT qid, nid,
-          |          (((0 + max(CASE WHEN j = 0 THEN d END))
-          |            + max(CASE WHEN j = 1 THEN d END))
-          |            + max(CASE WHEN j = 2 THEN d END))
-          |            + max(CASE WHEN j = 3 THEN d END) AS adot
-          |       FROM pd GROUP BY qid, nid),
-          |shl AS (SELECT qid, nid FROM (
-          |          SELECT ad.qid, ad.nid,
-          |                 row_number() OVER (PARTITION BY ad.qid
-          |                   ORDER BY (qc.qcent + ad.adot)
-          |                     / (q.qnrm * sqrt(csq.csqn)) DESC,
-          |                            ad.nid) AS srn
-          |          FROM ad JOIN q ON q.vec_id = ad.qid
-          |                  JOIN csq ON csq.vec_id = ad.nid
-          |                  JOIN asn a ON a.vec_id = ad.nid
-          |                  JOIN qc ON qc.qid = ad.qid AND qc.cid = a.cid)
-          |        WHERE srn <= 10),
-          |sc AS (SELECT shl.qid, shl.nid,
-          |         list_dot_product(a.v, b.v)
-          |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-          |       FROM shl JOIN e a ON a.vec_id = shl.qid
-          |                JOIN e b ON b.vec_id = shl.nid),
-          |r AS (SELECT qid, nid,
-          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
-          |      FROM sc)
-          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(hierIvfAdcOracle)),
 
     // Hier-assigned binary-Hamming — the d38 move applied to the binary
     // arm, closing the coarse-quantizer × code lattice: the two-level
@@ -1684,6 +1687,35 @@ object PipelineQueries {
           .orderBy("qid", "rnk")
       },
       Some(ivfPqOracle)),
+
+    // d38 through STORAGE — hier coarse quantizer × residual codes on
+    // disk (the FAISS IndexIVFPQ form proper), completing the stored
+    // matrix's hier × PQ cell: encodeResidual output has exactly the
+    // writeIvfPq shape, so the layout is d48's verbatim; the two-stage
+    // probe and q·cent + ADC decomposition are the in-memory path's.
+    // Oracle = d38's verbatim.
+    GateQuery(
+      "d49_ann_ivfadc_hier_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2)
+        val cb = graft.similarity.Pq.sampleResidualCodebooks(
+          assigned, model, m = 4, ksub = 8)
+        val enc = graft.similarity.Pq.encodeResidual(assigned, model, cb)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d49_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Pq.writeIvfPq(enc, path, cb)
+        graft.similarity.Pq.searchIvfPqResidualHierStored(path, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          h, cb, k = 5, wprobe = 2, nprobe = 2, shortlist = 10)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(hierIvfAdcOracle)),
 
     // The PAST-10⁵-LEAVES configuration of d40: both two-stage ranks in
     // their broadcast-join form (assignHierJoin/probesHierJoin +

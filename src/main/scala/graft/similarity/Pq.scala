@@ -426,6 +426,35 @@ object Pq {
       vecCol, k, nprobe, shortlist)
   }
 
+  /** [[searchIvfPqResidualHier]] through a [[writeIvfPq]] store — the
+    * FAISS-IndexIVFPQ-proper configuration (hier coarse quantizer ×
+    * residual codes) on disk: `encodeResidual` output has exactly the
+    * (id, cid, code, csqn) shape the writer persists, so the layout is
+    * d48's verbatim; only the probe stage (compiled two-stage rank) and
+    * the q·centroid score decomposition differ, both verbatim from the
+    * in-memory path. Completes the stored matrix's hier × PQ cell.
+    */
+  def searchIvfPqResidualHierStored(path: String, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      h: IvfHier.HierModel, cb: Codebooks, k: Int, wprobe: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val spark = queries.sparkSession
+    val prbRaw = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe,
+      nprobe)
+    val probedCids = prbRaw.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val prb = withQueryTables(prbRaw, cb)
+      .withColumn("qcent",
+        Ann.dot(col("qvec"), element_at(centMapLit(h.leaves), col("cid"))))
+    val enc = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+      .select(col("id"), col("cid"),
+        col("code").cast("array<int>").as("code"), col("csqn"))
+    residualAdcSearch(prb, enc, corpus, queries, idCol, vecCol, k,
+      nprobe, shortlist)
+  }
+
   /** Shared tail of the residual (IVFADC) searches: cell join from a
     * probe frame carrying (qid, cid, qtab, __qnrm, qcent), approx score
     * (q·cent + ADC fold) / (|q|·√csqn), shortlist, exact rerank.
