@@ -42,6 +42,19 @@ object TextFunctions {
     graft.core.Graft.column(graft.functions.expressions.WhitespaceTokens(
       graft.core.Graft.expression(text)))
 
+  /** Ingestion-side whitespace normalization: maps the ONE character on
+    * which Java-regex `\s` (the engine's tokenizer contract) and
+    * RE2-lineage `\s` (DuckDB/Go/Rust oracles and downstream consumers)
+    * disagree — U+000B vertical tab — to a plain space. Running raw
+    * crawl text through this at ingestion makes every downstream
+    * tokenization engine-agnostic, so the documented `WhitespaceTokens`
+    * divergence (its scaladoc's determinism note) can never bite a
+    * corpus; the gate corpora contain no \x0B, so gates are unaffected
+    * either way. Codegen'd `translate` — no UDF, no regex.
+    */
+  def normalizeWhitespace(text: Column): Column =
+    translate(text, "\u000B", " ")
+
   /** Word n-gram shingles (joined by single spaces); inputs shorter than
     * n tokens fall back to their token list so they still dedup.
     *

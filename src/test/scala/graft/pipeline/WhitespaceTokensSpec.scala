@@ -77,4 +77,23 @@ class WhitespaceTokensSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.util.GenericArrayData]
       .array.map(_.toString) shouldBe Array("x", "y")
   }
+
+  it should "normalize the vertical-tab divergence out at ingestion" in {
+    // \x0B is the one char Java \s and RE2 \s disagree on; after
+    // normalizeWhitespace the engine tokenization and an RE2-lineage
+    // replay agree on any corpus
+    val df = Seq((1L, "a\u000Bb c"), (2L, "x\u000B\u000B"), (3L, "clean"))
+      .toDF("id", "text")
+    val out = df.select($"id", graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.normalizeWhitespace($"text")).as("t"))
+      .orderBy("id").collect()
+    out(0).getSeq[String](1) shouldBe Seq("a", "b", "c")
+    out(1).getSeq[String](1) shouldBe Seq("x")
+    out(2).getSeq[String](1) shouldBe Seq("clean")
+    // WITHOUT normalization the raw tokenizer splits on \x0B too (Java
+    // semantics) — the helper changes the CORPUS, not the tokenizer
+    df.filter($"id" === 1)
+      .select(graft.functions.TextFunctions.tokens($"text"))
+      .head().getSeq[String](0) shouldBe Seq("a", "b", "c")
+  }
 }
