@@ -472,6 +472,149 @@ object Multimodal {
     }
   }
 
+  /** Parsed FLAC stream metadata. durationMs is exact integral
+    * totalSamples·1000 div sampleRate (the WAV convention).
+    */
+  final case class FlacMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long, durationMs: Long)
+
+  /** FLAC: "fLaC" magic, then metadata blocks — [flags/type u8]
+    * [length u24BE][payload]; STREAMINFO (type 0, length 34) is
+    * REQUIRED first by spec, but the walk still locates it by type so
+    * a permissive muxer ordering parses. Inside STREAMINFO the packed
+    * bitfield at offset 10 carries sample rate (20 bits), channels−1
+    * (3 bits), bits-per-sample−1 (5 bits), total samples (36 bits).
+    * None for non-FLAC bytes, truncation, a missing STREAMINFO, or a
+    * zero sample rate (duration undefined).
+    */
+  def flacMeta(b: Array[Byte]): Option[FlacMeta] = {
+    if (b == null || b.length < 8 ||
+      b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C')
+      return None
+    var i = 4
+    var last = false
+    while (!last && i + 4 <= b.length) {
+      val flags = u8(b, i)
+      last = (flags & 0x80) != 0
+      val tpe = flags & 0x7f
+      val len = (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+      val p = i + 4
+      if (tpe == 0) {
+        if (len < 34 || p + 34 > b.length) return None
+        // bytes p+10..p+17: srate(20) | ch-1(3) | bps-1(5) | nsamples(36)
+        val sr = (u8(b, p + 10) << 12) | (u8(b, p + 11) << 4) |
+          (u8(b, p + 12) >> 4)
+        val ch = ((u8(b, p + 12) >> 1) & 0x7) + 1
+        val bps = (((u8(b, p + 12) & 0x1) << 4) |
+          (u8(b, p + 13) >> 4)) + 1
+        val ns = ((u8(b, p + 13) & 0xf).toLong << 32) |
+          (u8(b, p + 14).toLong << 24) | (u8(b, p + 15).toLong << 16) |
+          (u8(b, p + 16).toLong << 8) | u8(b, p + 17).toLong
+        return if (sr > 0)
+          Some(FlacMeta(sr, ch, bps, ns, ns * 1000L / sr))
+        else None
+      }
+      i = p + len
+    }
+    None
+  }
+
+  /** Minimal FLAC blob: magic + a lone STREAMINFO block. Synthesis twin
+    * of [[flacMeta]] (the synthWav convention) — real packed bitfields,
+    * no frame payload.
+    */
+  def synthFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate < (1 << 20), s"sr: $sampleRate")
+    require(channels >= 1 && channels <= 8, s"channels: $channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bps: $bitsPerSample")
+    require(totalSamples >= 0 && totalSamples < (1L << 36),
+      s"totalSamples: $totalSamples")
+    val out = new Array[Byte](4 + 4 + 34)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    out(4) = 0x80.toByte // last block, type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    val p = 8
+    out(p + 10) = ((sampleRate >> 12) & 0xff).toByte
+    out(p + 11) = ((sampleRate >> 4) & 0xff).toByte
+    out(p + 12) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1)
+      | (((bitsPerSample - 1) >> 4) & 0x1)).toByte
+    out(p + 13) = ((((bitsPerSample - 1) & 0xf) << 4)
+      | ((totalSamples >> 32) & 0xf)).toInt.toByte
+    out(p + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(p + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(p + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(p + 17) = (totalSamples & 0xff).toByte
+    out
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps, index 1..14) and sample
+    * rates — the ubiquitous MP3 configuration; free-format (0) and bad
+    * (15) indices are rejected.
+    */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** Parsed MP3 frame-header metadata (first frame). */
+  final case class Mp3Meta(bitrateKbps: Int, sampleRate: Int,
+      channels: Int)
+
+  /** MP3 (MPEG-1 Layer III): skips an ID3v2 tag if present (the
+    * real-crawl common case — "ID3"[ver 2][flags][syncsafe u28 size]),
+    * then requires a valid frame sync (11 set bits) with MPEG-1 (bits
+    * 19–20 = 3), Layer III (bits 17–18 = 1), a defined bitrate index,
+    * and a defined sample-rate index. Channels from the mode field
+    * (mono ⇒ 1, else 2). Duration needs the full frame census (CBR
+    * assumption is a lie on VBR crawls), so this reports the
+    * per-frame facts only. None for non-MP3 bytes or truncation.
+    */
+  def mp3Meta(b: Array[Byte]): Option[Mp3Meta] = {
+    if (b == null || b.length < 4) return None
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+        ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+      i = 10 + size
+    }
+    if (i + 4 > b.length) return None
+    val h0 = u8(b, i); val h1 = u8(b, i + 1)
+    val h2 = u8(b, i + 2); val h3 = u8(b, i + 3)
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+    if ((h1 & 0x18) != 0x18) return None // MPEG-1 only
+    if ((h1 & 0x06) != 0x02) return None // Layer III only
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val mode = (h3 >> 6) & 0x3
+    Some(Mp3Meta(Mp3Bitrates(brIdx), Mp3SampleRates(srIdx),
+      if (mode == 3) 1 else 2))
+  }
+
+  /** Minimal MP3 blob: optional empty ID3v2 tag + one frame header.
+    * Synthesis twin of [[mp3Meta]].
+    */
+  def synthMp3(bitrateKbps: Int, sampleRate: Int, mono: Boolean,
+      withId3: Boolean): Array[Byte] = {
+    val brIdx = Mp3Bitrates.indexOf(bitrateKbps)
+    val srIdx = Mp3SampleRates.indexOf(sampleRate)
+    require(brIdx >= 1, s"not an MPEG-1 L3 bitrate: $bitrateKbps")
+    require(srIdx >= 0, s"not an MPEG-1 sample rate: $sampleRate")
+    val head = if (withId3) 10 else 0
+    // 4 zero payload bytes after the header: a real frame always has
+    // payload, and the sniffer's 6-byte floor must hold on the synth
+    val out = new Array[Byte](head + 8)
+    if (withId3) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      // flags + syncsafe size all zero (empty tag)
+    }
+    out(head) = 0xff.toByte
+    out(head + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
+    out(head + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
+    out(head + 3) = (if (mono) 0xc0 else 0x00).toByte
+    out
+  }
+
   /** ftyp major brands that mark a HEIF-family still image rather than
     * a movie: AV1-coded (avif/avis) and HEVC-coded (heic/heif) plus the
     * codec-agnostic mif1 structural brand. Dimensions for ALL of them
@@ -708,6 +851,9 @@ object Multimodal {
       (if (b(8) == 'a') "avif" else "heic")
     else if (b.length >= 8 &&
       b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      "flac"
+    else if (mp3Meta(b).isDefined) "mp3"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
       (if (tiffDims(b).isDefined || (b.length >= 4 &&
@@ -774,6 +920,8 @@ object Multimodal {
     case "webp" => "image/webp"
     case "avif" => "image/avif"
     case "heic" => "image/heic"
+    case "flac" => "audio/flac"
+    case "mp3"  => "audio/mpeg"
     case _      => "application/octet-stream"
   }
 

@@ -4340,6 +4340,63 @@ object PipelineQueries {
           CAST(16 + doc_id % 480 AS INT) AS height
         FROM documents ORDER BY asset_id""")),
 
+    // FLAC + MP3 audio metadata through real container bytes — the
+    // compressed-audio formats WAV (m02) leaves uncovered: FLAC's
+    // packed STREAMINFO bitfield (sample rate 20 bits, channels−1 3,
+    // bits−1 5, total samples 36 → exact integral duration, the m02
+    // arithmetic) and MP3's frame-sync header (bitrate/sample-rate
+    // table indices, mono/stereo mode) behind an ID3v2 skip on odd
+    // ids. doc parity picks the container.
+    GateQuery(
+      "m07_audio_codec_meta",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            if (id % 2 == 0) {
+              val sr = 8000 + (nc % 40000).toInt
+              val ch = 1 + (id % 2).toInt
+              val bps = 16
+              val ns = 1000L + nc * 7L
+              val bytes = graft.multimodal.Multimodal.synthFlac(
+                sr, ch, bps, ns)
+              val m = graft.multimodal.Multimodal.flacMeta(bytes).get
+              (id, graft.multimodal.Multimodal.sniffFormat(bytes),
+                m.sampleRate.toLong, m.channels.toLong, m.durationMs)
+            } else {
+              val brs = Seq(64, 128, 192, 320)
+              val srs = Seq(44100, 48000, 32000)
+              val bytes = graft.multimodal.Multimodal.synthMp3(
+                brs((id % 4).toInt % brs.length),
+                srs((id % 3).toInt), mono = id % 8 < 4,
+                withId3 = id % 4 >= 2)
+              val m = graft.multimodal.Multimodal.mp3Meta(bytes).get
+              (id, graft.multimodal.Multimodal.sniffFormat(bytes),
+                m.sampleRate.toLong, m.channels.toLong,
+                m.bitrateKbps.toLong)
+            }
+          }
+          .toDF("asset_id", "sniffed", "sample_rate", "channels", "x")
+        rows.orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS sniffed,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + n_chars % 40000
+               WHEN doc_id % 3 = 0 THEN 44100
+               WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000
+          END AS BIGINT) AS sample_rate,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2
+               WHEN doc_id % 8 < 4 THEN 1 ELSE 2 END AS BIGINT)
+            AS channels,
+          CAST(CASE WHEN doc_id % 2 = 0
+               THEN ((1000 + CAST(n_chars AS BIGINT) * 7) * 1000)
+                      // (8000 + n_chars % 40000)
+               WHEN doc_id % 4 = 1 THEN 128 ELSE 320 END AS BIGINT) AS x
+        FROM documents ORDER BY asset_id""")),
+
     // AVIF/HEIC dimension decode through real nested ISO-BMFF boxes —
     // the HEIF still-image family displacing JPEG in modern crawls:
     // dims live in the `ispe` item property (meta → iprp → ipco →

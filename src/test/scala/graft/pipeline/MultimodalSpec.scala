@@ -328,4 +328,42 @@ class MultimodalSpec extends SparkSpec {
     // mp4Meta must NOT claim a HEIF still (no moov)
     Multimodal.mp4Meta(ok) shouldBe None
   }
+
+  it should "round-trip FLAC STREAMINFO through the packed bitfield" in {
+    val m = Multimodal.flacMeta(
+      Multimodal.synthFlac(44100, 2, 16, 441000L)).get
+    (m.sampleRate, m.channels, m.bitsPerSample, m.totalSamples,
+      m.durationMs) shouldBe ((44100, 2, 16, 441000L, 10000L))
+    // bitfield edges: 20-bit sample rate, 8 channels, 32 bps, 36-bit n
+    val e = Multimodal.flacMeta(Multimodal.synthFlac(
+      (1 << 20) - 1, 8, 32, (1L << 36) - 1)).get
+    (e.sampleRate, e.channels, e.bitsPerSample, e.totalSamples) shouldBe
+      (((1 << 20) - 1, 8, 32, (1L << 36) - 1))
+    Multimodal.sniffFormat(
+      Multimodal.synthFlac(8000, 1, 16, 0)) shouldBe "flac"
+    // truncation / alien bytes → None
+    Multimodal.flacMeta(
+      Multimodal.synthFlac(8000, 1, 16, 10).take(20)) shouldBe None
+    Multimodal.flacMeta("fLaX1234".getBytes) shouldBe None
+  }
+
+  it should "parse MP3 frame headers behind an ID3v2 skip" in {
+    for (id3 <- Seq(true, false); mono <- Seq(true, false)) {
+      val m = Multimodal.mp3Meta(
+        Multimodal.synthMp3(192, 48000, mono, id3)).get
+      (m.bitrateKbps, m.sampleRate, m.channels) shouldBe
+        ((192, 48000, if (mono) 1 else 2))
+    }
+    Multimodal.sniffFormat(
+      Multimodal.synthMp3(128, 44100, mono = false,
+        withId3 = true)) shouldBe "mp3"
+    // free-format / reserved indices, bad sync, truncation → None
+    val bad = Multimodal.synthMp3(128, 44100, mono = false,
+      withId3 = false)
+    bad(2) = 0xf0.toByte // bitrate index 15 (bad)
+    Multimodal.mp3Meta(bad) shouldBe None
+    Multimodal.mp3Meta(Array[Byte](0x12, 0x34, 0x56, 0x78)) shouldBe None
+    Multimodal.mp3Meta(Multimodal.synthMp3(128, 44100, mono = false,
+      withId3 = true).take(11)) shouldBe None
+  }
 }
