@@ -1774,6 +1774,42 @@ object PipelineQueries {
       },
       Some(ivfQuantizedOracle)),
 
+    // TARGETED DELETE from the d16 store — the right-to-be-forgotten
+    // lifecycle op (write d16 / append d44 / compact d46 / delete
+    // this): the full corpus is written, the odd-id half is deleted
+    // (only victim cells rewritten, via dynamic partition overwrite +
+    // emptied-dir removal), and the search must behave as if the store
+    // had been built from the even half — per-vector quantization makes
+    // delete-after-write ≡ filter-before-write byte for byte. Oracle:
+    // the parameterized d11/d16/d29 replay with the even-half corpus
+    // predicate (centroids/assignment from the FULL corpus, the shared-
+    // index contract — deletion never moves cell boundaries).
+    GateQuery(
+      "d50_ann_stored_delete",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d50_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Quantize.writeIvfQuantized(assigned, path)
+        graft.similarity.Ivf.deletePartitioned(s, path,
+          e.filter(col("vec_id") % 2 === 1).select("vec_id"))
+        // queries are the surviving rows' own vectors (the d29 filtered-
+        // search contract the parameterized oracle encodes: its query
+        // side joins through the filtered corpus)
+        graft.similarity.Quantize.searchIvfQuantized(path,
+            e.filter(col("vec_id") < 10 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding", model, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracleFor(
+        corpusWhere = "vec_id % 2 = 0",
+        queryWhere = "vec_id < 10", k = 5))),
+
     // CONTINUOUS ingestion into the d16 store via Structured Streaming —
     // the streaming twin of d44: the corpus replays as a file stream in
     // genuinely incremental micro-batches (staged as two parquet files,

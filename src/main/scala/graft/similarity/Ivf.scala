@@ -209,6 +209,55 @@ object Ivf {
   def appendPartitioned(assignedBatch: DataFrame, path: String): Unit =
     assignedBatch.write.partitionBy("cid").mode("append").parquet(path)
 
+  /** Targeted delete from a partitioned store — the right-to-be-
+    * forgotten operation a 100 TB vector corpus must support without a
+    * full rewrite: only the cells CONTAINING victim rows are rewritten.
+    * Victim cells are found by one broadcast semi-join (deletion lists
+    * are request-sized, not corpus-sized), their surviving rows are
+    * rewritten in place via dynamic partition overwrite (untouched
+    * cells' files are never read or listed), and a cell whose rows are
+    * ALL deleted — which dynamic overwrite cannot express, it only
+    * replaces partitions it writes rows into — has its directory
+    * removed driver-side. In-place maintenance: schedule against
+    * concurrent probes like any table rewrite (or compose with
+    * [[compactPartitioned]]'s write-to-new-path discipline when probes
+    * cannot be drained).
+    *
+    * @param victims one column of ids to delete (any name; first column
+    *                is used), request-sized
+    */
+  def deletePartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, victims: DataFrame): Unit = {
+    val ids = broadcast(
+      victims.select(victims.columns.head).toDF("__victim_id").distinct())
+    val store = spark.read.parquet(path)
+    // the victim CELLS (model-bounded: at most one per victim id)
+    val affected = store.join(ids,
+        store("id") === ids("__victim_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.isEmpty) return
+    val survivors = store.where(col("cid").isin(affected: _*))
+      .join(ids, store("id") === ids("__victim_id"), "left_anti")
+    // cells emptied entirely must be found BEFORE the rewrite: dynamic
+    // overwrite only replaces partitions it writes rows into, so an
+    // all-deleted cell's old files survive the write untouched (and a
+    // post-write re-read would see them and wrongly call the cell
+    // still-populated)
+    val surviving = survivors.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSet
+    survivors.write.partitionBy("cid").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+    affected.filterNot(surviving).foreach { cid =>
+      val dir = java.nio.file.Paths.get(path, s"cid=$cid")
+      if (java.nio.file.Files.exists(dir)) {
+        val all = java.nio.file.Files.walk(dir)
+        try all.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+        finally all.close()
+      }
+    }
+  }
+
   /** Offline compaction of a partitioned store: many small batch files
     * per cell (the residue of `appendPartitioned` / streaming ingestion)
     * rewritten as one file per cell directory into `dst` — rows, bytes,

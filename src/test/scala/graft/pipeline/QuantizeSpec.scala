@@ -205,4 +205,39 @@ class QuantizeSpec extends SparkSpec {
       "vec_id", "embedding", model, k = 10, nprobe = 2)
     rowsOf(c, "qid", "rank", "nid") shouldBe rowsOf(b, "qid", "rank", "nid")
   }
+
+  it should "delete victims in place, rewriting only their cells" in {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    Quantize.writeIvfQuantized(assigned, dir)
+    // victims: every third row — delete-after-write must equal
+    // filter-before-write byte for byte (per-vector quantization)
+    graft.similarity.Ivf.deletePartitioned(spark, dir,
+      corpus.filter($"vec_id" % 3 === 0).select("vec_id"))
+    val expectDir = java.nio.file.Files
+      .createTempDirectory("ivf_del_exp").toString
+    Quantize.writeIvfQuantized(assigned.filter($"id" % 3 =!= 0), expectDir)
+    rowsOf(spark.read.parquet(dir), "id", "cid", "amax") shouldBe
+      rowsOf(spark.read.parquet(expectDir), "id", "cid", "amax")
+    // deleting EVERYTHING removes every cell directory (an empty store
+    // has no parquet footers left to read — assert on the filesystem)
+    graft.similarity.Ivf.deletePartitioned(spark, dir,
+      corpus.select("vec_id"))
+    val cellDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      cellDirs.iterator().asScala
+        .count(_.getFileName.toString.startsWith("cid=")) shouldBe 0
+    } finally cellDirs.close()
+    // no-op victim set leaves the store untouched
+    graft.similarity.Ivf.deletePartitioned(spark, expectDir,
+      corpus.filter($"vec_id" < 0).select("vec_id"))
+    spark.read.parquet(expectDir).count() shouldBe
+      corpus.filter($"vec_id" % 3 =!= 0).count()
+  }
 }
