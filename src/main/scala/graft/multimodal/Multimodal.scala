@@ -133,8 +133,14 @@ object Multimodal {
         b(i + 3) == 'a') {
         dataBytes = size
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size % 2).toInt
+      // chunks are word-aligned: odd sizes carry a pad byte. The next
+      // offset is computed in Long and bounds-checked: a malformed
+      // chunk size near 2^32 would otherwise wrap the Int cursor (hung
+      // walk at 0, or negative index throwing instead of the documented
+      // None-for-malformed contract).
+      val next = i + 8L + size + (size % 2)
+      if (next <= i || next > Int.MaxValue) return None
+      i = next.toInt
     }
     fmt match {
       case Some((ch, rate, byteRate, bits))
@@ -321,8 +327,12 @@ object Multimodal {
           Some((1 + le24(b, p + 4), 1 + le24(b, p + 7)))
         else None
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size % 2).toInt
+      // chunks are word-aligned: odd sizes carry a pad byte. Long math
+      // + bounds check, as in [[wavMeta]]'s walk: malformed sizes must
+      // yield None, never a wrapped cursor.
+      val next = i + 8L + size + (size % 2)
+      if (next <= i || next > Int.MaxValue) return None
+      i = next.toInt
     }
     None
   }

@@ -445,6 +445,17 @@ object EventStreams {
     * The model is FROZEN (the d44/d29 shared-index contract); re-train
     * + re-assign is an offline rebuild, not a streaming concern.
     *
+    * Replayed micro-batches are SKIPPED: `foreachBatch` is at-least-once
+    * (on failure the engine re-delivers the same batchId), and a blind
+    * append would land the batch's rows twice. Each committed batch
+    * leaves a marker file under `_graft_commits/<batchId>` inside the
+    * store (underscore-prefixed, so Spark's reader never lists it as
+    * data); a re-delivered batchId whose marker exists is a no-op.
+    * Residual window: a crash AFTER the append but BEFORE the marker
+    * write still duplicates that one batch on restart — closing it
+    * needs a transactional sink (file-manifest commit), which a plain
+    * cid-partitioned parquet layout deliberately doesn't carry.
+    *
     * The caller starts the returned writer, picking trigger/checkpoint.
     */
   def ingestVectorsIvfInt8(vectors: DataFrame, idCol: String,
@@ -454,7 +465,15 @@ object EventStreams {
     graft.similarity.Ivf.assign(vectors, idCol, vecCol, model)
       .writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) =>
-          graft.similarity.Quantize.appendIvfQuantized(batch, path)
+            batchId: Long) =>
+          val commits = new org.apache.hadoop.fs.Path(path, "_graft_commits")
+          val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
+          val fs = marker.getFileSystem(
+            batch.sparkSession.sessionState.newHadoopConf())
+          if (!fs.exists(marker)) {
+            graft.similarity.Quantize.appendIvfQuantized(batch, path)
+            fs.mkdirs(commits)
+            fs.create(marker, true).close()
+          }
       }
 }

@@ -306,6 +306,33 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.webpDims(vp8l) shouldBe None
   }
 
+  it should "return None on adversarial RIFF chunk sizes, never hang" in {
+    // a chunk size near 2^32 used to wrap the Int cursor: 8 + size + pad
+    // folds to 0 (walk never advances — executor hang) or negative
+    // (ArrayIndexOutOfBounds). The walk now computes offsets in Long and
+    // bails to None — the documented malformed-bytes contract.
+    def riff(form: String, chunkSize: Long): Array[Byte] = {
+      val out = new Array[Byte](24)
+      "RIFF".getBytes.copyToArray(out, 0)
+      form.getBytes.copyToArray(out, 8)
+      "JUNK".getBytes.copyToArray(out, 12)
+      out(16) = (chunkSize & 0xff).toByte
+      out(17) = ((chunkSize >> 8) & 0xff).toByte
+      out(18) = ((chunkSize >> 16) & 0xff).toByte
+      out(19) = ((chunkSize >> 24) & 0xff).toByte
+      out
+    }
+    for (sz <- Seq(0xfffffff8L, 0xffffffffL, 0x7ffffff8L)) {
+      Multimodal.wavMeta(riff("WAVE", sz)) shouldBe None
+      Multimodal.webpDims(riff("WEBP", sz)) shouldBe None
+    }
+    // sane walks over unknown chunks still work after the guard
+    Multimodal.wavMeta(Multimodal.synthWav(2, 44100, 16, 100))
+      .map(_.channels) shouldBe Some(2)
+    Multimodal.webpDims(Multimodal.synthWebp(64, 48, "vp8")) shouldBe
+      Some((64, 48))
+  }
+
   it should "round-trip HEIF-family dims through the nested ispe walk" in {
     for (brand <- Seq("avif", "avis", "heic", "heif", "mif1")) {
       val b = Multimodal.synthAvif(1920, 1080, brand)

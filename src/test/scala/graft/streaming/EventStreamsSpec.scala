@@ -470,4 +470,43 @@ class EventStreamsSpec extends SparkSpec {
       k = 5, nprobe = 2)
     rowsOf(a, "qid", "rank", "nid") shouldBe rowsOf(b, "qid", "rank", "nid")
   }
+
+  it should "skip replayed micro-batch ids instead of double-appending" in {
+    // foreachBatch is at-least-once: after a failure the engine
+    // re-delivers the same batchId. The commit-marker discipline must
+    // make the re-delivery a no-op, or the store grows duplicate ids.
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(11)
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat()))
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpusDf, "vec_id", "embedding", nlist = 3)
+    val store = java.nio.file.Files
+      .createTempDirectory("vec_replay").toString + "/store"
+    val in1 = MemoryStream[(Long, Array[Float])]
+    val q1 = EventStreams.ingestVectorsIvfInt8(
+      in1.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model, store).start()
+    try { in1.addData(corpus.take(20)); q1.processAllAvailable() }
+    finally q1.stop()
+    spark.read.parquet(store).count() shouldBe 20
+    // a restarted query re-delivers batchId 0 with the same rows — the
+    // marker must short-circuit the append
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = EventStreams.ingestVectorsIvfInt8(
+      in2.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", model, store).start()
+    try {
+      in2.addData(corpus.take(20)); q2.processAllAvailable()
+      spark.read.parquet(store).count() shouldBe 20 // not 40
+      // a batchId with no marker still appends (batch 1 here)
+      in2.addData(corpus.drop(20)); q2.processAllAvailable()
+    } finally q2.stop()
+    spark.read.parquet(store).count() shouldBe 30
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(store).groupBy(col("id")).count()
+      .filter(col("count") > 1).count() shouldBe 0
+  }
 }
