@@ -384,7 +384,20 @@ object PipelineQueries {
           |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private def hierInt8Oracle: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hierInt8OracleFor(corpusWhere = "1=1", queryWhere = "vec_id < 10",
+      k = 5)
+
+  /** Parameterized d40/d41/d47/d54 oracle — the hier two-stage rank ×
+    * int8 replay, with the same `corpusWhere`/`queryWhere` contract as
+    * [[ivfQuantizedOracleFor]]: the index (supers, leaf map, two-stage
+    * assignment at wassign = 2) always comes from the FULL corpus; the
+    * corpus predicate filters assigned rows BEFORE quantization (which
+    * per-vector quantization makes equal to filtering the stored rows),
+    * the query predicate selects probe rows.
+    */
+  private def hierInt8OracleFor(corpusWhere: String, queryWhere: String,
+      k: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
           |                v AS cv, list_dot_product(v, v) AS cnorm
           |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
@@ -399,25 +412,26 @@ object PipelineQueries {
           |                    ORDER BY sup.snorm - 2*list_dot_product(cent.cv, sup.sv),
           |                             sup.sid) AS rn
           |           FROM cent, sup) WHERE rn = 1),
-          |rsup AS (SELECT vec_id, v, sid FROM (
-          |           SELECT e.vec_id, e.v, sup.sid,
+          |rsup AS (SELECT vec_id, label, v, sid FROM (
+          |           SELECT e.vec_id, e.label, e.v, sup.sid,
           |                  row_number() OVER (PARTITION BY e.vec_id
           |                    ORDER BY sup.snorm - 2*list_dot_product(e.v, sup.sv),
           |                             sup.sid) AS rn
           |           FROM e, sup) WHERE rn <= 2),
           |asn AS (SELECT vec_id, v, cid FROM (
-          |          SELECT r.vec_id, r.v, l.cid,
+          |          SELECT r.vec_id, r.label, r.v, l.cid,
           |                 row_number() OVER (PARTITION BY r.vec_id
           |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
           |                            l.cid) AS rn
-          |          FROM rsup r JOIN lmap l ON l.sid = r.sid) WHERE rn = 1),
+          |          FROM rsup r JOIN lmap l ON l.sid = r.sid)
+          |        WHERE rn = 1 AND ($corpusWhere)),
           |prb AS (SELECT qid, cid FROM (
           |          SELECT r.vec_id AS qid, l.cid,
           |                 row_number() OVER (PARTITION BY r.vec_id
           |                   ORDER BY l.cnorm - 2*list_dot_product(r.v, l.cv),
           |                            l.cid) AS rn
           |          FROM rsup r JOIN lmap l ON l.sid = r.sid
-          |          WHERE r.vec_id < 10) WHERE rn <= 2),
+          |          WHERE ($queryWhere)) WHERE rn <= 2),
           |qz AS (SELECT vec_id, cid,
           |         CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
           |              ELSE list_transform(v, x -> floor(x * 127.0 / amax + 0.5))
@@ -436,7 +450,7 @@ object PipelineQueries {
           |r AS (SELECT qid, nid,
           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
           |      FROM sc)
-          |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+          |SELECT qid, rnk, nid FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
   /** d34's oracle, shared with its through-storage twin d48 (the
     * d16-reuses-d11 discipline: the smallint code round-trip is
@@ -1809,6 +1823,132 @@ object PipelineQueries {
       Some(ivfQuantizedOracleFor(
         corpusWhere = "vec_id % 2 = 0",
         queryWhere = "vec_id < 10", k = 5))),
+
+    // ATTRIBUTE-FILTERED vector search THROUGH THE STORE — the single
+    // most common real serving shape ("nearest neighbors WHERE
+    // lang = 'en' AND license = 'permissive'"), composed from the two
+    // audited halves: d29's filter contract (shared index from the
+    // FULL corpus; the predicate restricts which rows may be ranked)
+    // and d16's partition-pruned read. The attribute persists NEXT TO
+    // the codes (writeIvfQuantized attrCols), so the predicate lands
+    // BENEATH the pruned scan as a parquet PushedFilter — non-matching
+    // rows never deserialize, let alone score (QuantizeSpec pins the
+    // plan). Oracle = d29's parameterized replay verbatim: the storage
+    // round-trip is lossless and filter-before-quantize ≡
+    // filter-after-store per vector.
+    GateQuery(
+      "d51_ann_filtered_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model, keep = Seq("label"))
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d51_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Quantize.writeIvfQuantized(assigned, path,
+          attrCols = Seq("label"))
+        graft.similarity.Quantize.searchIvfQuantized(path,
+            e.filter(col("label") === 3 && col("vec_id") < 100),
+            "vec_id", "embedding", model, k = 3, nprobe = 2,
+            filter = Some(col("label") === 3))
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfQuantizedOracleFor(
+        corpusWhere = "label = 3",
+        queryWhere = "label = 3 AND vec_id < 100", k = 3))),
+
+    // d51's HIERARCHICAL twin — the filter composed with the two-stage
+    // coarse quantizer's pruned read (searchIvfQuantizedHier): same
+    // stored-attribute layout, same post-filter contract, the probe
+    // stage is the compiled super→leaf rank. Closes the last ANN
+    // composition with no gate: {flat, hier} × {unfiltered, filtered}
+    // all now run through storage. Oracle = the parameterized hier
+    // replay with the d29 predicates.
+    GateQuery(
+      "d54_ann_filtered_hier_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 16)
+        val h = graft.similarity.IvfHier.hierarchy(model, nsuper = 4)
+        val assigned = graft.similarity.IvfHier.assignHier(
+          e, "vec_id", "embedding", h, wassign = 2, keep = Seq("label"))
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d54_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Quantize.writeIvfQuantized(assigned, path,
+          attrCols = Seq("label"))
+        graft.similarity.Quantize.searchIvfQuantizedHier(path,
+            e.filter(col("label") === 3 && col("vec_id") < 100),
+            "vec_id", "embedding", h, k = 3, wprobe = 2, nprobe = 2,
+            filter = Some(col("label") === 3))
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(hierInt8OracleFor(
+        corpusWhere = "label = 3",
+        queryWhere = "label = 3 AND vec_id < 100", k = 3))),
+
+    // INCREMENTAL INGESTION into the d42 BINARY store — the d44
+    // batch-invariance discipline on the binary arm (the lifecycle ×
+    // codec matrix's writes-over-time gap): codes are per-row functions
+    // of the frozen hyperplanes, so the even-then-odd two-batch write
+    // must serve d42's oracle verbatim.
+    GateQuery(
+      "d52_ann_binary_stored_append",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", ivf)
+        val enc = graft.similarity.BinaryQuant.encode(
+          assigned, "id", "vec", dim = 64, bits = 16)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d52_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.BinaryQuant.writeIvfBinary(
+          enc.filter(col("id") % 2 === 0), path, bits = 16)
+        graft.similarity.BinaryQuant.appendIvfBinary(
+          enc.filter(col("id") % 2 =!= 0), path, bits = 16)
+        graft.similarity.BinaryQuant.searchIvfBinary(path, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", ivf,
+          dim = 64, bits = 16, k = 5, nprobe = 2, shortlist = 20)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfBinaryOracle)),
+
+    // INCREMENTAL INGESTION into the d48 PQ store — the same
+    // discipline at the PQ code granularity (codes and csqn are
+    // per-row functions of the frozen codebooks), closing the
+    // lifecycle × codec matrix: append is now gated on all three code
+    // granularities (int8 d44, binary d52, PQ this). Oracle = d48's =
+    // d34's verbatim.
+    GateQuery(
+      "d53_ann_pq_stored_append",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ivf = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", ivf)
+        val cb = graft.similarity.Pq.sampleCodebooks(
+          e, "vec_id", "embedding", m = 4, ksub = 8)
+        val enc = graft.similarity.Pq.encode(assigned, "id", "vec", cb)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d53_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.Pq.writeIvfPq(
+          enc.filter(col("id") % 2 === 0), path, cb)
+        graft.similarity.Pq.appendIvfPq(
+          enc.filter(col("id") % 2 =!= 0), path, cb)
+        graft.similarity.Pq.searchIvfPqStored(path, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(ivfPqOracle)),
 
     // CONTINUOUS ingestion into the d16 store via Structured Streaming —
     // the streaming twin of d44: the corpus replays as a file stream in

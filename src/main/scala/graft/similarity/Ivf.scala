@@ -108,12 +108,17 @@ object Ivf {
     * pre-r5 broadcast-join + groupBy/min_by formulation hash-exchanged
     * every (id, vector) row once; the r5-r14 HOF literal form was
     * exchange-free but interpreted per centroid).
+    *
+    * @param keep attribute columns carried through after (id, cid, vec)
+    *             — the filtered-search path persists these next to the
+    *             codes so a predicate can run INSIDE the probed cells
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-      model: Model): DataFrame =
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      model: Model, keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        keep.map(col): _*)
       .withColumn("cid", nearestCells(col("vec"), model, 1).getItem(0))
-      .select(col("id"), col("cid"), col("vec"))
+      .select(col("id") +: col("cid") +: col("vec") +: keep.map(col): _*)
 
   /** Probe-side rows (query × nprobe, each carrying the full query
     * vector) at or below this count are broadcast so the corpus never
@@ -214,14 +219,20 @@ object Ivf {
     * full rewrite: only the cells CONTAINING victim rows are rewritten.
     * Victim cells are found by one broadcast semi-join (deletion lists
     * are request-sized, not corpus-sized), their surviving rows are
-    * rewritten in place via dynamic partition overwrite (untouched
-    * cells' files are never read or listed), and a cell whose rows are
-    * ALL deleted — which dynamic overwrite cannot express, it only
-    * replaces partitions it writes rows into — has its directory
-    * removed driver-side. In-place maintenance: schedule against
-    * concurrent probes like any table rewrite (or compose with
-    * [[compactPartitioned]]'s write-to-new-path discipline when probes
-    * cannot be drained).
+    * MATERIALIZED to a staging path first, and only then swapped into
+    * the store cell by cell (delete victim dir, rename staged dir in) —
+    * never an in-place overwrite of a path the rewrite plan is lazily
+    * reading from, and never a dependence on dynamic-partition-
+    * overwrite's version-sensitive self-read allowance. A cell whose
+    * rows are ALL deleted simply has its directory removed. All
+    * directory work goes through Spark's Hadoop `FileSystem`, so the
+    * same code serves `hdfs://`/`s3a://` stores, not just local paths.
+    *
+    * A crash mid-swap leaves whole cells either old or new (staged
+    * files are complete before any store file is touched), but a
+    * concurrent probe can still observe a mixture across cells — for a
+    * store that must serve probes DURING the delete, use
+    * [[deleteToPath]] and swap paths atomically at the catalog level.
     *
     * @param victims one column of ids to delete (any name; first column
     *                is used), request-sized
@@ -238,25 +249,71 @@ object Ivf {
     if (affected.isEmpty) return
     val survivors = store.where(col("cid").isin(affected: _*))
       .join(ids, store("id") === ids("__victim_id"), "left_anti")
-    // cells emptied entirely must be found BEFORE the rewrite: dynamic
-    // overwrite only replaces partitions it writes rows into, so an
-    // all-deleted cell's old files survive the write untouched (and a
-    // post-write re-read would see them and wrongly call the cell
-    // still-populated)
-    val surviving = survivors.select("cid").distinct().collect()
-      .map(_.getInt(0)).toSet
+    val fs = hadoopFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "__delete_stage")
+    fs.delete(stage, true)
+    // survivors are fully on disk BEFORE any store file is touched
     survivors.write.partitionBy("cid").mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").parquet(path)
-    affected.filterNot(surviving).foreach { cid =>
-      val dir = java.nio.file.Paths.get(path, s"cid=$cid")
-      if (java.nio.file.Files.exists(dir)) {
-        val all = java.nio.file.Files.walk(dir)
-        try all.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.delete(f); () })
-        finally all.close()
+      .parquet(stage.toString)
+    affected.foreach { cid =>
+      val cell = new org.apache.hadoop.fs.Path(root, s"cid=$cid")
+      val staged = new org.apache.hadoop.fs.Path(stage, s"cid=$cid")
+      fs.delete(cell, true)
+      // an all-deleted cell has no staged dir: the delete alone is the op
+      if (fs.exists(staged)) fs.rename(staged, cell)
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Write-to-new-path twin of [[deletePartitioned]] — the live-serving-
+    * safe delete: `src` is never mutated, so concurrent probes keep a
+    * consistent store throughout, and the caller swaps src → dst as one
+    * atomic catalog/path flip when `dst` is complete (the
+    * [[compactPartitioned]] discipline). Victim cells' survivors are
+    * rewritten into `dst` via Spark; UNTOUCHED cells move as raw
+    * parquet files through the `FileSystem` layer — no decode/re-encode,
+    * which is the entire point at 100 TB where deletion lists touch a
+    * handful of the store's cells. (The file copy is driver-orchestrated
+    * here; a production HDFS deployment would hand the untouched-cell
+    * list to distcp — the per-cell layout makes that a directory-list
+    * handoff.)
+    */
+  def deleteToPath(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, victims: DataFrame): Unit = {
+    val ids = broadcast(
+      victims.select(victims.columns.head).toDF("__victim_id").distinct())
+    val store = spark.read.parquet(src)
+    val affected = store.join(ids,
+        store("id") === ids("__victim_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    val fs = hadoopFs(spark, src)
+    val srcRoot = new org.apache.hadoop.fs.Path(src)
+    val dstRoot = new org.apache.hadoop.fs.Path(dst)
+    fs.delete(dstRoot, true)
+    fs.mkdirs(dstRoot)
+    // untouched cells: file-level copy, no deserialization
+    fs.listStatus(srcRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("cid=") &&
+        !affected.contains(name.stripPrefix("cid=").toInt)) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dstRoot, name), false,
+          spark.sessionState.newHadoopConf())
       }
     }
+    if (affected.nonEmpty) {
+      store.where(col("cid").isin(affected.toSeq: _*))
+        .join(ids, store("id") === ids("__victim_id"), "left_anti")
+        .write.partitionBy("cid").mode("append").parquet(dst)
+    }
   }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Offline compaction of a partitioned store: many small batch files
     * per cell (the residue of `appendPartitioned` / streaming ingestion)

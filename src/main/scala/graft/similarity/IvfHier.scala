@@ -157,13 +157,18 @@ object IvfHier {
     * `Ivf.writePartitioned`, the quantized paths — is unchanged.
     * `wassign` trades assignment exactness for cost: wassign = nsuper
     * ranks every leaf and is bit-identical to `Ivf.assign`.
+    *
+    * @param keep attribute columns carried through after (id, cid, vec)
+    *             — `Ivf.assign`'s filtered-search contract
     */
   def assignHier(df: DataFrame, idCol: String, vecCol: String,
-      h: HierModel, wassign: Int = 1): DataFrame = {
+      h: HierModel, wassign: Int = 1, keep: Seq[String] = Nil)
+      : DataFrame = {
     require(wassign >= 1, s"wassign must be >= 1: $wassign")
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    df.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+        keep.map(col): _*)
       .withColumn("cid", topLeafCids(col("vec"), h, wassign, 1).getItem(0))
-      .select("id", "cid", "vec")
+      .select(col("id") +: col("cid") +: col("vec") +: keep.map(col): _*)
   }
 
   /** Probe table (qid, qvec, cid): top-`wprobe` supers, then the

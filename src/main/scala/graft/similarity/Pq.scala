@@ -207,13 +207,29 @@ object Pq {
     * travel with the model, not the store.
     */
   def writeIvfPq(encodedAssigned: DataFrame, path: String,
-      cb: Codebooks): Unit = {
+      cb: Codebooks): Unit =
+    Ivf.writePartitioned(pqStorageRows(encodedAssigned, cb), path)
+
+  /** Append an encoded batch into an existing [[writeIvfPq]] store
+    * (`Ivf.appendPartitioned` — the d44 incremental-ingestion
+    * discipline at the PQ code granularity: codes and `csqn` are
+    * per-row functions of the FROZEN codebooks, so batching cannot
+    * change any stored byte and readers see the union unchanged).
+    */
+  def appendIvfPq(encodedBatch: DataFrame, path: String,
+      cb: Codebooks): Unit =
+    Ivf.appendPartitioned(pqStorageRows(encodedBatch, cb), path)
+
+  /** The storage projection shared by write and append — the
+    * batch-invariance contract (`Quantize.quantizedStorageRows`'s
+    * rationale on the PQ arm).
+    */
+  private def pqStorageRows(encodedAssigned: DataFrame,
+      cb: Codebooks): DataFrame = {
     require(cb.ksub <= 32767,
       s"smallint code storage requires ksub <= 32767: ${cb.ksub}")
-    Ivf.writePartitioned(
-      encodedAssigned.select(col("id"), col("cid"),
-        col("code").cast("array<smallint>").as("code"), col("csqn")),
-      path)
+    encodedAssigned.select(col("id"), col("cid"),
+      col("code").cast("array<smallint>").as("code"), col("csqn"))
   }
 
   /** Search a [[writeIvfPq]] corpus — [[searchIvfPq]] through storage:

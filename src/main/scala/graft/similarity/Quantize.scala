@@ -160,9 +160,16 @@ object Quantize {
     * persisted (one double per vector): cosine ranking never needs it,
     * but it is the only way a consumer can dequantize magnitudes
     * (x ≈ q·amax/127).
+    *
+    * @param attrCols attribute columns (tenant, language, license …)
+    *                 persisted next to the codes — the filtered-search
+    *                 columns `searchIvfQuantized{,Hier}`'s `filter`
+    *                 pushes into the probed cells' parquet scan
     */
-  def writeIvfQuantized(assignedCorpus: DataFrame, path: String): Unit =
-    Ivf.writePartitioned(quantizedStorageRows(assignedCorpus), path)
+  def writeIvfQuantized(assignedCorpus: DataFrame, path: String,
+      attrCols: Seq[String] = Nil): Unit =
+    Ivf.writePartitioned(
+      quantizedStorageRows(assignedCorpus, attrCols), path)
 
   /** Append an assigned batch into an existing `writeIvfQuantized` store
     * (`Ivf.appendPartitioned` — the incremental-ingestion discipline:
@@ -171,19 +178,23 @@ object Quantize {
     * files inside its cells' directories; `searchIvfQuantized{,Hier}`
     * read the union unchanged).
     */
-  def appendIvfQuantized(assignedBatch: DataFrame, path: String): Unit =
-    Ivf.appendPartitioned(quantizedStorageRows(assignedBatch), path)
+  def appendIvfQuantized(assignedBatch: DataFrame, path: String,
+      attrCols: Seq[String] = Nil): Unit =
+    Ivf.appendPartitioned(
+      quantizedStorageRows(assignedBatch, attrCols), path)
 
   /** The storage projection shared by write and append — per-vector
     * quantization CANNOT depend on which batch a row arrived in (amax
     * is per-row), which is what makes batched ingestion byte-identical
     * to a one-shot write.
     */
-  private def quantizedStorageRows(assignedCorpus: DataFrame): DataFrame =
+  private def quantizedStorageRows(assignedCorpus: DataFrame,
+      attrCols: Seq[String]): DataFrame =
     assignedCorpus
       .withColumn("__qz", quantized(col("vec").cast("array<double>")))
-      .select(col("id"), col("cid"), col("__qz.amax").as("amax"),
-        col("__qz.qvec").cast("array<tinyint>").as("qvec"))
+      .select(col("id") +: col("cid") +: col("__qz.amax").as("amax") +:
+        col("__qz.qvec").cast("array<tinyint>").as("qvec") +:
+        attrCols.map(col): _*)
 
   /** Search a `writeIvfQuantized` corpus: probed cell ids (≤ nlist, tiny)
     * push down as a partition filter — only the probed cells' int8 files
@@ -191,18 +202,31 @@ object Quantize {
     * integral doubles the rerank kernel expects. End to end this is the
     * 100 TB read path: nprobe/nlist of the files at 1/4 the bytes, then
     * exact integer arithmetic.
+    *
+    * @param filter optional attribute predicate over columns the store
+    *               persisted (`writeIvfQuantized`'s `attrCols`) — the
+    *               tenant/language/license-constrained serving query.
+    *               Applied INSIDE the probed-cells scan, beneath the
+    *               partition pruning: Catalyst pushes it into the
+    *               parquet reader (`PushedFilters`), so non-matching
+    *               rows never deserialize, let alone score. Post-filter
+    *               semantics, the d29 contract: the index (centroids,
+    *               assignment, quantization) is the full corpus's —
+    *               shared across tenants — and the predicate only
+    *               restricts which stored rows may be ranked.
     */
   def searchIvfQuantized(path: String, queries: DataFrame, idCol: String,
-      vecCol: String, model: Ivf.Model, k: Int,
-      nprobe: Int): DataFrame = {
+      vecCol: String, model: Ivf.Model, k: Int, nprobe: Int,
+      filter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     // not cache()d — same bounded-recompute rationale as
     // Ivf.searchPartitioned (no code path here could ever unpersist)
     val prb = Ivf.probes(queries, idCol, vecCol, model, nprobe)
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val qc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val qc = filter.fold(pruned)(pruned.where)
       .select(col("id"), col("cid"),
         col("qvec").cast("array<double>").as("vec"))
     Ivf.scoreProbedCells(qc,
@@ -217,18 +241,21 @@ object Quantize {
     * stage changes to the compiled two-stage rank (`IvfHier.probesHier`
     * — nsuper + w·nlist/nsuper centroid dots per query instead of
     * nlist). Probed cell ids (model-bounded) push down as a partition
-    * filter exactly as in `searchIvfQuantized`.
+    * filter exactly as in `searchIvfQuantized`, and the optional
+    * attribute `filter` lands beneath the pruned scan the same way.
     */
   def searchIvfQuantizedHier(path: String, queries: DataFrame,
       idCol: String, vecCol: String, h: IvfHier.HierModel, k: Int,
-      wprobe: Int, nprobe: Int): DataFrame = {
+      wprobe: Int, nprobe: Int,
+      filter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     // not cache()d — the searchIvfQuantized bounded-recompute rationale
     val prb = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe, nprobe)
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val qc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val qc = filter.fold(pruned)(pruned.where)
       .select(col("id"), col("cid"),
         col("qvec").cast("array<double>").as("vec"))
     Ivf.scoreProbedCells(qc,

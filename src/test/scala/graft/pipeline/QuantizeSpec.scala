@@ -240,4 +240,80 @@ class QuantizeSpec extends SparkSpec {
     spark.read.parquet(expectDir).count() shouldBe
       corpus.filter($"vec_id" % 3 =!= 0).count()
   }
+
+  it should "push the attribute filter beneath the pruned stored scan" in {
+    // the tenant/attribute-constrained serving query: the predicate must
+    // land INSIDE the probed-cells read — partition pruning on cid AND a
+    // parquet PushedFilter on the stored attribute — and the results must
+    // equal the in-memory filtered path (the d29 contract)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_filtered").toString
+    val attributed = corpus.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en").otherwise("de"))
+    val queries = attributed.filter($"vec_id" < 24 && $"lang" === "en")
+    val model = graft.similarity.Ivf.sampleCentroids(
+      attributed, "vec_id", "embedding", nlist = 4)
+    // index from the FULL corpus (shared across tenants); the attribute
+    // persists next to the codes
+    val assigned = graft.similarity.Ivf.assign(
+      attributed, "vec_id", "embedding", model, keep = Seq("lang"))
+    Quantize.writeIvfQuantized(assigned, dir, attrCols = Seq("lang"))
+    val stored = Quantize.searchIvfQuantized(dir, queries,
+      "vec_id", "embedding", model, k = 5, nprobe = 2,
+      filter = Some($"lang" === "en"))
+    val mem = Quantize.ivfTopK(assigned.filter($"lang" === "en"),
+      queries, "vec_id", "embedding", model, k = 5, nprobe = 2)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    // plan: cid partition-pruned AND the row filter pushed to parquet
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
+      .findFirstIn(planStr) should not be empty
+    "PushedFilters: \\[[^\\]]*EqualTo\\(lang,en\\)".r
+      .findFirstIn(planStr) should not be empty
+    // filtered results really differ from the unfiltered store search
+    // (the predicate is doing work inside the scan, not decoration)
+    val unfiltered = Quantize.searchIvfQuantized(dir, queries,
+      "vec_id", "embedding", model, k = 5, nprobe = 2)
+    rowsOf(stored, "qid", "rank", "nid") should not be
+      rowsOf(unfiltered, "qid", "rank", "nid")
+    // every neighbor served is from the filtered slice
+    stored.select("nid").distinct().collect().map(_.getLong(0))
+      .forall(_ % 3 == 0) shouldBe true
+  }
+
+  it should "delete to a new path, leaving the source store untouched" in {
+    // the live-serving-safe form: src never mutates (concurrent probes
+    // stay consistent), untouched cells move as raw files, only victim
+    // cells are rewritten; caller swaps src -> dst atomically
+    val src = java.nio.file.Files.createTempDirectory("ivf_d2p_src")
+      .toString
+    val dst = java.nio.file.Files.createTempDirectory("ivf_d2p")
+      .toString + "/next"
+    val model = graft.similarity.Ivf.sampleCentroids(
+      corpus, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      corpus, "vec_id", "embedding", model)
+    Quantize.writeIvfQuantized(assigned, src)
+    val before = rowsOf(spark.read.parquet(src), "id", "cid", "amax")
+    graft.similarity.Ivf.deleteToPath(spark, src, dst,
+      corpus.filter($"vec_id" % 3 === 0).select("vec_id"))
+    // dst behaves as if built from the survivors...
+    val expectDir = java.nio.file.Files
+      .createTempDirectory("ivf_d2p_exp").toString
+    Quantize.writeIvfQuantized(assigned.filter($"id" % 3 =!= 0), expectDir)
+    rowsOf(spark.read.parquet(dst), "id", "cid", "amax") shouldBe
+      rowsOf(spark.read.parquet(expectDir), "id", "cid", "amax")
+    // ...and src is byte-for-byte what it was
+    rowsOf(spark.read.parquet(src), "id", "cid", "amax") shouldBe before
+    // search over dst serves the survivor ranks
+    val got = Quantize.searchIvfQuantized(dst,
+      corpus.filter($"vec_id" < 8 && $"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", model, k = 5, nprobe = 2)
+    val want = Quantize.searchIvfQuantized(expectDir,
+      corpus.filter($"vec_id" < 8 && $"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", model, k = 5, nprobe = 2)
+    rowsOf(got, "qid", "rank", "nid") shouldBe
+      rowsOf(want, "qid", "rank", "nid")
+  }
 }
