@@ -566,18 +566,27 @@ object Multimodal {
     128, 160, 192, 224, 256, 320)
   private val Mp3SampleRates = Array(44100, 48000, 32000)
 
-  /** Parsed MP3 frame-header metadata (first frame). */
+  /** Parsed MP3 frame-header metadata (first frame). `xingFrames` /
+    * `durationMs` come from a Xing/Info VBR tag when one sits in the
+    * first frame (frame count × 1152 samples ÷ sample rate — the only
+    * honest duration for a VBR crawl without a full frame census);
+    * None/None when the tag is absent.
+    */
   final case class Mp3Meta(bitrateKbps: Int, sampleRate: Int,
-      channels: Int)
+      channels: Int, xingFrames: Option[Long] = None,
+      durationMs: Option[Long] = None)
 
   /** MP3 (MPEG-1 Layer III): skips an ID3v2 tag if present (the
     * real-crawl common case — "ID3"[ver 2][flags][syncsafe u28 size]),
     * then requires a valid frame sync (11 set bits) with MPEG-1 (bits
     * 19–20 = 3), Layer III (bits 17–18 = 1), a defined bitrate index,
     * and a defined sample-rate index. Channels from the mode field
-    * (mono ⇒ 1, else 2). Duration needs the full frame census (CBR
-    * assumption is a lie on VBR crawls), so this reports the
-    * per-frame facts only. None for non-MP3 bytes or truncation.
+    * (mono ⇒ 1, else 2). Duration: a CBR assumption is a lie on VBR
+    * crawls, so it is reported ONLY when the first frame carries a
+    * Xing/Info tag (at the fixed post-side-info offset — 32 bytes for
+    * stereo modes, 17 for mono) whose frame-count flag is set:
+    * duration_ms = frames · 1152 · 1000 / rate, exact integral. None
+    * for non-MP3 bytes or truncation.
     */
   def mp3Meta(b: Array[Byte]): Option[Mp3Meta] = {
     if (b == null || b.length < 4) return None
@@ -597,8 +606,22 @@ object Multimodal {
     val srIdx = (h2 >> 2) & 0x3
     if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
     val mode = (h3 >> 6) & 0x3
-    Some(Mp3Meta(Mp3Bitrates(brIdx), Mp3SampleRates(srIdx),
-      if (mode == 3) 1 else 2))
+    val mono = mode == 3
+    val rate = Mp3SampleRates(srIdx)
+    // Xing ("Xing" = VBR, "Info" = the CBR twin LAME writes) after the
+    // MPEG-1 side info: 32 bytes (stereo/joint/dual), 17 (mono)
+    val tagAt = i + 4 + (if (mono) 17 else 32)
+    val xing =
+      if (tagAt + 8 <= b.length &&
+        ((b(tagAt) == 'X' && b(tagAt + 1) == 'i' && b(tagAt + 2) == 'n' &&
+          b(tagAt + 3) == 'g') ||
+         (b(tagAt) == 'I' && b(tagAt + 1) == 'n' && b(tagAt + 2) == 'f' &&
+          b(tagAt + 3) == 'o')) &&
+        (be32(b, tagAt + 4) & 0x1L) != 0 && tagAt + 12 <= b.length)
+        Some(be32(b, tagAt + 8))
+      else None
+    Some(Mp3Meta(Mp3Bitrates(brIdx), rate, if (mono) 1 else 2,
+      xing, xing.map(f => f * 1152L * 1000L / rate)))
   }
 
   /** Minimal MP3 blob: optional empty ID3v2 tag + one frame header.
@@ -623,6 +646,306 @@ object Multimodal {
     out(head + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
     out(head + 3) = (if (mono) 0xc0 else 0x00).toByte
     out
+  }
+
+  /** [[synthMp3]] with a Xing/Info VBR tag in the first frame: header +
+    * zeroed side info + tag + frames-flag + frame count. Synthesis twin
+    * of the duration half of [[mp3Meta]].
+    */
+  def synthMp3Vbr(sampleRate: Int, mono: Boolean, frames: Long,
+      cbrInfoTag: Boolean = false): Array[Byte] = {
+    require(frames >= 0 && frames <= 0xffffffffL, s"frames: $frames")
+    val head = synthMp3(128, sampleRate, mono, withId3 = false)
+    val side = if (mono) 17 else 32
+    val out = new Array[Byte](4 + side + 12)
+    head.copyToArray(out, 0, 4)
+    val tag = if (cbrInfoTag) "Info" else "Xing"
+    tag.getBytes.copyToArray(out, 4 + side)
+    out(4 + side + 7) = 0x01 // flags: frame count present
+    out(4 + side + 8) = ((frames >> 24) & 0xff).toByte
+    out(4 + side + 9) = ((frames >> 16) & 0xff).toByte
+    out(4 + side + 10) = ((frames >> 8) & 0xff).toByte
+    out(4 + side + 11) = (frames & 0xff).toByte
+    out
+  }
+
+  /** Parsed Ogg stream metadata (first logical bitstream). For Opus,
+    * `sampleRate` is OpusHead's informational input rate while duration
+    * is computed at the codec-mandated 48 kHz granule clock minus
+    * pre-skip; for Vorbis the granule clock IS the sample rate.
+    */
+  final case class OggMeta(codec: String, channels: Int, sampleRate: Int,
+      lastGranule: Long, durationMs: Long)
+
+  /** Ogg (Opus/Vorbis): page walk — each page is "OggS", version 0,
+    * header-type flags, granule position s64LE, serial u32LE, sequence,
+    * CRC (not verified — a metadata pass trusts framing, not payload
+    * integrity), segment count, segment table, payload of Σ lacing
+    * values. The FIRST (BOS) page's payload is the identification
+    * header: "OpusHead" (channels u8 at 9, pre-skip u16LE at 10, input
+    * rate u32LE at 12) or "\x01vorbis" (channels u8 at 11, rate u32LE
+    * at 12). Duration comes from the LAST page of the same serial whose
+    * granule is not -1 (no-packet-ends marker): Opus granules tick at
+    * 48 kHz and include pre-skip (RFC 7845 §4/§4.2); Vorbis granules
+    * are PCM samples at the stream rate. Pages of other serials
+    * (multiplexed streams) are skipped. None for non-Ogg bytes,
+    * truncation mid-walk, a malformed id header, or a zero rate.
+    */
+  def oggMeta(b: Array[Byte]): Option[OggMeta] = {
+    if (b == null || b.length < 28 ||
+      b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S')
+      return None
+    var i = 0
+    var serial = -1L
+    var codec: String = null
+    var channels = 0
+    var rate = 0
+    var preSkip = 0
+    var lastGranule = -1L
+    while (i + 27 <= b.length) {
+      if (b(i) != 'O' || b(i + 1) != 'g' || b(i + 2) != 'g' ||
+        b(i + 3) != 'S' || u8(b, i + 4) != 0) return None
+      val granule = le32(b, i + 6) | (le32(b, i + 10) << 32)
+      val pageSerial = le32(b, i + 14)
+      val nsegs = u8(b, i + 26)
+      if (i + 27 + nsegs > b.length) return None
+      var payloadLen = 0
+      var s = 0
+      while (s < nsegs) { payloadLen += u8(b, i + 27 + s); s += 1 }
+      val p = i + 27 + nsegs
+      if (p + payloadLen > b.length) return None
+      if (codec == null) {
+        // first page must identify the stream
+        if ((u8(b, i + 5) & 0x02) == 0) return None // not BOS
+        serial = pageSerial
+        if (payloadLen >= 19 && b(p) == 'O' && b(p + 1) == 'p' &&
+          b(p + 2) == 'u' && b(p + 3) == 's' && b(p + 4) == 'H' &&
+          b(p + 5) == 'e' && b(p + 6) == 'a' && b(p + 7) == 'd') {
+          codec = "opus"
+          channels = u8(b, p + 9)
+          preSkip = le16(b, p + 10)
+          rate = le32(b, p + 12).toInt
+        } else if (payloadLen >= 16 && u8(b, p) == 0x01 &&
+          b(p + 1) == 'v' && b(p + 2) == 'o' && b(p + 3) == 'r' &&
+          b(p + 4) == 'b' && b(p + 5) == 'i' && b(p + 6) == 's') {
+          codec = "vorbis"
+          channels = u8(b, p + 11)
+          rate = le32(b, p + 12).toInt
+        } else return None
+      } else if (pageSerial == serial && granule != -1L) {
+        lastGranule = granule
+      }
+      i = p + payloadLen
+    }
+    if (codec == null || rate <= 0) return None
+    // granule clock: Opus is fixed 48 kHz and granules include pre-skip
+    val clock = if (codec == "opus") 48000 else rate
+    val samples = math.max(0L,
+      if (codec == "opus") lastGranule - preSkip
+      else math.max(0L, lastGranule))
+    Some(OggMeta(codec, channels, rate, lastGranule,
+      samples * 1000L / clock))
+  }
+
+  /** Minimal Ogg blob: a BOS identification page + one EOS data page
+    * carrying the final granule (CRCs zeroed — [[oggMeta]] documents
+    * that framing, not payload integrity, is what a metadata pass
+    * checks). Synthesis twin of [[oggMeta]]: real page framing, real
+    * OpusHead/Vorbis id headers. Opus granules include the canonical
+    * 312-sample pre-skip.
+    */
+  def synthOgg(codec: String, channels: Int, sampleRate: Int,
+      nSamples: Long): Array[Byte] = {
+    require(codec == "opus" || codec == "vorbis", s"codec: $codec")
+    require(channels >= 1 && channels <= 255, s"channels: $channels")
+    require(sampleRate >= 1, s"rate: $sampleRate")
+    require(nSamples >= 0, s"nSamples: $nSamples")
+    val preSkip = 312
+    def page(headerType: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](27 + 1 + payload.length)
+      "OggS".getBytes.copyToArray(out, 0)
+      out(5) = headerType.toByte
+      var g = granule
+      for (j <- 0 until 8) { out(6 + j) = (g & 0xff).toByte; g >>= 8 }
+      out(14) = 0x42; out(15) = 0x17 // serial, arbitrary fixed
+      out(18) = seq.toByte
+      out(26) = 1 // one segment
+      out(27) = payload.length.toByte
+      payload.copyToArray(out, 28)
+      out
+    }
+    val id: Array[Byte] =
+      if (codec == "opus") {
+        val p = new Array[Byte](19)
+        "OpusHead".getBytes.copyToArray(p, 0)
+        p(8) = 1 // version
+        p(9) = channels.toByte
+        p(10) = (preSkip & 0xff).toByte; p(11) = (preSkip >> 8).toByte
+        var r = sampleRate.toLong
+        for (j <- 0 until 4) { p(12 + j) = (r & 0xff).toByte; r >>= 8 }
+        p
+      } else {
+        val p = new Array[Byte](30)
+        p(0) = 0x01
+        "vorbis".getBytes.copyToArray(p, 1)
+        p(11) = channels.toByte
+        var r = sampleRate.toLong
+        for (j <- 0 until 4) { p(12 + j) = (r & 0xff).toByte; r >>= 8 }
+        p(29) = 0x01 // framing bit
+        p
+      }
+    val finalGranule =
+      if (codec == "opus") preSkip + nSamples else nSamples
+    page(0x02, 0L, 0, id) ++
+      page(0x04, finalGranule, 1, Array[Byte](0x00, 0x00, 0x00, 0x00))
+  }
+
+  /** Parsed Matroska/WebM metadata. `durationMs` is −1 when the Info
+    * element carries no Duration (a live/streamed capture); width and
+    * height come from the first video track's PixelWidth/PixelHeight.
+    */
+  final case class MkvMeta(docType: String, timescaleNs: Long,
+      durationMs: Long, width: Int, height: Int)
+
+  /** EBML varint at `i`: the leading byte's first set bit gives the
+    * length (1–8 bytes); IDs keep the marker bit (the canonical
+    * notation), sizes strip it. Returns (value, byteLength), or None
+    * for truncation or a zero lead byte (reserved/invalid).
+    */
+  private def ebmlVint(b: Array[Byte], i: Int,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (i >= b.length) return None
+    val first = u8(b, i)
+    if (first == 0) return None
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+    if (i + len > b.length) return None
+    var v = (if (keepMarker) first else first & (0xff >>> len)).toLong
+    var j = 1
+    while (j < len) { v = (v << 8) | u8(b, i + j); j += 1 }
+    Some((v, len))
+  }
+
+  /** Find the first child element with EBML id `id` inside
+    * [from, to): returns (payloadStart, payloadEnd). Unknown-size
+    * elements (all-ones size — unmuxed live Segments) extend to the
+    * parent's end, per the EBML spec's unknown-data-size rule.
+    */
+  private def ebmlFind(b: Array[Byte], from: Int, to: Int,
+      id: Long): Option[(Int, Int)] = {
+    var i = from
+    while (i < to) {
+      val (eid, idLen) = ebmlVint(b, i, keepMarker = true)
+        .getOrElse(return None)
+      val (sz, szLen) = ebmlVint(b, i + idLen, keepMarker = false)
+        .getOrElse(return None)
+      val p = i + idLen + szLen
+      // all-ones size = unknown: element runs to the parent's end
+      val unknown = sz == (1L << (7 * szLen)) - 1
+      val end = if (unknown) to else p + sz
+      if (end < p || end > to) return None
+      if (eid == id) return Some((p, end.toInt))
+      i = end.toInt
+    }
+    None
+  }
+
+  private def ebmlUint(b: Array[Byte], span: (Int, Int)): Long = {
+    var v = 0L
+    var i = span._1
+    while (i < span._2) { v = (v << 8) | u8(b, i); i += 1 }
+    v
+  }
+
+  /** WebM/MKV (EBML): the last ubiquitous crawl video container after
+    * ISO-BMFF (m03). Walk: EBML header (0x1A45DFA3) → DocType (0x4282,
+    * "webm" or "matroska"; absent defaults to "matroska" per spec),
+    * then Segment (0x18538067) → Info (0x1549A966) for TimestampScale
+    * (0x2AD7B1, default 1,000,000 ns) and Duration (0x4489, float32 or
+    * float64 in timescale units), and Segment → Tracks (0x1654AE6B) →
+    * TrackEntry (0xAE) → Video (0xE0) for PixelWidth/PixelHeight
+    * (0xB0/0xBA). duration_ms = round(duration · timescale / 10⁶).
+    * Scope limits (documented, not hidden): the FIRST video track's
+    * dims are reported (multi-track pick-by-flag is a demuxer concern)
+    * and a Duration-less live capture reports −1. None for non-EBML
+    * bytes, truncation mid-walk, or a missing Segment/Tracks video
+    * entry.
+    */
+  def mkvMeta(b: Array[Byte]): Option[MkvMeta] = {
+    if (b == null || b.length < 8) return None
+    val (hdr, hdrEnd) = ebmlFind(b, 0, b.length, 0x1A45DFA3L)
+      .getOrElse(return None)
+    val docType = ebmlFind(b, hdr, hdrEnd, 0x4282L)
+      .map(s => new String(b, s._1, s._2 - s._1, "ISO-8859-1"))
+      .getOrElse("matroska")
+    val (seg, segEnd) = ebmlFind(b, hdrEnd, b.length, 0x18538067L)
+      .getOrElse(return None)
+    val info = ebmlFind(b, seg, segEnd, 0x1549A966L)
+    val timescale = info.flatMap { case (s, e) =>
+      ebmlFind(b, s, e, 0x2AD7B1L).map(ebmlUint(b, _))
+    }.getOrElse(1000000L)
+    val duration = info.flatMap { case (s, e) =>
+      ebmlFind(b, s, e, 0x4489L).map { span =>
+        val len = span._2 - span._1
+        if (len == 8) java.lang.Double.longBitsToDouble(
+          ebmlUint(b, span))
+        else java.lang.Float.intBitsToFloat(
+          ebmlUint(b, span).toInt).toDouble
+      }
+    }
+    val video = for {
+      tracks <- ebmlFind(b, seg, segEnd, 0x1654AE6BL)
+      entry <- ebmlFind(b, tracks._1, tracks._2, 0xAEL)
+      video <- ebmlFind(b, entry._1, entry._2, 0xE0L)
+    } yield video
+    video match {
+      case Some((vs, ve)) =>
+        val w = ebmlFind(b, vs, ve, 0xB0L).map(ebmlUint(b, _))
+          .getOrElse(return None)
+        val h = ebmlFind(b, vs, ve, 0xBAL).map(ebmlUint(b, _))
+          .getOrElse(return None)
+        if (w <= 0 || h <= 0) return None
+        val durMs = duration
+          .map(d => math.round(d * timescale / 1000000.0))
+          .getOrElse(-1L)
+        Some(MkvMeta(docType, timescale, durMs, w.toInt, h.toInt))
+      case None => None
+    }
+  }
+
+  /** Minimal WebM/MKV blob: EBML header with DocType, Segment holding
+    * Info (TimestampScale 10⁶ ns ⇒ Duration units ARE milliseconds,
+    * stored as float64 — exact for any integral ms < 2⁵³) and one
+    * video TrackEntry with PixelWidth/PixelHeight. Synthesis twin of
+    * [[mkvMeta]]: real nested EBML varint framing, no cluster payload.
+    */
+  def synthMkv(docType: String, width: Int, height: Int,
+      durationMs: Long): Array[Byte] = {
+    require(width >= 1 && width <= 0xffff, s"width: $width")
+    require(height >= 1 && height <= 0xffff, s"height: $height")
+    require(durationMs >= 0, s"durationMs: $durationMs")
+    def id(v: Long): Array[Byte] = { // EBML ids are written verbatim
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
+      Array.tabulate(n)(j => ((v >> (8 * (n - 1 - j))) & 0xff).toByte)
+    }
+    def sz(n: Int): Array[Byte] = { // 1-byte form, payloads < 127 here
+      require(n < 127, s"payload too big for 1-byte size: $n")
+      Array((0x80 | n).toByte)
+    }
+    def el(eid: Long, payload: Array[Byte]): Array[Byte] =
+      id(eid) ++ sz(payload.length) ++ payload
+    def uintBytes(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(j => ((v >> (8 * (n - 1 - j))) & 0xff).toByte)
+    val header = el(0x1A45DFA3L, el(0x4282L, docType.getBytes("ISO-8859-1")))
+    val infoEl = el(0x1549A966L,
+      el(0x2AD7B1L, uintBytes(1000000L, 4)) ++
+        el(0x4489L, uintBytes(java.lang.Double.doubleToLongBits(
+          durationMs.toDouble), 8)))
+    val videoEl = el(0xE0L,
+      el(0xB0L, uintBytes(width.toLong, 2)) ++
+        el(0xBAL, uintBytes(height.toLong, 2)))
+    val tracksEl = el(0x1654AE6BL, el(0xAEL, videoEl))
+    header ++ el(0x18538067L, infoEl ++ tracksEl)
   }
 
   /** ftyp major brands that mark a HEIF-family still image rather than
@@ -863,6 +1186,12 @@ object Multimodal {
       b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
     else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
       "flac"
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+      "ogg"
+    else if (b.length >= 4 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
+      u8(b, 2) == 0xdf && u8(b, 3) == 0xa3)
+      // EBML: WebM vs Matroska by DocType (absent defaults to matroska)
+      (if (mkvMeta(b).exists(_.docType == "webm")) "webm" else "mkv")
     else if (mp3Meta(b).isDefined) "mp3"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
@@ -932,6 +1261,9 @@ object Multimodal {
     case "heic" => "image/heic"
     case "flac" => "audio/flac"
     case "mp3"  => "audio/mpeg"
+    case "ogg"  => "audio/ogg"
+    case "webm" => "video/webm"
+    case "mkv"  => "video/x-matroska"
     case _      => "application/octet-stream"
   }
 

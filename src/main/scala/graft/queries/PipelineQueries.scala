@@ -4618,6 +4618,114 @@ object PipelineQueries {
           CAST(16 + doc_id % 480 AS INT) AS height
         FROM documents ORDER BY asset_id""")),
 
+    // Ogg (Opus/Vorbis) + MP3 Xing/VBR metadata through real container
+    // bytes — the streaming-audio formats m07 leaves uncovered (real
+    // crawl audio is Ogg-heavy, and CBR math is a lie on VBR MP3): the
+    // Ogg page walk reads the BOS identification header (OpusHead /
+    // \x01vorbis) and takes duration from the LAST same-serial page's
+    // granule — Opus granules tick at the codec-mandated 48 kHz and
+    // include pre-skip (RFC 7845), Vorbis granules are PCM samples at
+    // the stream rate; MP3 duration comes from the Xing ("Xing"
+    // VBR / "Info" CBR twin) frame count x 1152 samples. doc_id % 4
+    // picks the variant.
+    GateQuery(
+      "m08_ogg_vbr_meta",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            if (id % 4 <= 1) {
+              val codec = if (id % 4 == 0) "opus" else "vorbis"
+              val ch = 1 + (id % 2).toInt
+              val sr = 8000 + (nc % 40000).toInt
+              val ns = 1000L + nc * 7L
+              val bytes = graft.multimodal.Multimodal.synthOgg(
+                codec, ch, sr, ns)
+              val m = graft.multimodal.Multimodal.oggMeta(bytes).get
+              (id, graft.multimodal.Multimodal.sniffFormat(bytes),
+                m.codec, m.channels.toLong, m.sampleRate.toLong,
+                m.durationMs)
+            } else {
+              val srs = Seq(44100, 48000, 32000)
+              val sr = srs((id % 3).toInt)
+              val frames = 100L + (nc % 900)
+              val bytes = graft.multimodal.Multimodal.synthMp3Vbr(
+                sr, mono = id % 8 < 4, frames,
+                cbrInfoTag = id % 4 == 3)
+              val m = graft.multimodal.Multimodal.mp3Meta(bytes).get
+              (id, graft.multimodal.Multimodal.sniffFormat(bytes),
+                "mp3", m.channels.toLong, m.sampleRate.toLong,
+                m.durationMs.get)
+            }
+          }
+          .toDF("asset_id", "sniffed", "codec", "channels",
+            "sample_rate", "duration_ms")
+        rows.orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 4 <= 1 THEN 'ogg' ELSE 'mp3' END AS sniffed,
+          CASE doc_id % 4 WHEN 0 THEN 'opus' WHEN 1 THEN 'vorbis'
+            ELSE 'mp3' END AS codec,
+          CAST(CASE WHEN doc_id % 4 <= 1 THEN 1 + doc_id % 2
+               WHEN doc_id % 8 < 4 THEN 1 ELSE 2 END AS BIGINT)
+            AS channels,
+          CAST(CASE WHEN doc_id % 4 <= 1 THEN 8000 + n_chars % 40000
+               WHEN doc_id % 3 = 0 THEN 44100
+               WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000
+          END AS BIGINT) AS sample_rate,
+          CAST(CASE doc_id % 4
+               WHEN 0 THEN ((1000 + CAST(n_chars AS BIGINT) * 7) * 1000)
+                      // 48000
+               WHEN 1 THEN ((1000 + CAST(n_chars AS BIGINT) * 7) * 1000)
+                      // (8000 + n_chars % 40000)
+               ELSE (CAST(100 + n_chars % 900 AS BIGINT) * 1152 * 1000)
+                      // (CASE WHEN doc_id % 3 = 0 THEN 44100
+                          WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000 END)
+          END AS BIGINT) AS duration_ms
+        FROM documents ORDER BY asset_id""")),
+
+    // WebM/MKV metadata through real EBML nesting — the last ubiquitous
+    // crawl video container after ISO-BMFF (m03): varint-framed
+    // elements walked EBML-header → DocType (webm vs matroska), then
+    // Segment → Info (TimestampScale + float Duration → exact integral
+    // ms at the 10^6 ns scale) and Segment → Tracks → TrackEntry →
+    // Video (PixelWidth/PixelHeight). doc parity picks the DocType.
+    GateQuery(
+      "m09_mkv_meta",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+          .as[(Long, Long)]
+          .map { case (id, nc) =>
+            val doc = if (id % 2 == 0) "webm" else "matroska"
+            val w = 16 + (nc % 640).toInt
+            val h = 16 + (id % 480).toInt
+            val dur = 1000L + nc * 3L
+            val bytes = graft.multimodal.Multimodal.synthMkv(
+              doc, w, h, dur)
+            val m = graft.multimodal.Multimodal.mkvMeta(bytes).get
+            (id, graft.multimodal.Multimodal.sniffFormat(bytes),
+              m.docType, m.width, m.height, m.durationMs)
+          }
+          .toDF("asset_id", "sniffed", "doc_type", "width", "height",
+            "duration_ms")
+        rows.orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'mkv' END AS sniffed,
+          CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+            AS doc_type,
+          CAST(16 + n_chars % 640 AS INT) AS width,
+          CAST(16 + doc_id % 480 AS INT) AS height,
+          CAST(1000 + CAST(n_chars AS BIGINT) * 3 AS BIGINT)
+            AS duration_ms
+        FROM documents ORDER BY asset_id""")),
+
     // NDCG@10 of the token-count ranking against n_chars-derived grades,
     // per source: the graded position-weighted eval closing the metric
     // family (AUC/AP = binary order, recall@k = set overlap). The

@@ -306,6 +306,71 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.webpDims(vp8l) shouldBe None
   }
 
+  it should "round-trip Ogg Opus/Vorbis metadata through real pages" in {
+    val opus = Multimodal.synthOgg("opus", 2, 44100, 48000L)
+    val mo = Multimodal.oggMeta(opus).get
+    (mo.codec, mo.channels, mo.sampleRate) shouldBe (("opus", 2, 44100))
+    // opus granules tick at 48 kHz and include the 312-sample pre-skip
+    mo.lastGranule shouldBe 48312L
+    mo.durationMs shouldBe 1000L
+    val vorb = Multimodal.oggMeta(
+      Multimodal.synthOgg("vorbis", 1, 22050, 44100L)).get
+    (vorb.codec, vorb.channels, vorb.sampleRate) shouldBe
+      (("vorbis", 1, 22050))
+    vorb.durationMs shouldBe 2000L // 44100 samples at 22050 Hz
+    Multimodal.sniffFormat(opus) shouldBe "ogg"
+    // truncation anywhere in the page walk, non-BOS first page,
+    // unknown id header → None, never a throw
+    for (n <- Seq(3, 20, 30, opus.length - 2))
+      Multimodal.oggMeta(opus.take(n)) shouldBe None
+    val nonBos = opus.clone(); nonBos(5) = 0
+    Multimodal.oggMeta(nonBos) shouldBe None
+    val badId = opus.clone(); badId(28) = 'X'
+    Multimodal.oggMeta(badId) shouldBe None
+    // pages of a foreign serial never contribute a granule
+    val foreign = opus.clone()
+    foreign(opus.length - 32 + 14) = 0x99.toByte // EOS page serial byte
+    Multimodal.oggMeta(foreign).get.durationMs shouldBe 0L
+  }
+
+  it should "round-trip WebM/MKV metadata through real EBML nesting" in {
+    for (doc <- Seq("webm", "matroska")) {
+      val b = Multimodal.synthMkv(doc, 1920, 1080, 90000L)
+      val m = Multimodal.mkvMeta(b).get
+      (m.docType, m.width, m.height) shouldBe ((doc, 1920, 1080))
+      m.timescaleNs shouldBe 1000000L
+      m.durationMs shouldBe 90000L
+      Multimodal.sniffFormat(b) shouldBe
+        (if (doc == "webm") "webm" else "mkv")
+    }
+    val b = Multimodal.synthMkv("webm", 64, 48, 1234L)
+    // truncation at every nesting level → None, never a throw
+    for (n <- Seq(2, 6, 12, 20, b.length - 1))
+      Multimodal.mkvMeta(b.take(n)) shouldBe None
+    // a non-EBML lead byte is not MKV
+    Multimodal.mkvMeta("not an mkv".getBytes) shouldBe None
+    // WAV bytes are not EBML
+    Multimodal.mkvMeta(Multimodal.synthWav(2, 44100, 16, 10)) shouldBe None
+  }
+
+  it should "report MP3 duration only when a Xing/Info tag is present" in {
+    // VBR tag: frames * 1152 / rate, exact integral
+    for (mono <- Seq(true, false); cbr <- Seq(false, true)) {
+      val m = Multimodal.mp3Meta(
+        Multimodal.synthMp3Vbr(44100, mono, 90000L, cbrInfoTag = cbr)).get
+      m.xingFrames shouldBe Some(90000L)
+      m.durationMs shouldBe Some(90000L * 1152L * 1000L / 44100L)
+      m.channels shouldBe (if (mono) 1 else 2)
+    }
+    // no tag → per-frame facts only, no invented CBR duration
+    val plain = Multimodal.mp3Meta(
+      Multimodal.synthMp3(192, 48000, mono = false, withId3 = true)).get
+    plain.xingFrames shouldBe None
+    plain.durationMs shouldBe None
+    Multimodal.sniffFormat(
+      Multimodal.synthMp3Vbr(48000, mono = true, 100L)) shouldBe "mp3"
+  }
+
   it should "return None on adversarial RIFF chunk sizes, never hang" in {
     // a chunk size near 2^32 used to wrap the Int cursor: 8 + size + pad
     // folds to 0 (walk never advances — executor hang) or negative
