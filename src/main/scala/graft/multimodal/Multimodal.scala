@@ -1268,9 +1268,13 @@ object Multimodal {
   }
 
   /** Audio decode pass: fills (channels, sample_rate, bits_per_sample,
-    * duration_ms) from REAL WAV container bytes via [[wavMeta]]; bytes
-    * that are not a parseable WAV get deterministic byte-hash synthetic
-    * audio meta (the [[decodeDims]] convention) so opaque formats flow
+    * duration_ms) from REAL container bytes — WAV via [[wavMeta]], FLAC
+    * via [[flacMeta]], MP3 via [[mp3Meta]] (duration only when a
+    * Xing/Info tag carries it, −1 otherwise — never a CBR guess), Ogg
+    * Opus/Vorbis via [[oggMeta]]. Lossy codecs have no PCM sample
+    * width, so bits_per_sample reports 0 for mp3/ogg. Bytes that parse
+    * as none of the four get deterministic byte-hash synthetic audio
+    * meta (the [[decodeDims]] convention) so opaque formats flow
     * through the same plumbing. Batched mapPartitions, schema in/out.
     */
   def decodeAudioMeta(df: DataFrame): DataFrame = {
@@ -1288,19 +1292,28 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { r =>
             val bytes = r.getAs[Array[Byte]]("media")
-            val m = wavMeta(bytes).getOrElse {
-              var h = 0L
-              var i = 0
-              val n = if (bytes == null) 0 else bytes.length
-              while (i < math.min(n, 256)) {
-                h = (h * 31 + (bytes(i) & 0xff)) & 0x7fffffffL
-                i += 1
+            val m = wavMeta(bytes)
+              .map(w => (w.channels, w.sampleRate, w.bitsPerSample,
+                w.durationMs))
+              .orElse(flacMeta(bytes).map(f =>
+                (f.channels, f.sampleRate, f.bitsPerSample, f.durationMs)))
+              .orElse(oggMeta(bytes).map(o =>
+                (o.channels, o.sampleRate, 0, o.durationMs)))
+              .orElse(mp3Meta(bytes).map(p =>
+                (p.channels, p.sampleRate, 0,
+                  p.durationMs.getOrElse(-1L))))
+              .getOrElse {
+                var h = 0L
+                var i = 0
+                val n = if (bytes == null) 0 else bytes.length
+                while (i < math.min(n, 256)) {
+                  h = (h * 31 + (bytes(i) & 0xff)) & 0x7fffffffL
+                  i += 1
+                }
+                (1 + (h % 2).toInt, 8000 + ((h / 2) % 5).toInt * 4000,
+                  8 + 8 * ((h / 10) % 3).toInt, n.toLong / 16)
               }
-              WavMeta(1 + (h % 2).toInt, 8000 + ((h / 2) % 5).toInt * 4000,
-                8 + 8 * ((h / 10) % 3).toInt, n.toLong, n.toLong / 16)
-            }
-            Row(r.getLong(0), r.getString(1), m.channels, m.sampleRate,
-              m.bitsPerSample, m.durationMs)
+            Row(r.getLong(0), r.getString(1), m._1, m._2, m._3, m._4)
           }
         }
       }(enc)

@@ -71,4 +71,28 @@ class AudioMetaSpec extends SparkSpec {
     out(2L).toSeq shouldBe again(2L).toSeq
     out(2L).getInt(3) should be >= 8000
   }
+
+  it should "route every parsed audio container through its real parser" in {
+    // the DataFrame pass must serve FLAC/Ogg/MP3 truthfully, not through
+    // the byte-hash fallback: channels/rate/duration from the container,
+    // bits_per_sample 0 for the lossy codecs (no PCM width exists),
+    // duration -1 for a tagless MP3 (never a CBR guess)
+    val df = Seq(
+      (1L, Multimodal.synthFlac(48000, 2, 24, 96000L), "audio/flac"),
+      (2L, Multimodal.synthOgg("opus", 2, 44100, 24000L), "audio/ogg"),
+      (3L, Multimodal.synthOgg("vorbis", 1, 16000, 8000L), "audio/ogg"),
+      (4L, Multimodal.synthMp3Vbr(44100, mono = false, 90000L),
+        "audio/mpeg"),
+      (5L, Multimodal.synthMp3(128, 44100, mono = true, withId3 = false),
+        "audio/mpeg"))
+      .toDF("asset_id", "media", "media_type")
+    val out = Multimodal.decodeAudioMeta(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    out(1L) shouldBe ((2, 48000, 24, 2000L))     // flac: exact PCM facts
+    out(2L) shouldBe ((2, 44100, 0, 500L))       // opus: 24k at 48 kHz
+    out(3L) shouldBe ((1, 16000, 0, 500L))       // vorbis: stream clock
+    out(4L) shouldBe ((2, 44100, 0, 90000L * 1152L * 1000L / 44100L))
+    out(5L) shouldBe ((1, 44100, 0, -1L))        // tagless: no duration
+  }
 }
