@@ -167,8 +167,9 @@ object BinaryQuant {
     * output run through [[encode]] — (id, cid, bcode).
     */
   def writeIvfBinary(encodedAssigned: DataFrame, path: String,
-      bits: Int): Unit =
-    Ivf.writePartitioned(binaryStorageRows(encodedAssigned, bits), path)
+      bits: Int, attrCols: Seq[String] = Nil): Unit =
+    Ivf.writePartitioned(
+      binaryStorageRows(encodedAssigned, bits, attrCols), path)
 
   /** Append an encoded batch into an existing [[writeIvfBinary]] store
     * (`Ivf.appendPartitioned` — the d44 incremental-ingestion
@@ -176,14 +177,16 @@ object BinaryQuant {
     * frozen hyperplanes, so batching cannot change any stored byte).
     */
   def appendIvfBinary(encodedBatch: DataFrame, path: String,
-      bits: Int): Unit =
-    Ivf.appendPartitioned(binaryStorageRows(encodedBatch, bits), path)
+      bits: Int, attrCols: Seq[String] = Nil): Unit =
+    Ivf.appendPartitioned(
+      binaryStorageRows(encodedBatch, bits, attrCols), path)
 
   private def binaryStorageRows(encodedAssigned: DataFrame,
-      bits: Int): DataFrame =
-    encodedAssigned.select(col("id"), col("cid"),
+      bits: Int, attrCols: Seq[String] = Nil): DataFrame =
+    encodedAssigned.select(col("id") +: col("cid") +:
       graft.core.Graft.column(graft.functions.expressions.WordsToCode(
-        graft.core.Graft.expression(col("bcode")), bits)).as("code"))
+        graft.core.Graft.expression(col("bcode")), bits)).as("code") +:
+      attrCols.map(col): _*)
 
   /** Search a [[writeIvfBinary]] corpus — [[searchIvfHamming]] routed
     * through storage: probed cell ids (≤ nlist, model-bounded — not a
@@ -193,10 +196,16 @@ object BinaryQuant {
     * the Hamming shortlist + exact rerank are verbatim. End to end the
     * 100 TB binary read path: nprobe/nlist of the files at bits/8 bytes
     * per row.
+    *
+    * @param filter optional attribute predicate over columns persisted
+    *               via [[writeIvfBinary]]'s `attrCols` — the d51
+    *               contract on the binary arm: pushed beneath the
+    *               pruned scan, post-filter semantics
     */
   def searchIvfBinary(path: String, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, ivf: Ivf.Model, dim: Int, bits: Int,
-      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+      k: Int, nprobe: Int, shortlist: Int,
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val spark = queries.sparkSession
     // probe lineage evaluated twice (cid collect + the probe join in the
@@ -208,8 +217,9 @@ object BinaryQuant {
       .map(_.getInt(0)).toSeq
     val prb = encode(prbRaw, "qid", "qvec", dim, bits)
       .select(col("qid"), col("cid"), col("bcode").as("qcode"))
-    val enc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val enc = filter.fold(pruned)(pruned.where)
       .select(col("id"), col("cid"),
         graft.core.Graft.column(graft.functions.expressions.CodeToWords(
           graft.core.Graft.expression(col("code")), bits)).as("bcode"))
@@ -227,7 +237,8 @@ object BinaryQuant {
   def searchIvfBinaryHier(path: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       h: IvfHier.HierModel, dim: Int, bits: Int, k: Int, wprobe: Int,
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, shortlist: Int,
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val spark = queries.sparkSession
     val prbRaw = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe,
@@ -236,8 +247,9 @@ object BinaryQuant {
       .map(_.getInt(0)).toSeq
     val prb = encode(prbRaw, "qid", "qvec", dim, bits)
       .select(col("qid"), col("cid"), col("bcode").as("qcode"))
-    val enc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val enc = filter.fold(pruned)(pruned.where)
       .select(col("id"), col("cid"),
         graft.core.Graft.column(graft.functions.expressions.CodeToWords(
           graft.core.Graft.expression(col("code")), bits)).as("bcode"))

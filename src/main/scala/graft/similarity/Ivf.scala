@@ -338,9 +338,16 @@ object Ivf {
     * collect) come back to the driver and are pushed as a partition
     * filter, so only the probed cells' files are read. Everything after
     * the pruned scan is identical to `search`.
+    *
+    * @param filter optional attribute predicate over columns the store
+    *               persisted next to the vectors — pushed beneath the
+    *               pruned scan, post-filter semantics (the
+    *               `Quantize.searchIvfQuantized` filter contract on the
+    *               float arm)
     */
   def searchPartitioned(path: String, queries: DataFrame, idCol: String,
-      vecCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
+      vecCol: String, model: Model, k: Int, nprobe: Int,
+      filter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     // the probe lineage is evaluated twice (cid collect here + the probe
     // join in the returned plan). Deliberately NOT cache()d: the second
@@ -351,8 +358,9 @@ object Ivf {
     val prb = probes(queries, idCol, vecCol, model, nprobe)
     val probedCids = prb.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val corpus = filter.fold(pruned)(pruned.where)
     val probeSide =
       if (probeSideSmall(queries, idCol, nprobe)) broadcast(prb) else prb
     scoreProbedCells(corpus, probeSide, k)

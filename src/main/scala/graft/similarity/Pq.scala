@@ -207,8 +207,9 @@ object Pq {
     * travel with the model, not the store.
     */
   def writeIvfPq(encodedAssigned: DataFrame, path: String,
-      cb: Codebooks): Unit =
-    Ivf.writePartitioned(pqStorageRows(encodedAssigned, cb), path)
+      cb: Codebooks, attrCols: Seq[String] = Nil): Unit =
+    Ivf.writePartitioned(pqStorageRows(encodedAssigned, cb, attrCols),
+      path)
 
   /** Append an encoded batch into an existing [[writeIvfPq]] store
     * (`Ivf.appendPartitioned` — the d44 incremental-ingestion
@@ -217,19 +218,20 @@ object Pq {
     * change any stored byte and readers see the union unchanged).
     */
   def appendIvfPq(encodedBatch: DataFrame, path: String,
-      cb: Codebooks): Unit =
-    Ivf.appendPartitioned(pqStorageRows(encodedBatch, cb), path)
+      cb: Codebooks, attrCols: Seq[String] = Nil): Unit =
+    Ivf.appendPartitioned(pqStorageRows(encodedBatch, cb, attrCols), path)
 
   /** The storage projection shared by write and append — the
     * batch-invariance contract (`Quantize.quantizedStorageRows`'s
     * rationale on the PQ arm).
     */
   private def pqStorageRows(encodedAssigned: DataFrame,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks, attrCols: Seq[String] = Nil): DataFrame = {
     require(cb.ksub <= 32767,
       s"smallint code storage requires ksub <= 32767: ${cb.ksub}")
-    encodedAssigned.select(col("id"), col("cid"),
-      col("code").cast("array<smallint>").as("code"), col("csqn"))
+    encodedAssigned.select(col("id") +: col("cid") +:
+      col("code").cast("array<smallint>").as("code") +: col("csqn") +:
+      attrCols.map(col): _*)
   }
 
   /** Search a [[writeIvfPq]] corpus — [[searchIvfPq]] through storage:
@@ -237,10 +239,17 @@ object Pq {
     * stored codes cast back losslessly to the ints `AdcDot` indexes
     * with, and the shortlist + exact rerank are verbatim. The 100 TB
     * IVF-PQ read path: nprobe/nlist of the files at ~m bytes per row.
+    *
+    * @param filter optional attribute predicate over columns persisted
+    *               via [[writeIvfPq]]'s `attrCols` — the d51 contract
+    *               at the PQ granularity: pushed beneath the pruned
+    *               scan (parquet PushedFilter), post-filter semantics
+    *               (the index is the full corpus's)
     */
   def searchIvfPqStored(path: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, ivf: Ivf.Model,
-      cb: Codebooks, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+      cb: Codebooks, k: Int, nprobe: Int, shortlist: Int,
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val spark = queries.sparkSession
     // probe lineage evaluated twice (cid collect + the probe join);
@@ -249,8 +258,9 @@ object Pq {
     val probedCids = prbRaw.select("cid").distinct().collect()
       .map(_.getInt(0)).toSeq
     val prb = withQueryTables(prbRaw, cb)
-    val enc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val enc = filter.fold(pruned)(pruned.where)
       .select(col("id"), col("cid"),
         col("code").cast("array<int>").as("code"), col("csqn"))
     cellAdcSearch(prb, enc, corpus, queries, idCol, vecCol, k, nprobe,
@@ -453,7 +463,8 @@ object Pq {
   def searchIvfPqResidualHierStored(path: String, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       h: IvfHier.HierModel, cb: Codebooks, k: Int, wprobe: Int,
-      nprobe: Int, shortlist: Int): DataFrame = {
+      nprobe: Int, shortlist: Int,
+      filter: Option[Column] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
     val spark = queries.sparkSession
     val prbRaw = IvfHier.probesHier(queries, idCol, vecCol, h, wprobe,
@@ -463,8 +474,9 @@ object Pq {
     val prb = withQueryTables(prbRaw, cb)
       .withColumn("qcent",
         Ann.dot(col("qvec"), element_at(centMapLit(h.leaves), col("cid"))))
-    val enc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .where(col("cid").isin(probedCids: _*))
+    val enc = filter.fold(pruned)(pruned.where)
       .select(col("id"), col("cid"),
         col("code").cast("array<int>").as("code"), col("csqn"))
     residualAdcSearch(prb, enc, corpus, queries, idCol, vecCol, k,

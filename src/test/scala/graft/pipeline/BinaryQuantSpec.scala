@@ -266,4 +266,37 @@ class BinaryQuantSpec extends SparkSpec {
     rowsOf(stored, "qid", "rank", "nid") shouldBe
       rowsOf(mem, "qid", "rank", "nid")
   }
+
+  it should "push an attribute filter beneath the pruned binary scan" in {
+    // the d51 filter contract on the binary arm: attribute persisted
+    // next to the codes, predicate inside the probed-cells read, results
+    // equal to filtering the in-memory encoded corpus (post-filter
+    // semantics — the index is the full corpus's)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_bin_f").toString
+    val attributed = corpus.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en").otherwise("de"))
+    val q = attributed.filter($"vec_id" < 6 && $"lang" === "en")
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      attributed, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      attributed, "vec_id", "embedding", ivf, keep = Seq("lang"))
+    val enc = BinaryQuant.encode(assigned, "id", "vec",
+      dim = 16, bits = 16)
+    BinaryQuant.writeIvfBinary(enc, dir, bits = 16,
+      attrCols = Seq("lang"))
+    val stored = BinaryQuant.searchIvfBinary(dir, corpus, q, "vec_id",
+      "embedding", ivf, dim = 16, bits = 16, k = 5, nprobe = 2,
+      shortlist = 10, filter = Some($"lang" === "en"))
+    val mem = BinaryQuant.searchIvfHamming(enc.filter($"lang" === "en"),
+      corpus, q, "vec_id", "embedding", ivf, dim = 16, bits = 16,
+      k = 5, nprobe = 2, shortlist = 10)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    stored.select("nid").distinct().collect().map(_.getLong(0))
+      .forall(_ % 3 == 0) shouldBe true
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PushedFilters: \\[[^\\]]*EqualTo\\(lang,en\\)".r
+      .findFirstIn(planStr) should not be empty
+  }
 }

@@ -248,4 +248,34 @@ class PqSpec extends SparkSpec {
     "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
       .findFirstIn(planStr) should not be empty
   }
+
+  it should "push an attribute filter beneath the pruned PQ scan" in {
+    // the d51 filter contract at the PQ granularity: attribute persisted
+    // next to the codes, predicate inside the probed-cells read, results
+    // equal to filtering the in-memory encoded corpus
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_f").toString
+    val attributed = corpus.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en").otherwise("de"))
+    val q = attributed.filter($"vec_id" < 6 && $"lang" === "en")
+    val ivf = graft.similarity.Ivf.sampleCentroids(
+      attributed, "vec_id", "embedding", nlist = 4)
+    val assigned = graft.similarity.Ivf.assign(
+      attributed, "vec_id", "embedding", ivf, keep = Seq("lang"))
+    val cb = Pq.sampleCodebooks(attributed, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val enc = Pq.encode(assigned, "id", "vec", cb)
+    Pq.writeIvfPq(enc, dir, cb, attrCols = Seq("lang"))
+    val stored = Pq.searchIvfPqStored(dir, corpus, q, "vec_id",
+      "embedding", ivf, cb, k = 5, nprobe = 2, shortlist = 10,
+      filter = Some($"lang" === "en"))
+    val mem = Pq.searchIvfPq(enc.filter($"lang" === "en"), corpus, q,
+      "vec_id", "embedding", ivf, cb, k = 5, nprobe = 2, shortlist = 10)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    stored.select("nid").distinct().collect().map(_.getLong(0))
+      .forall(_ % 3 == 0) shouldBe true
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PushedFilters: \\[[^\\]]*EqualTo\\(lang,en\\)".r
+      .findFirstIn(planStr) should not be empty
+  }
 }
