@@ -243,6 +243,72 @@ object PipelineQueries {
       |      FROM sc)
       |SELECT qid, rnk, nid FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
 
+  /** Shared d55/d56 oracle — late-interaction MaxSim replayed stage by
+    * stage: slice the packed 64-dim vector into 4×16 tokens, normalize
+    * each (recomputing the norm per element exactly as the HOF lambda
+    * does — same operands, same IEEE values), score = left-fold sum
+    * over query tokens of the greatest-fold max dot against any doc
+    * token. `pruned = true` restricts candidates to each query's two
+    * probed IVF cells (the d07/d11 cent/asn/prb CTEs, nlist 8).
+    */
+  private def maxSimOracle(pruned: Boolean): String = {
+    val candJoin =
+      if (pruned)
+        """FROM prb JOIN asn a ON prb.cid = a.cid
+          |             JOIN n qn ON qn.vec_id = prb.qid
+          |             JOIN n cn ON cn.vec_id = a.vec_id
+          |        WHERE prb.qid <> a.vec_id""".stripMargin
+      else
+        """FROM n qn, n cn
+          |        WHERE qn.vec_id < 10 AND qn.vec_id <> cn.vec_id""".stripMargin
+    val qidExpr = if (pruned) "prb.qid" else "qn.vec_id"
+    val nidExpr = if (pruned) "a.vec_id" else "cn.vec_id"
+    val ivfCtes =
+      if (pruned)
+        """cent AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cid,
+          |                v AS cv, list_dot_product(v, v) AS cnorm
+          |         FROM (SELECT vec_id, v, (vec_id * 2654435761) % 1000003 AS hk
+          |               FROM e ORDER BY hk, vec_id LIMIT 8)),
+          |asn AS (SELECT vec_id, cid FROM (
+          |          SELECT e.vec_id, cent.cid,
+          |                 row_number() OVER (PARTITION BY e.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(e.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM e, cent) WHERE rn = 1),
+          |prb AS (SELECT qid, cid FROM (
+          |          SELECT q.vec_id AS qid, cent.cid,
+          |                 row_number() OVER (PARTITION BY q.vec_id
+          |                   ORDER BY cent.cnorm - 2*list_dot_product(q.v, cent.cv),
+          |                            cent.cid) AS rn
+          |          FROM (SELECT * FROM e WHERE vec_id < 10) q, cent)
+          |        WHERE rn <= 2),
+          |""".stripMargin
+      else ""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${ivfCtes}raw AS (SELECT vec_id,
+      |         list_transform(range(0, 4),
+      |           t -> list_slice(v, t*16+1, t*16+16)) AS rtoks
+      |       FROM e),
+      |n AS (SELECT vec_id, list_transform(rtoks, tk ->
+      |        CASE WHEN sqrt(list_dot_product(tk, tk)) = 0
+      |             THEN list_transform(tk, x -> 0.0)
+      |             ELSE list_transform(tk, x -> x / sqrt(list_dot_product(tk, tk)))
+      |        END) AS toks
+      |      FROM raw),
+      |sc AS (SELECT $qidExpr AS qid, $nidExpr AS nid,
+      |         list_reduce(list_prepend(0.0,
+      |           list_transform(qn.toks, qt ->
+      |             list_reduce(list_prepend(-2.0,
+      |               list_transform(cn.toks, dt -> list_dot_product(qt, dt))),
+      |               (a, x) -> greatest(a, x)))),
+      |           (a, x) -> a + x) AS maxsim
+      |        $candJoin),
+      |r AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, nid) AS rnk
+      |      FROM sc)
+      |SELECT qid, rnk, nid FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Fixed probe query for the t06 BM25 gate (distinct lowercase tokens). */
   val Bm25QueryTerms: Seq[String] =
     Seq("query", "vector", "stream", "merge", "filter", "spark")
@@ -1949,6 +2015,45 @@ object PipelineQueries {
           .orderBy("qid", "rnk")
       },
       Some(ivfPqOracle)),
+
+    // LATE-INTERACTION (multi-vector) scoring — the ColBERT MaxSim
+    // family (Khattab & Zaharia 2020), the granularity level the
+    // single-vector family can't represent: query and document are
+    // BAGS of normalized token vectors (here: the packed 64-dim
+    // embedding sliced into 4x16 tokens — real per-token embeddings
+    // land in the same array<array<double>> column), pair score =
+    // sum over query tokens of the max dot against any doc token.
+    // Exact brute baseline; per-token normalization, the order-free
+    // max, and the explicit left-fold sum all replay bitwise.
+    GateQuery(
+      "d55_ann_maxsim",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        graft.similarity.MaxSim.bruteTopK(e,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            dim = 64, m = 4, k = 5)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(maxSimOracle(pruned = false))),
+
+    // MaxSim at scale — the d11 composition with the late-interaction
+    // kernel as the rerank: cells pruned on the PACKED vector through
+    // the audited IVF probe stage (shared-index discipline), token
+    // MaxSim only inside each query's probed cells.
+    GateQuery(
+      "d56_ann_maxsim_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        graft.similarity.MaxSim.ivfTopK(e,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, dim = 64, m = 4, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(maxSimOracle(pruned = true))),
 
     // CONTINUOUS ingestion into the d16 store via Structured Streaming —
     // the streaming twin of d44: the corpus replays as a file stream in

@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Late-interaction (multi-vector) similarity — the ColBERT scoring
+  * family (Khattab & Zaharia, SIGIR 2020): query and document are BAGS
+  * of token vectors, and the pair score is MaxSim =
+  * Σ_i max_j (q_i · d_j) over L2-normalized token vectors — each query
+  * token independently finds its best-matching document token, so
+  * fine-grained term interactions survive pooling, which single-vector
+  * cosine (X7) structurally cannot represent. The missing granularity
+  * level in the similarity family: X7 scores pooled vectors, X156
+  * compresses them; this scores token MULTISETS.
+  *
+  * Representation: a token-matrix column `array<array<double>>` —
+  * [[tokenize]] builds one by slicing a packed dim-vector into m
+  * contiguous ds = dim/m sub-vectors, each L2-normalized at tokenize
+  * time (zero-safe), so the pair kernel is pure dots. Real multi-vector
+  * embeddings (one vector per text token) land in the same column type
+  * and every downstream op applies unchanged.
+  *
+  * Determinism (the oracle contract): per-token normalization divides
+  * by one sqrt of a left-fold dot (the d05 fold discipline); max over
+  * exact doubles is order-free; the final Σ is an explicit left fold in
+  * token order. Every stage replays bitwise in DuckDB (gates d55/d56).
+  *
+  * Scale: [[bruteTopK]] is the baseline (query side broadcasts, corpus
+  * never shuffles — the `Ann.bruteForceTopK` shape at m·m dots per
+  * pair); [[ivfTopK]] is the scale path — cells pruned on the PACKED
+  * vector through the audited `Ivf` probe stage, MaxSim only inside
+  * probed cells (the d11 composition with a different rerank kernel).
+  * The HOF score kernel is interpreted (CodegenFallback) at m·m dots
+  * per pair; at gate shapes that is ≤ 16 dots of 16 floats — a compiled
+  * `MaxSimScore` expression is the X159 upgrade path if a probe ever
+  * shows it hot.
+  */
+object MaxSim {
+
+  /** Token-matrix column: m contiguous ds-wide slices of a packed
+    * dim-vector, each L2-normalized (all-zero slices stay zero rather
+    * than dividing by zero). The norm sub-expression is re-evaluated
+    * per element inside the HOF (no CSE in lambdas — the shingleSets
+    * caveat); identical operands give identical IEEE results, so this
+    * costs arithmetic, never determinism.
+    */
+  private def tokenMatrix(vec: Column, dim: Int, m: Int): Column = {
+    val ds = dim / m
+    val raw = transform(sequence(lit(0), lit(m - 1)),
+      t => slice(vec, t * lit(ds) + lit(1), lit(ds)))
+    transform(raw, tk => {
+      val nrm = Ann.l2norm(tk)
+      transform(tk, x => when(nrm === lit(0.0), lit(0.0))
+        .otherwise(x / nrm))
+    })
+  }
+
+  /** (id, toks) frame: the packed `vecCol` sliced and normalized into
+    * an `array<array<double>>` token matrix. Map-only.
+    */
+  def tokenize(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split into m $m equal token slices")
+    df.select(col(idCol).as("id"),
+      tokenMatrix(col(vecCol).cast("array<double>"), dim, m).as("toks"))
+  }
+
+  /** MaxSim of two normalized token matrices: Σ over query tokens of
+    * the max dot against any document token — an explicit left fold in
+    * token order (engine-replayable), max is order-free.
+    */
+  def score(qToks: Column, dToks: Column): Column =
+    aggregate(
+      transform(qToks, qt => array_max(transform(dToks, dt =>
+        Ann.dot(qt, dt)))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact top-k MaxSim neighbors per query. Output (qid, rank 1..k,
+    * nid, maxsim) — the `Ann.rankTopK` semantics (desc score, nid
+    * tie-break) on the MaxSim kernel. Query side broadcasts (the
+    * bruteForceTopK shape); the corpus never shuffles.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
+    val c = tokenize(corpus, idCol, vecCol, dim, m)
+      .select(col("id").as("nid"), col("toks").as("ntoks"))
+    val q = tokenize(queries, idCol, vecCol, dim, m)
+      .select(col("id").as("qid"), col("toks").as("qtoks"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        score(col("qtoks"), col("ntoks")).as("maxsim"))
+    rankTopK(scored, k)
+  }
+
+  /** Cell-pruned MaxSim — the 100 TB form: the PACKED vector drives the
+    * audited IVF probe stage (cells from full-vector geometry, the
+    * shared-index discipline), and the token-level kernel only scores
+    * candidates inside each query's `nprobe` probed cells. Composes
+    * with `Ivf.writePartitioned` storage exactly like every other
+    * rerank kernel (partition pruning opens nprobe/nlist of the files).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: Ivf.Model, dim: Int, m: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split into m $m equal token slices")
+    val cand = Ivf.assign(corpus, idCol, vecCol, model)
+      .select(col("id").as("nid"), col("cid"),
+        tokenMatrix(col("vec").cast("array<double>"), dim, m)
+          .as("ntoks"))
+    val prb = Ivf.probes(queries, idCol, vecCol, model, nprobe)
+      .select(col("qid"), col("cid"),
+        tokenMatrix(col("qvec").cast("array<double>"), dim, m)
+          .as("qtoks"))
+    val probeSide =
+      if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
+      else prb
+    val scored = cand.join(probeSide, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        score(col("qtoks"), col("ntoks")).as("maxsim"))
+    rankTopK(scored, k)
+  }
+
+  /** The `Ann.rankTopK` semantics on the maxsim column (kept separate
+    * so the output schema names the score truthfully — this is a sum
+    * of per-token cosines, not a cosine).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("maxsim"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "maxsim")
+  }
+}
