@@ -2055,6 +2055,31 @@ object PipelineQueries {
       },
       Some(maxSimOracle(pruned = true))),
 
+    // d56 through STORAGE — the late-interaction kernel joins the
+    // stored matrix: the corpus persists TOKENIZED (id, toks)
+    // cid-partitioned (normalization frozen at write time; the packed
+    // vector is not stored — MaxSim never reads it), probed cells
+    // partition-prune, stored doubles are exact. Oracle = d56's
+    // verbatim (the d16-reuses-d11 discipline).
+    GateQuery(
+      "d57_ann_maxsim_stored",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val model = graft.similarity.Ivf.sampleCentroids(
+          e, "vec_id", "embedding", nlist = 8)
+        val assigned = graft.similarity.Ivf.assign(
+          e, "vec_id", "embedding", model)
+        val path = s"${sys.props("java.io.tmpdir")}/graft_d57_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.similarity.MaxSim.writeIvf(assigned, path, dim = 64, m = 4)
+        graft.similarity.MaxSim.searchIvfStored(path,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            model, dim = 64, m = 4, k = 5, nprobe = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("nid"))
+          .orderBy("qid", "rnk")
+      },
+      Some(maxSimOracle(pruned = true))),
+
     // CONTINUOUS ingestion into the d16 store via Structured Streaming —
     // the streaming twin of d44: the corpus replays as a file stream in
     // genuinely incremental micro-batches (staged as two parquet files,

@@ -123,6 +123,62 @@ object MaxSim {
     rankTopK(scored, k)
   }
 
+  /** Persist an IVF-assigned corpus in its TOKENIZED form for the
+    * at-scale late-interaction layout: (id, toks) PARTITIONED BY cell
+    * id — the `Ivf.writePartitioned` discipline with the token matrix
+    * in place of the packed vector (normalization is part of the
+    * frozen representation, so it happens once at write time; probes
+    * only ever need the normalized tokens). The packed vector is NOT
+    * stored — MaxSim never reads it, and the cell assignment it drove
+    * is frozen in the directory layout.
+    *
+    * @param attrCols attribute columns persisted next to the tokens
+    *                 (the X167 filtered-serving contract)
+    */
+  def writeIvf(assignedCorpus: DataFrame, path: String, dim: Int,
+      m: Int, attrCols: Seq[String] = Nil): Unit = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split into m $m equal token slices")
+    Ivf.writePartitioned(
+      assignedCorpus.select(col("id") +: col("cid") +:
+        tokenMatrix(col("vec").cast("array<double>"), dim, m)
+          .as("toks") +: attrCols.map(col): _*),
+      path)
+  }
+
+  /** Search a [[writeIvf]] corpus — [[ivfTopK]] through storage: probed
+    * cell ids (model-bounded) push down as a partition filter so only
+    * the probed cells' token files are read; the stored normalized
+    * doubles are exact, so ranks equal the in-memory path's. The
+    * optional attribute `filter` lands beneath the pruned scan (the
+    * d51 contract on the late-interaction arm).
+    */
+  def searchIvfStored(path: String, queries: DataFrame, idCol: String,
+      vecCol: String, model: Ivf.Model, dim: Int, m: Int, k: Int,
+      nprobe: Int, filter: Option[Column] = None): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split into m $m equal token slices")
+    val spark = queries.sparkSession
+    // not cache()d — the searchIvfQuantized bounded-recompute rationale
+    val prbRaw = Ivf.probes(queries, idCol, vecCol, model, nprobe)
+    val probedCids = prbRaw.select("cid").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val prb = prbRaw.select(col("qid"), col("cid"),
+      tokenMatrix(col("qvec").cast("array<double>"), dim, m).as("qtoks"))
+    val probeSide =
+      if (Ivf.probeSideSmall(queries, idCol, nprobe)) broadcast(prb)
+      else prb
+    val pruned = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids: _*))
+    val cand = filter.fold(pruned)(pruned.where)
+      .select(col("id").as("nid"), col("cid"), col("toks").as("ntoks"))
+    val scored = cand.join(probeSide, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        score(col("qtoks"), col("ntoks")).as("maxsim"))
+    rankTopK(scored, k)
+  }
+
   /** The `Ann.rankTopK` semantics on the maxsim column (kept separate
     * so the output schema names the score truthfully — this is a sum
     * of per-token cosines, not a cosine).

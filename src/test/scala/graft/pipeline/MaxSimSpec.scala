@@ -84,6 +84,37 @@ class MaxSimSpec extends SparkSpec {
     ((p & b).size.toDouble / b.size) should be >= 0.6
   }
 
+  it should "serve the stored tokenized corpus identically to ivfTopK" in {
+    val dir = java.nio.file.Files.createTempDirectory("maxsim_st").toString
+    val attributed = corpus.withColumn("lang",
+      when($"vec_id" % 3 === 0, "en").otherwise("de"))
+    val q = corpus.filter($"vec_id" < 4)
+    val model = Ivf.sampleCentroids(corpus, "vec_id", "embedding",
+      nlist = 3)
+    val assigned = Ivf.assign(attributed, "vec_id", "embedding", model,
+      keep = Seq("lang"))
+    MaxSim.writeIvf(assigned, dir, dim = 16, m = 4,
+      attrCols = Seq("lang"))
+    val stored = MaxSim.searchIvfStored(dir, q, "vec_id", "embedding",
+      model, dim = 16, m = 4, k = 5, nprobe = 2)
+    val mem = MaxSim.ivfTopK(corpus, q, "vec_id", "embedding", model,
+      dim = 16, m = 4, k = 5, nprobe = 2)
+    rowsOf(stored, "qid", "rank", "nid") shouldBe
+      rowsOf(mem, "qid", "rank", "nid")
+    // pruned scan + the filtered-serving contract on this arm too
+    val planStr = stored.queryExecution.sparkPlan.toString
+    "PartitionFilters: \\[[^\\]]*cid#\\d+ ".r
+      .findFirstIn(planStr) should not be empty
+    val filtered = MaxSim.searchIvfStored(dir, q, "vec_id", "embedding",
+      model, dim = 16, m = 4, k = 5, nprobe = 2,
+      filter = Some($"lang" === "en"))
+    filtered.select("nid").distinct().collect().map(_.getLong(0))
+      .forall(_ % 3 == 0) shouldBe true
+    "PushedFilters: \\[[^\\]]*EqualTo\\(lang,en\\)".r
+      .findFirstIn(filtered.queryExecution.sparkPlan.toString) should
+      not be empty
+  }
+
   it should "zero out all-zero token slices instead of dividing by zero" in {
     val z = Seq(
       (0L, Array.fill(8)(0.0f)),
