@@ -4905,6 +4905,44 @@ object PipelineQueries {
            |FROM agg ORDER BY source""".stripMargin
       }),
 
+    // MRR@10 of the same ranking — the first-relevant-hit metric
+    // completing the eval family (AUC/AP = whole binary order,
+    // recall@k = set overlap, NDCG = graded positions, MRR = where the
+    // FIRST relevant item sits — the known-item-search / dedup-lookup /
+    // RAG-retrieval judgment). Contributions are exact 10^12 div rank
+    // integers (the X86 fusion scale), misses emitted as explicit
+    // zeros, one double division at the end.
+    GateQuery(
+      "q110_mrr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("double").as("score"),
+          (col("n_chars") % 4).cast("long").as("rel"))
+        graft.operators.Mrr.reciprocalRankAtK(docs, "source", "doc_id",
+            "score", "rel", k = 10)
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH $tokCte,
+           |sc AS (SELECT d.source, d.doc_id,
+           |         CAST(len(t.toks) AS DOUBLE) AS score,
+           |         CAST(d.n_chars % 4 AS BIGINT) AS rel
+           |       FROM documents d JOIN tok t USING (doc_id)),
+           |rk AS (SELECT source, doc_id, rel,
+           |         row_number() OVER (PARTITION BY source
+           |           ORDER BY score DESC, doc_id) AS rnk
+           |       FROM sc),
+           |f AS (SELECT source, CAST(MIN(rnk) AS BIGINT) AS first_rel_rank
+           |      FROM rk WHERE rnk <= 10 AND rel > 0 GROUP BY source),
+           |g AS (SELECT DISTINCT source FROM sc)
+           |SELECT g.source, f.first_rel_rank,
+           |  CAST(COALESCE(1000000000000 // f.first_rel_rank, 0) AS BIGINT)
+           |    AS rr_micro,
+           |  CAST(COALESCE(1000000000000 // f.first_rel_rank, 0) AS DOUBLE)
+           |    / 1000000000000 AS rr
+           |FROM g LEFT JOIN f USING (source) ORDER BY g.source""".stripMargin)),
+
     // Stream-stream interval join replayed as TWO real file streams —
     // purchases joined to each user's in-horizon clicks (state bounded
     // by horizon + lateness per side), then the batch latest-match
