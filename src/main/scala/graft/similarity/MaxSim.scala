@@ -68,9 +68,23 @@ object MaxSim {
 
   /** MaxSim of two normalized token matrices: Σ over query tokens of
     * the max dot against any document token — an explicit left fold in
-    * token order (engine-replayable), max is order-free.
+    * token order (engine-replayable), max is order-free. ONE compiled
+    * call per candidate pair (`expressions.MaxSimScore` — the r18 32×
+    * probe measured the HOF predecessor's interpreted-lambda constant
+    * at 6.2× wall on the brute arm; the compiled kernel is two
+    * primitive loops inside whole-stage codegen, values bit-identical
+    * incl. the HOF null-poisoning contract, pinned in MaxSimSpec).
     */
   def score(qToks: Column, dToks: Column): Column =
+    graft.core.Graft.column(graft.functions.expressions.MaxSimScore(
+      graft.core.Graft.expression(qToks),
+      graft.core.Graft.expression(dToks)))
+
+  /** The exact pre-compilation HOF formulation — kept as the reference
+    * MaxSimSpec pins [[score]] against bitwise (the X159 discipline:
+    * every compiled kernel carries its interpreted twin in-tree).
+    */
+  private[graft] def scoreHof(qToks: Column, dToks: Column): Column =
     aggregate(
       transform(qToks, qt => array_max(transform(dToks, dt =>
         Ann.dot(qt, dt)))),

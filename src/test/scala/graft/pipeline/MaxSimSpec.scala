@@ -115,6 +115,39 @@ class MaxSimSpec extends SparkSpec {
       not be empty
   }
 
+  it should "score bit-identically to the HOF reference formulation" in {
+    // the X159 discipline: the compiled kernel carries its interpreted
+    // twin in-tree and the spec pins equality BITWISE — same dots, same
+    // fold order, same null contract
+    val toksed = MaxSim.tokenize(corpus, "vec_id", "embedding",
+      dim = 16, m = 4)
+    val q = toksed.filter($"id" < 5)
+      .select($"id".as("qid"), $"toks".as("qtoks"))
+    val pairs = q.crossJoin(
+      broadcast(toksed.select($"id".as("nid"), $"toks".as("ntoks"))))
+    val both = pairs.select($"qid", $"nid",
+      MaxSim.score($"qtoks", $"ntoks").as("compiled"),
+      MaxSim.scoreHof($"qtoks", $"ntoks").as("hof"))
+    both.filter(!($"compiled" <=> $"hof")).count() shouldBe 0
+    // null contract: null/mismatched doc tokens skipped by the max;
+    // an all-null doc side nulls the score; empty query side scores 0
+    val edge = Seq(
+      (1L, Seq(Seq(1.0, 0.0)), Seq(Seq(1.0, 0.0), null)),
+      (2L, Seq(Seq(1.0, 0.0)), Seq[Seq[Double]](null)),
+      (3L, Seq.empty[Seq[Double]], Seq(Seq(1.0, 0.0))),
+      (4L, Seq(Seq(1.0, 0.0)), Seq(Seq(1.0))))
+      .toDF("id", "qt", "dt")
+    val got = edge.select($"id",
+        MaxSim.score($"qt", $"dt").as("c"),
+        MaxSim.scoreHof($"qt", $"dt").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    got(1L) shouldBe ((Some(1.0), Some(1.0))) // null dt skipped
+    got(2L) shouldBe ((None, None))           // no valid dot -> null
+    got(3L) shouldBe ((Some(0.0), Some(0.0))) // empty q -> the zero
+    got(4L) shouldBe ((None, None))           // length mismatch -> null
+  }
+
   it should "zero out all-zero token slices instead of dividing by zero" in {
     val z = Seq(
       (0L, Array.fill(8)(0.0f)),
