@@ -336,7 +336,13 @@ object NearDup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.storage.StorageLevel
+    // Persist the shingle sets: they feed the inverted index (occ → freq
+    // and occ → ordered are two scans) AND both sides of the verify join
+    // — without the cache the tokenize+shingle pipeline re-executes per
+    // consumer (guide §2.4). Released eagerly below.
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val occ = sets.select(col("id"), explode(col("shingle_set")).as("s"))
     val freq = occ.groupBy("s").agg(count(lit(1)).as("cnt"))
     // global rare-first total order, ties broken on the token itself so
@@ -358,7 +364,13 @@ object NearDup {
           col("a.sz").cast("double") >= col("b.sz") * lit(threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyPairs(cand, sets, threshold)
+    val out = verifyPairs(cand, sets, threshold)
+    // eager lifecycle (the PageRank convention): materialize the pair
+    // frame, release the corpus-sized shingle cache before returning
+    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    sets.unpersist(false)
+    res
   }
 
   /** MinHash-LSH candidates verified at containment ≥ threshold. */

@@ -30,15 +30,35 @@ object Assortativity {
     * sum_xy — exact moments, assortativity). Self-loops and duplicate
     * pairs should be cleaned upstream.
     */
+  /** Node-count threshold under which the degree table broadcasts for
+    * the two attach joins (the PageRank.MaxBroadcastNodes convention):
+    * below it the edge list is never exchanged — each attach is a
+    * map-side hash join over one cached scan; above it the planner's
+    * shuffle join is the only shape that works.
+    */
+  val MaxBroadcastNodes: Long = 1000000L
+
   def degreeCorrelation(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    import org.apache.spark.storage.StorageLevel
+    // Persist the directed edge list: the symmetric union's branches and
+    // the degree/moments passes otherwise re-execute the caller's edge
+    // lineage (the q84 gate's join+distinct ran 3× in the r18 profile —
+    // guide §2.4). The degree table is persisted too: it is consumed by
+    // two joins (and its count gates the broadcast decision).
+    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
     val deg = sym.groupBy(col("s").as("id"))
       .agg(count(lit(1)).as("deg"))
-    val joined = sym
-      .join(deg.select(col("id").as("s"), col("deg").as("dx")), "s")
-      .join(deg.select(col("id").as("d"), col("deg").as("dy")), "d")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    def degSide(key: String, out: String): DataFrame = {
+      val side = deg.select(col("id").as(key), col("deg").as(out))
+      if (n <= MaxBroadcastNodes) broadcast(side) else side
+    }
+    val joined = sym.join(degSide("s", "dx"), "s")
+      .join(degSide("d", "dy"), "d")
     val m = joined.agg(
       count(lit(1)).as("m2"),
       sum(col("dx")).as("sum_x"),
@@ -47,7 +67,14 @@ object Assortativity {
     def dbl(name: String): Column = col(name).cast("double")
     val num = dbl("m2") * dbl("sum_xy") - dbl("sum_x") * dbl("sum_x")
     val den = dbl("m2") * dbl("sum_xx") - dbl("sum_x") * dbl("sum_x")
-    m.select(col("m2"), col("sum_x"), col("sum_xx"), col("sum_xy"),
-      when(den > 0.0, num / den).as("assortativity"))
+    val out = m.select(col("m2"), col("sum_x"), col("sum_xx"),
+      col("sum_xy"), when(den > 0.0, num / den).as("assortativity"))
+    // eager lifecycle (the PageRank convention): materialize the 1-row
+    // result, release the graph-sized internals before returning
+    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    e0.unpersist(false)
+    deg.unpersist(false)
+    res
   }
 }

@@ -67,13 +67,17 @@ object LabelProp {
     // nor kept winner rows), and it guarantees every node of the
     // restricted graph receives >= 1 vote per round (its neighbors all
     // carry labels), which the round loop below relies on.
-    val sym = keep({
-      val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-        .join(universe.select(col("id").as("s")), Seq("s"), "left_semi")
-        .join(universe.select(col("id").as("d")), Seq("d"), "left_semi")
-      e0.select(col("s"), col("d"))
-        .union(e0.select(col("d").as("s"), col("s").as("d")))
-    })
+    // Persist the DIRECTED restricted edge list BEFORE symmetrizing: the
+    // union's two branches otherwise each re-execute the whole edge
+    // lineage (for the d23 gate that lineage is the MinHash-LSH candidate
+    // generator + verify join — the gate's single most expensive subtree,
+    // measured as duplicated map stages in the r18 profile; guide §2.4's
+    // "share one computation" applied to a self-union).
+    val e0 = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .join(universe.select(col("id").as("s")), Seq("s"), "left_semi")
+      .join(universe.select(col("id").as("d")), Seq("d"), "left_semi"))
+    val sym = keep(e0.select(col("s"), col("d"))
+      .union(e0.select(col("d").as("s"), col("s").as("d"))))
     // Only edge-touched nodes can ever change label (an isolated node
     // receives no votes in any round and keeps its own id), so the round
     // loop rides the touched set alone and the isolated complement joins

@@ -39,14 +39,24 @@ object AssocRules {
   def pairRules(df: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
     require(minCount >= 1L, "minCount must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    // Persist the presence frame: it feeds the basket total, the item
+    // margin AND both sides of the pair self-join — without the cache the
+    // upstream lineage (for the q80 gate, a lineitem⋈part join +
+    // distinct) re-executes per consumer (two duplicated 5.5 MB map
+    // stages in the r18 profile — guide §2.4). The frequent-item margin
+    // is persisted too: it is broadcast three times below, and each
+    // broadcast build otherwise re-aggregates the corpus.
     val present = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nBaskets = present.groupBy().agg(
       countDistinct(col("b")).as("n_baskets"))
     val itemCounts = present.groupBy(col("i"))
       .agg(count(lit(1)).as("n_i"))
       .filter(col("n_i") >= minCount)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val frequent = present
       .join(broadcast(itemCounts.select(col("i"))), Seq("i"), "left_semi")
     val pairs = frequent.alias("l")
@@ -72,7 +82,7 @@ object AssocRules {
         col("n_i").as("n_b"))), Seq("bb"))
       .crossJoin(broadcast(nBaskets))
     // fixed IEEE shape over exact longs — mirrored in oracles
-    withCounts.select(
+    val out = withCounts.select(
       col("a").as("antecedent"), col("bb").as("consequent"),
       col("n_pair"), col("n_a"), col("n_b"), col("n_baskets"),
       (col("n_pair").cast("double") / col("n_baskets").cast("double"))
@@ -82,5 +92,12 @@ object AssocRules {
       (col("n_baskets").cast("double") * col("n_pair").cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double")))
         .as("lift"))
+    // eager lifecycle (the PageRank convention): materialize the rule
+    // frame, release the corpus-sized internals before returning
+    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    present.unpersist(false)
+    itemCounts.unpersist(false)
+    res
   }
 }

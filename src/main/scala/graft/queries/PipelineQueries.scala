@@ -2409,12 +2409,21 @@ object PipelineQueries {
           .select(col("doc_id"), col("keep"))
         val staged = deduped.join(quality, "doc_id")
         import s.implicits._
+        // the three funnel stages are predicates over ONE frame — a
+        // single aggregation pass replaces three separate count()
+        // actions that each re-ran the dedup-window + quality pipeline
+        // (r18 opt; guide §1.2 "don't compute things twice")
+        val st = staged.agg(
+          count(lit(1)).as("c1"),
+          sum(when(col("keep") === 1, 1L).otherwise(0L)).as("c2"),
+          sum(when(col("keep") === 1 && col("lang") === "en", 1L)
+            .otherwise(0L)).as("c3")).head()
+        def cnt(i: Int): Long = if (st.isNullAt(i)) 0L else st.getLong(i)
         val counts = Seq(
           ("0_input", docs.count()),
-          ("1_dedup", staged.count()),
-          ("2_quality", staged.filter(col("keep") === 1).count()),
-          ("3_english", staged.filter(col("keep") === 1 &&
-            col("lang") === "en").count()))
+          ("1_dedup", cnt(0)),
+          ("2_quality", cnt(1)),
+          ("3_english", cnt(2)))
         counts.toDF("stage", "n_surviving").orderBy("stage")
       },
       Some {

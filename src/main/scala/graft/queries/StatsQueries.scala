@@ -232,9 +232,10 @@ object StatsQueries {
           .select(col("o_custkey").as("src"),
             (col("l_partkey") + 1000000L).as("dst"))
           .distinct()
-        val nodes = edges.select(col("src").as("id"))
-          .union(edges.select(col("dst").as("id"))).distinct()
-        graft.graph.KCore.peel(nodes, "id", edges, "src", "dst",
+        // peelEdges ≡ peel with the endpoint universe (any non-endpoint
+        // node has degree 0 and dies in round 1) — and it stops this
+        // gate re-deriving the edge list for the node frame (r18 opt)
+        graft.graph.KCore.peelEdges(edges, "src", "dst",
             k = 20, rounds = 2)
           .orderBy("id")
       },

@@ -55,6 +55,27 @@ class KCoreSpec extends SparkSpec {
     a shouldBe b
   }
 
+  "peelEdges" should "equal peel over the endpoint universe" in {
+    val edges = (1L to 40L).flatMap(i =>
+      Seq((i, (i % 40) + 1), (i, ((i + 7) % 40) + 1))) ++
+      Seq((100L, 101L)) // a pendant component that dies in round 1
+    val endpoints = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    for (k <- Seq(2, 3, 4); rounds <- Seq(1, 2, 3)) {
+      val a = KCore.peel(endpoints.toDF("id"), "id",
+          edges.toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = KCore.peelEdges(edges.toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"k=$k rounds=$rounds") { b shouldBe a }
+    }
+  }
+
+  it should "name the output id column from idCol" in {
+    val out = KCore.peelEdges(Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("s", "d"), "s", "d", k = 2, rounds = 1, idCol = "node")
+    out.columns.toSeq shouldBe Seq("node", "degree")
+  }
+
   it should "release every intermediate cache when materialized" in {
     val before = spark.sparkContext.getPersistentRDDs.size
     run(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (1L, 3L)), 2, 2)
