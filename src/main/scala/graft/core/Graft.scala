@@ -104,7 +104,18 @@ object Graft {
     * mirroring the reference's catalog-table access — SURVEY.md §2.1 S3).
     * Tables missing from a given sf dir are skipped.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  /** Session-conf key recording which sfDir the temp views currently
+    * point at — registerAll is idempotent DDL, so re-invocations for the
+    * SAME directory skip the per-table existence probes and parquet
+    * schema reads (10 footer-read jobs per call; a catalog registers a
+    * table once, it does not re-infer schemas per query). A different
+    * directory re-registers everything.
+    */
+  private val RegisteredDirKey = "graft.registerAll.dir"
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (spark.conf.getOption(RegisteredDirKey).contains(sfDir) &&
+      tableNames.forall(spark.catalog.tableExists)) return
     tableNames.foreach { n =>
       // Hadoop FS existence probe, not java.io.File: sfDir may be an
       // hdfs:// or s3a:// URI on a cluster (java.io would silently skip
@@ -114,6 +125,8 @@ object Graft {
       if (fs.exists(p))
         table(spark, sfDir, n).createOrReplaceTempView(n)
     }
+    spark.conf.set(RegisteredDirKey, sfDir)
+  }
 
   /** Query signature used by the driver contract. */
   type Q = (SparkSession, String) => DataFrame

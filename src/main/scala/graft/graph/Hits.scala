@@ -31,6 +31,20 @@ object Hits {
 
   val Scale: Long = 1000000000L
 
+  /** Edge-count threshold under which the per-half-round score side is
+    * BROADCAST (the PageRank.MaxBroadcastNodes convention, gated on the
+    * persisted edge count — nodes ≤ 2·|E|, so a comfortably-broadcastable
+    * edge list bounds both score vectors): the cached edge list is then
+    * never re-exchanged — each half-round is one map-side join + one
+    * inflow exchange. Above it, both sides hash-exchange on the node key
+    * — the only shape that works at cluster scale. Without the hint the
+    * static planner sees the cache's placeholder statistics (GiB-range)
+    * and plans a sort-merge join whose edge-side exchange map stage runs
+    * every half-round even after AQE downgrades it to a broadcast join
+    * at runtime (r18 profile: 2–3.9 MB shuffle written per half-round).
+    */
+  val MaxBroadcastEdges: Long = 1000000L
+
   /** Run `rounds` full HITS iterations over the directed edge list.
     * Returns (node, role ∈ {hub, authority}, score) — hubs are source
     * nodes, authorities destination nodes, both in micro-units of the
@@ -56,6 +70,12 @@ object Hits {
     val e = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
       .distinct())
+    // One eager count fills the edge cache AND gates the broadcast
+    // decision for every half-round's score side (lazy mode keeps the
+    // planner's choice: no count job, no hint).
+    val bcastScores = materialize && e.count() <= MaxBroadcastEdges
+    def scoreSide(df: DataFrame): DataFrame =
+      if (bcastScores) broadcast(df) else df
     // h0 is consumed exactly once (round 1's join) — caching it would be
     // a pure materialization pass; it recomputes cheaply from cached e.
     var hubs = e.select(col("s").as("node")).distinct()
@@ -70,12 +90,14 @@ object Hits {
     // cache wherever it is consumed.
     for (_ <- 1 to rounds) {
       val aRaw = keep(
-        e.join(hubs.select(col("node").as("s"), col("score")), "s")
+        e.join(scoreSide(hubs.select(col("node").as("s"), col("score"))),
+            "s")
           .groupBy(col("d").as("node"))
           .agg(sum("score").as("raw")))
       auths = renorm(aRaw, materialize)
       val hRaw = keep(
-        e.join(auths.select(col("node").as("d"), col("score")), "d")
+        e.join(scoreSide(auths.select(col("node").as("d"), col("score"))),
+            "d")
           .groupBy(col("s").as("node"))
           .agg(sum("score").as("raw")))
       hubs = renorm(hRaw, materialize)

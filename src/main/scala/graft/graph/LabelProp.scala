@@ -78,6 +78,16 @@ object LabelProp {
       .join(universe.select(col("id").as("d")), Seq("d"), "left_semi"))
     val sym = keep(e0.select(col("s"), col("d"))
       .union(e0.select(col("d").as("s"), col("s").as("d"))))
+    // One eager count fills the restricted-edge cache AND gates a
+    // broadcast hint for the per-round label side and the touched-set
+    // anti-join (labels/touched ≤ 2·|E| rows): without it the planner
+    // sees the cache's placeholder statistics and plans sort-merge
+    // joins whose exchanges run every round (the Hits.MaxBroadcastEdges
+    // rationale). Lazy mode keeps the planner's choice — no count job.
+    val bcastLabels = materialize &&
+      e0.count() <= graft.graph.Hits.MaxBroadcastEdges
+    def small(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     // Only edge-touched nodes can ever change label (an isolated node
     // receives no votes in any round and keeps its own id), so the round
     // loop rides the touched set alone and the isolated complement joins
@@ -98,11 +108,12 @@ object LabelProp {
       // count-then-min_by formulation paid two (measured ~0.35 s/stage of
       // fixed overhead on tiny fixed-point graphs).
       labels = keep(sym
-        .join(labels.select(col("id").as("s"), col("lab").as("nl")), "s")
+        .join(small(labels.select(col("id").as("s"), col("lab").as("nl"))),
+          "s")
         .groupBy(col("d").as("id"))
         .agg(expr("mode(nl, true)").as("lab")))
     }
-    val isolated = universe.join(touched, Seq("id"), "left_anti")
+    val isolated = universe.join(small(touched), Seq("id"), "left_anti")
       .withColumn("lab", col("id"))
     val all = labels.unionByName(isolated)
     val sizes = all.groupBy(col("lab").as("community"))

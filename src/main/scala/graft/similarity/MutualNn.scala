@@ -36,10 +36,23 @@ object MutualNn {
     * probed cells, so the whole operation reads nprobe/nlist of the
     * corpus per query and the rerank arithmetic replays bitwise.
     */
+  /** Spread a narrow corpus across the executor pool before the
+    * probed-cells scoring join: the join's probe side broadcasts, so the
+    * scoring stage inherits the CORPUS partitioning — a single-file
+    * corpus scan (1–3 partitions) serializes the kernel on one core
+    * (r18 profile: q83 ran as ONE 1.8 s task on 32 idle cores). Only
+    * widens, never shrinks: a cluster-scale corpus that already has
+    * ≥ parallelism partitions passes through untouched.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def ivfMutualTopOne(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, nprobe: Int): DataFrame = {
     val model = Ivf.sampleCentroids(corpus, idCol, vecCol, nlist)
-    val assigned = Ivf.assign(corpus, idCol, vecCol, model)
+    val assigned = spread(Ivf.assign(corpus, idCol, vecCol, model))
     pairs(Quantize.ivfTopK(assigned, corpus, idCol, vecCol, model,
       k = 1, nprobe = nprobe))
   }
@@ -56,7 +69,8 @@ object MutualNn {
       wprobe: Int): DataFrame = {
     val h = IvfHier.hierarchy(
       Ivf.sampleCentroids(corpus, idCol, vecCol, nlist), nsuper)
-    val assigned = IvfHier.assignHier(corpus, idCol, vecCol, h, wassign)
+    val assigned = spread(
+      IvfHier.assignHier(corpus, idCol, vecCol, h, wassign))
     pairs(Quantize.hierTopK(assigned, corpus, idCol, vecCol, h,
       k = 1, wprobe, nprobe))
   }
