@@ -16,17 +16,20 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val docs = graft.core.Graft.table(spark, sfDir, "documents")
-    import graft.text.NbClassifier
-    def joinPath(): Unit =
-      noop(NbClassifier.trainScore(docs, "doc_id", "lang", "text", 1024))
-    def compiledPath(): Unit = {
-      val m = NbClassifier.train(docs, "lang", "text", 1024)
-      val c = NbClassifier.compile(m, 1024)
-      noop(NbClassifier.scoreCompiled(docs, "doc_id", "text", c))
-    }
+    import graft.dedup.NearDup
     for (i <- 1 to 3) {
-      time(s"nb join-scored #$i") { joinPath() }
-      time(s"nb compiled-scored #$i") { compiledPath() }
+      time(s"shingleSets only #$i") {
+        noop(NearDup.shingleSets(docs, "doc_id", "text", 3))
+      }
+      time(s"minhash signatures #$i") {
+        noop(NearDup.minhashSignatures(docs, "doc_id", "text", 3, 8))
+      }
+      time(s"simhash signatures #$i") {
+        noop(NearDup.simhash(docs, "doc_id", "text", 3))
+      }
+      time(s"simhash full pairs #$i") {
+        noop(NearDup.simhashNearDuplicates(docs, "doc_id", "text", 3))
+      }
     }
     spark.stop()
   }

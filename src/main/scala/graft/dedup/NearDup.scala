@@ -202,11 +202,19 @@ object NearDup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8): DataFrame = {
     require(numHashes <= MinHashA.length, s"at most ${MinHashA.length} hashes")
-    val hashed = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), explode(col("shingle_set")).as("shingle"))
-      .select(col("id"), polyHash(col("shingle")).as("h"))
-    val mins = (0 until numHashes).map(i => min(permute(col("h"), i)).as(s"mh$i"))
-    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+    // compiled per-row fold (r18): the k minima come straight off each
+    // document's shingle array — no explode, no aggregation exchange.
+    // Bit-identical to the exploded min-agg form (SigKernelsSpec).
+    val sig = graft.core.Graft.column(
+      graft.functions.expressions.MinHashSig(
+        graft.core.Graft.expression(col("shingle_set")), numHashes))
+    // the kernel lands in its OWN projection: CollapseProject keeps
+    // non-cheap expressions single-evaluation, so the k element_at
+    // reads never duplicate the fold
+    shingleSets(df, idCol, textCol, n)
+      .select(col("id"), sig.as("__sig"))
+      .select(col("id") +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH band keys from a signature frame: (id, band, bkey) where bkey
@@ -385,29 +393,22 @@ object NearDup {
   /** SimHash bit-hash constants: multiplier/offset per bit, derived from a
     * fixed recurrence so any engine can regenerate them.
     */
-  val SimHashBits = 48
-  def simA(j: Int): Long = (104729L * (j + 1) + 12347L) % 1000000L | 1L
-  def simB(j: Int): Long = (15485863L * (j + 1) + 987L) % 1000000L
+  val SimHashBits: Int = graft.functions.expressions.SimHashPack.Bits
+  def simA(j: Int): Long = graft.functions.expressions.SimHashPack.a(j)
+  def simB(j: Int): Long = graft.functions.expressions.SimHashPack.b(j)
 
   /** Per-document SimHash: for each bit j, sign of Σ_shingles
     * (±1 by parity of an independent permutation of the shingle hash).
-    * One explode + one grouped agg (map-side combinable sums).
+    * Compiled per-row fold over the shingle array (r18): no explode, no
+    * 48-column aggregation exchange. Bit-identical to the exploded
+    * sum-agg form (SigKernelsSpec pins equality).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val hashed = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), explode(col("shingle_set")).as("shingle"))
-      .select(col("id"), polyHash(col("shingle")).as("h"))
-    val sums = (0 until SimHashBits).map { j =>
-      val bit = ((col("h") * simA(j) + simB(j)) % HashMod) % 2
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val agg = hashed.groupBy("id").agg(sums.head, sums.tail: _*)
-    val sh = (0 until SimHashBits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduceLeft(_ + _)
-    agg.select(col("id"), sh.as("simhash"))
-  }
+      n: Int = 3): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("id"), graft.core.Graft.column(
+        graft.functions.expressions.SimHashPack(
+          graft.core.Graft.expression(col("shingle_set")))).as("simhash"))
 
   /** SimHash near-dup pairs: band on bit-chunks (standard hamming-space
     * LSH), verify with popcount(xor) ≤ maxHamming.
