@@ -217,13 +217,29 @@ object Bench {
     // calibration plan every `probeEvery` queries makes a contention band
     // visible in the artifact itself: a reader maps each query's run-order
     // position to the nearest probes and discounts the band, not the round.
+    // r18 measurement fix (declared in OPTIMIZATION_r18.md): the FIRST
+    // calibration sample taken right after a burst of gate work is a
+    // TRANSIENT — measured this round at 0.35–0.45 s settling to ~0.10 s
+    // by the second consecutive sample in the same session (thread-pool /
+    // GC / code-cache settling, not sustained contention). A single
+    // post-chunk sample therefore overstates machine load and has been
+    // mis-read as a contention band in past adjudications. Each probe now
+    // records (transient, settled) = (first sample, min of two more);
+    // the settled value is the machine-floor signal, the transient the
+    // burst indicator. Old runs' single values correspond to the
+    // TRANSIENT column.
+    def calibratePair(spark: SparkSession): (Double, Double) = {
+      val t = calibrate(spark)
+      (t, math.min(calibrate(spark), calibrate(spark)))
+    }
     val probeEvery = 40
-    val calMid = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val calMid =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     val batchResults = batchQs.grouped(probeEvery).toSeq.zipWithIndex
       .flatMap { case (chunk, i) =>
         val res = runSection(spark1, chunk)
-        calMid += ((math.min((i + 1) * probeEvery, batchQs.size),
-          calibrate(spark1)))
+        val (t, s) = calibratePair(spark1)
+        calMid += ((math.min((i + 1) * probeEvery, batchQs.size), t, s))
         res
       }
     // trigger probe in the AGED session — after every batch gate has run
@@ -237,7 +253,9 @@ object Bench {
       calibrate(spark2); calibrate(spark2)
       val fresh = streamTriggerProbe(spark2)
       val res = runSection(spark2, streamQs)
-      val cal = calibrate(spark2)
+      // settled end sample (see calibratePair): the transient after the
+      // streaming section is not the machine floor
+      val cal = calibratePair(spark2)._2
       spark2.stop()
       (res, fresh, cal)
     } else (Seq.empty, -1.0, {
@@ -282,8 +300,10 @@ object Bench {
     // streaming session. aged >> fresh ⇒ any streaming-gate drift in a
     // single-session harness would have been session aging, and the
     // streaming numbers below (fresh session) are clean of it.
+    // per probe: [gate index, transient sample, settled min-of-2]
     val midJson = calMid
-      .map { case (n, c) => s"[$n,${f3(c)}]" }.mkString("[", ",", "]")
+      .map { case (n, t, s) => s"[$n,${f3(t)},${f3(s)}]" }
+      .mkString("[", ",", "]")
     val sentinel =
       s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +
         s""""calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}},""" +
