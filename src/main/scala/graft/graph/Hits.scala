@@ -67,10 +67,17 @@ object Hits {
     def keep(df: DataFrame): DataFrame =
       if (!materialize) df
       else { cached += df.persist(StorageLevel.MEMORY_AND_DISK); df }
-    val e = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    // CUT the edge list's lineage, don't just persist it (r19): every
+    // half-round's plan otherwise re-analyzes the caller's full edge
+    // derivation (q74's plan was 6,257 lines with a persist alone) — a
+    // 2·rounds-deep nest of joins each carrying the upstream subtree, so
+    // driver plan time grows with rounds while execution doesn't. Lazy
+    // mode keeps the no-jobs-at-construction contract.
+    val eraw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
-      .distinct())
-    // One eager count fills the edge cache AND gates the broadcast
+      .distinct()
+    val e = if (materialize) graft.core.Lineage.cut(eraw) else eraw
+    // One eager count materializes the edge cut AND gates the broadcast
     // decision for every half-round's score side (lazy mode keeps the
     // planner's choice: no count job, no hint).
     val bcastScores = materialize && e.count() <= MaxBroadcastEdges
@@ -109,6 +116,7 @@ object Hits {
       val m = out.persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
       cached.foreach(_.unpersist(false))
+      graft.core.Lineage.release(e)
       m
     } else out
   }

@@ -48,13 +48,19 @@ object KCore {
     def keep(df: DataFrame): DataFrame =
       if (!materialize) df
       else { cached += df.persist(StorageLevel.MEMORY_AND_DISK); df }
+    // CUT the directed edge list's lineage before symmetrizing (r19):
+    // the union's two branches each re-execute the caller's edge
+    // derivation, and every round's plan re-analyzes it (see
+    // Lineage.cut). Lazy mode keeps the no-jobs contract.
+    val e0raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e0 = if (materialize) graft.core.Lineage.cut(e0raw) else e0raw
     // pre-partition the cached edge list by the degree key: every
     // round's degree count then reuses the cached layout instead of
     // re-exchanging the (largest) frame per round — the survivor-set
     // semi-joins broadcast and preserve partitioning (measured 103 MB
     // → edge-sized-once shuffle on the q79 gate)
-    val sym = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    val sym = keep(e0
+      .union(e0.select(col("d").as("s"), col("s").as("d")))
       .repartition(col("s")))
     def degrees(alive: DataFrame): DataFrame =
       sym.join(alive.select(col("id").as("s")), Seq("s"), "left_semi")
@@ -71,6 +77,7 @@ object KCore {
       val m = out.persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
       cached.foreach(_.unpersist(false))
+      graft.core.Lineage.release(e0)
       m
     } else out
   }
@@ -100,7 +107,12 @@ object KCore {
     def keep(df: DataFrame): DataFrame =
       if (!materialize) df
       else { cached += df.persist(StorageLevel.MEMORY_AND_DISK); df }
-    val e0 = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d")))
+    // CUT (not just persist) the directed edge list's lineage: with a
+    // persist alone the q79 plan was 6,764 lines — every round's plan
+    // re-analyzed the caller's join+distinct edge derivation (see
+    // Lineage.cut). Lazy mode keeps the no-jobs contract.
+    val e0raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    val e0 = if (materialize) graft.core.Lineage.cut(e0raw) else e0raw
     val sym = keep(e0.union(e0.select(col("d").as("s"), col("s").as("d")))
       .repartition(col("s")))
     def degrees(alive: DataFrame): DataFrame =
@@ -121,6 +133,7 @@ object KCore {
       val m = out.persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
       cached.foreach(_.unpersist(false))
+      graft.core.Lineage.release(e0)
       m
     } else out
   }

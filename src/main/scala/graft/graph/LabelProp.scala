@@ -67,18 +67,22 @@ object LabelProp {
     // nor kept winner rows), and it guarantees every node of the
     // restricted graph receives >= 1 vote per round (its neighbors all
     // carry labels), which the round loop below relies on.
-    // Persist the DIRECTED restricted edge list BEFORE symmetrizing: the
-    // union's two branches otherwise each re-execute the whole edge
-    // lineage (for the d23 gate that lineage is the MinHash-LSH candidate
-    // generator + verify join — the gate's single most expensive subtree,
-    // measured as duplicated map stages in the r18 profile; guide §2.4's
-    // "share one computation" applied to a self-union).
-    val e0 = keep(edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+    // CUT the DIRECTED restricted edge list's lineage BEFORE symmetrizing
+    // (r18 persisted it; r19 truncates the plan too): the union's two
+    // branches otherwise each re-execute the whole edge lineage (for the
+    // d23 gate that lineage is the MinHash-LSH candidate generator +
+    // verify join — the gate's single most expensive subtree), and with
+    // a persist alone every ROUND's plan still re-analyzes that lineage —
+    // the d23 plan was 51,978 lines and driver/plan time owned the gate
+    // (Lineage.cut scaladoc has the numbers). Lazy mode keeps the
+    // caller-managed no-jobs-at-construction contract.
+    val e0raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .join(universe.select(col("id").as("s")), Seq("s"), "left_semi")
-      .join(universe.select(col("id").as("d")), Seq("d"), "left_semi"))
+      .join(universe.select(col("id").as("d")), Seq("d"), "left_semi")
+    val e0 = if (materialize) graft.core.Lineage.cut(e0raw) else e0raw
     val sym = keep(e0.select(col("s"), col("d"))
       .union(e0.select(col("d").as("s"), col("s").as("d"))))
-    // One eager count fills the restricted-edge cache AND gates a
+    // One eager count materializes the restricted-edge cut AND gates a
     // broadcast hint for the per-round label side and the touched-set
     // anti-join (labels/touched ≤ 2·|E| rows): without it the planner
     // sees the cache's placeholder statistics and plans sort-merge
@@ -125,6 +129,7 @@ object LabelProp {
       val m = out.persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
       cached.foreach(_.unpersist(false))
+      graft.core.Lineage.release(e0)
       m
     } else out
   }

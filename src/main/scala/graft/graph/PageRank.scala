@@ -69,13 +69,18 @@ object PageRank {
     // null endpoints would silently strand rank mass (a null key matches
     // no join) and register a phantom null node — drop them up front.
     // The edge list is scanned twice below (the node/degree aggregation
-    // and the degree join) — persist it so an expensive upstream (a
-    // join+distinct in q48's trade graph) computes once, not per scan.
-    // The cache fills during the nodeDeg job's single pass; released
-    // after the result materializes.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // and the degree join) and its lineage is re-analyzed by EVERY
+    // iteration's plan — CUT it (r19; see Lineage.cut), don't just
+    // persist: with a persist alone the q48 plan was 3,070 lines and
+    // driver plan time ~1.1 s of the gate's ~1.7 s. Materialize mode
+    // only: the lazy-lifecycle contract is "internal caches released by
+    // the caller's clearCache", which cannot see checkpoint blocks —
+    // lazy mode keeps the persist (released by clearCache as before).
+    val eraw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e =
+      if (materialize) graft.core.Lineage.cut(eraw)
+      else eraw.persist(StorageLevel.MEMORY_AND_DISK)
     // ONE exchange computes both the node set and the out-degrees:
     // explode each edge into (src, 1) and (dst, 0) and sum per node —
     // replaces the union+distinct node pass plus a separate degree
@@ -143,7 +148,7 @@ object PageRank {
     if (materialize) {
       val m = out.persist(StorageLevel.MEMORY_AND_DISK)
       m.count()
-      e.unpersist(false)
+      graft.core.Lineage.release(e)
       nodeDeg.unpersist(false)
       withDeg.unpersist(false)
       m

@@ -79,7 +79,7 @@ object Bpe {
   def mergeLoop(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     val spark = df.sparkSession
     val (results, live) = runMerges(df, textCol, merges, CharAtoms)
-    live.foreach(_.unpersist(false))
+    live.foreach(graft.core.Lineage.release)
     import spark.implicits._
     results.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
   }
@@ -106,7 +106,7 @@ object Bpe {
       : DataFrame = {
     val spark = df.sparkSession
     val (results, live) = runMerges(df, textCol, merges, ByteAtoms)
-    live.foreach(_.unpersist(false))
+    live.foreach(graft.core.Lineage.release)
     import spark.implicits._
     results.toDF("round", "sym_a", "sym_b", "cnt").orderBy("round")
   }
@@ -152,7 +152,7 @@ object Bpe {
       .filter(col("rank") <= k)
       .select(col("rank"), col("token"), col("cnt"))
       .collect()
-    live.foreach(_.unpersist(false))
+    live.foreach(graft.core.Lineage.release)
     import spark.implicits._
     rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSeq.toDF("rank", "token", "cnt")
@@ -285,17 +285,24 @@ object Bpe {
       atoms: Atomizer = CharAtoms)
       : (Seq[(Long, String, String, Long)], Seq[DataFrame]) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
-    import org.apache.spark.storage.StorageLevel
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val text =
       if (atoms.lowercase) lower(col(textCol)) else col(textCol)
-    var cur = df
+    // Round state is lineage-CUT, not just persisted (r19, Lineage.cut):
+    // each round's mergeFold is a large expression tree, so with persists
+    // alone round r's plan nested r folds plus the corpus tokenize —
+    // analysis + codegen per round grew with r (GateProfile r19: 1.6 s of
+    // the t52 gate's wall was driver/plan gaps). With the cut every
+    // round plans one fold over a vocabulary-sized leaf. Checkpoint
+    // blocks live outside the CacheManager, so lifecycle release is
+    // Lineage.release (rounds release `prev` after the winner collect
+    // materializes `cur`; callers release the returned frames).
+    var cur = graft.core.Lineage.cut(df
       .select(explode(tokens(text)).as("tok"))
       .filter(length(col("tok")) >= atoms.minTokLen)
       .groupBy(atoms.sym(col("tok")).as("sym"))
-      .agg(count(lit(1)).as("wcnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("wcnt")))
     // The winner collect consumes ALL of `cur`, so it doubles as the
     // round's materialization point — no extra eager count pass per round;
     // the previous round's cache is released only after the collect has
@@ -315,7 +322,7 @@ object Bpe {
         .orderBy(col("cnt").desc,
           concat_ws(" ", col("sa"), col("sb")).asc)
         .limit(1).collect()
-      prev.foreach(_.unpersist(false))
+      prev.foreach(graft.core.Lineage.release)
       prev = None
       if (top.isEmpty) done = true
       else {
@@ -324,10 +331,9 @@ object Bpe {
         results += ((r.toLong, a, b, cnt))
         // two distinct pre-merge words can rewrite to the same symbol
         // string; re-aggregating keeps the vocabulary canonical
-        val next = cur
+        val next = graft.core.Lineage.cut(cur
           .groupBy(mergeFold(col("sym"), a, b).as("sym"))
-          .agg(sum("wcnt").as("wcnt"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .agg(sum("wcnt").as("wcnt")))
         prev = Some(cur)
         cur = next
       }
