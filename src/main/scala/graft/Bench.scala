@@ -308,6 +308,10 @@ object Bench {
       s""""load":{"start":${f3(loadStart)},"end":${f3(loadEnd)}},""" +
         s""""calibration":{"start":${f3(calStart)},"end":${f3(calEnd)}},""" +
         s""""calibration_mid":$midJson,""" +
+        // schema marker so adjudication tooling can mechanically tell
+        // the r18+ 3-column sentinel rows from the ≤r17 2-column
+        // [gate, cal] format (r18 ADVICE)
+        s""""calibration_mid_cols":["gate","transient","settled"],""" +
         s""""stream_trigger":{"aged":${f3(trigAged)},"fresh":${f3(trigFresh)}}"""
     val compact =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_err":$errCount,$sentinel,"queries":$qs,"sf":"$sfDir"}"""

@@ -340,8 +340,16 @@ object NearDup {
     * token-keyed shuffles (frequency attach, prefix self-join) and one
     * id-keyed verify join; documents never shuffle.
     */
+  /** @param materialize the peel/Hits lifecycle convention: true
+    *   (default) eagerly evaluates the pair frame, releases the
+    *   corpus-sized shingle cache, and returns a PERSISTED frame the
+    *   CALLER owns (unpersist it, or clearCache as the bench/verify
+    *   harnesses do); false returns the lazy plan still backed by the
+    *   shingle cache — the caller must evaluate before releasing.
+    */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.storage.StorageLevel
@@ -373,12 +381,14 @@ object NearDup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val out = verifyPairs(cand, sets, threshold)
-    // eager lifecycle (the PageRank convention): materialize the pair
-    // frame, release the corpus-sized shingle cache before returning
-    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    sets.unpersist(false)
-    res
+    if (materialize) {
+      // eager lifecycle (the PageRank convention): materialize the pair
+      // frame, release the corpus-sized shingle cache before returning
+      val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      sets.unpersist(false)
+      res
+    } else out
   }
 
   /** MinHash-LSH candidates verified at containment ≥ threshold. */

@@ -38,8 +38,14 @@ object Assortativity {
     */
   val MaxBroadcastNodes: Long = 1000000L
 
+  /** @param materialize the peel/Hits lifecycle convention: true
+    *   (default) eagerly evaluates the 1-row result, releases the
+    *   graph-sized internals, and returns a PERSISTED frame the CALLER
+    *   owns (unpersist, or harness clearCache); false returns the lazy
+    *   plan backed by the internal caches — evaluate before releasing.
+    */
   def degreeCorrelation(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Persist the directed edge list: the symmetric union's branches and
     // the degree/moments passes otherwise re-execute the caller's edge
@@ -69,12 +75,14 @@ object Assortativity {
     val den = dbl("m2") * dbl("sum_xx") - dbl("sum_x") * dbl("sum_x")
     val out = m.select(col("m2"), col("sum_x"), col("sum_xx"),
       col("sum_xy"), when(den > 0.0, num / den).as("assortativity"))
-    // eager lifecycle (the PageRank convention): materialize the 1-row
-    // result, release the graph-sized internals before returning
-    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    e0.unpersist(false)
-    deg.unpersist(false)
-    res
+    if (materialize) {
+      // eager lifecycle (the PageRank convention): materialize the 1-row
+      // result, release the graph-sized internals before returning
+      val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      e0.unpersist(false)
+      deg.unpersist(false)
+      res
+    } else out
   }
 }

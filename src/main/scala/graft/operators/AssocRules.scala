@@ -36,8 +36,14 @@ object AssocRules {
     * is the itemset semantic. Rules with pair count < `minCount` are
     * pruned (and so are items below it, by Apriori monotonicity).
     */
+  /** @param materialize the peel/Hits lifecycle convention: true
+    *   (default) eagerly evaluates the rule frame, releases the
+    *   corpus-sized internals, and returns a PERSISTED frame the CALLER
+    *   owns (unpersist, or harness clearCache); false returns the lazy
+    *   plan backed by the internal caches — evaluate before releasing.
+    */
   def pairRules(df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long): DataFrame = {
+      minCount: Long, materialize: Boolean = true): DataFrame = {
     require(minCount >= 1L, "minCount must be >= 1")
     import org.apache.spark.storage.StorageLevel
     // Persist the presence frame: it feeds the basket total, the item
@@ -92,12 +98,14 @@ object AssocRules {
       (col("n_baskets").cast("double") * col("n_pair").cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double")))
         .as("lift"))
-    // eager lifecycle (the PageRank convention): materialize the rule
-    // frame, release the corpus-sized internals before returning
-    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    present.unpersist(false)
-    itemCounts.unpersist(false)
-    res
+    if (materialize) {
+      // eager lifecycle (the PageRank convention): materialize the rule
+      // frame, release the corpus-sized internals before returning
+      val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      present.unpersist(false)
+      itemCounts.unpersist(false)
+      res
+    } else out
   }
 }

@@ -44,15 +44,22 @@ object MutualNn {
     * widens, never shrinks: a cluster-scale corpus that already has
     * ≥ parallelism partitions passes through untouched.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private def spread(df: DataFrame, corpus: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Read the partition count from the RAW corpus scan, not the
+    // assigned frame: assign/assignHier are narrow (partition-
+    // preserving selects over a compiled nearest-cells call), so both
+    // frames have the same partitioning, but `df.rdd` on the assigned
+    // subtree physical-planned the full centroid-literal plan once just
+    // to read a count and again at execution (r18 ADVICE). Planning the
+    // bare corpus scan is cheap and has no side jobs.
+    if (corpus.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   def ivfMutualTopOne(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, nprobe: Int): DataFrame = {
     val model = Ivf.sampleCentroids(corpus, idCol, vecCol, nlist)
-    val assigned = spread(Ivf.assign(corpus, idCol, vecCol, model))
+    val assigned = spread(Ivf.assign(corpus, idCol, vecCol, model), corpus)
     pairs(Quantize.ivfTopK(assigned, corpus, idCol, vecCol, model,
       k = 1, nprobe = nprobe))
   }
@@ -70,7 +77,7 @@ object MutualNn {
     val h = IvfHier.hierarchy(
       Ivf.sampleCentroids(corpus, idCol, vecCol, nlist), nsuper)
     val assigned = spread(
-      IvfHier.assignHier(corpus, idCol, vecCol, h, wassign))
+      IvfHier.assignHier(corpus, idCol, vecCol, h, wassign), corpus)
     pairs(Quantize.hierTopK(assigned, corpus, idCol, vecCol, h,
       k = 1, wprobe, nprobe))
   }

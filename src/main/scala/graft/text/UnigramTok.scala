@@ -80,12 +80,23 @@ object UnigramTok {
 
   /** Micro-nat costs from a (piece, cnt) frame — cost over the frame's
     * OWN total, the normalization both gates' oracles recompute.
+    *
+    * The total rides as a 1-row broadcast INSIDE the plan (r19): the
+    * previous `.first()` action paid one extra JOB per call and
+    * re-executed the whole pieceCnt subtree (for the EM loop, the
+    * Viterbi E-step) once for the total and again for the costed frame
+    * — four extra jobs per t59/t60 gate. In one plan the two branches
+    * share the aggregation exchange (ReusedExchange), so the subtree
+    * runs once. cnt/total arithmetic is bit-identical: both operands
+    * long→double cast, same IEEE division.
     */
   private def withCosts(pieceCnt: DataFrame): DataFrame = {
-    val total = pieceCnt.agg(sum(col("cnt"))).first().getLong(0)
-    pieceCnt.withColumn("cost",
-      (-floor(log(col("cnt").cast("double") / lit(total.toDouble))
-        * lit(1000000.0) + lit(0.5))).cast("long"))
+    val tot = pieceCnt.agg(sum(col("cnt")).as("__total"))
+    pieceCnt.crossJoin(broadcast(tot))
+      .withColumn("cost",
+        (-floor(log(col("cnt").cast("double") / col("__total").cast("double"))
+          * lit(1000000.0) + lit(0.5))).cast("long"))
+      .drop("__total")
   }
 
   /** Collect a (piece, cost) vocabulary frame into the compiled

@@ -92,4 +92,31 @@ class SigKernelsSpec extends SparkSpec {
     graft.functions.expressions.SimHashPack.pack(
       new GenericArrayData(Array[Any](null))) shouldBe 0L
   }
+
+  // r18 ADVICE pin: the raw kernel on an EMPTY array yields null
+  // (whereas the exploded min-agg form it replaced emitted no row), and
+  // the PUBLIC signature functions rely on shingleSets' size>0 filter to
+  // keep the two shapes equivalent — a shingle-less document must be
+  // ABSENT from both functions' output, never a null-signature row.
+  "empty-shingle documents" should "be absent from signature output" in {
+    import graft.functions.expressions.MinHashSig
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    MinHashSig.sig(new GenericArrayData(Array.empty[Any]), 4) shouldBe null
+    // zero tokens is the only empty-set shape under sliding=false
+    // (short token lists fall back to the list itself)
+    val withEmpty = docs.unionByName(
+      Seq((8L, ""), (9L, "   \t ")).toDF("doc_id", "text"))
+    val ids = graft.dedup.NearDup
+      .minhashSignatures(withEmpty, "doc_id", "text", n = 3, numHashes = 4)
+      .select("id").as[Long].collect().toSet
+    ids shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L, 7L) // 8/9 absent, no null row
+    val simIds = graft.dedup.NearDup
+      .simhash(withEmpty, "doc_id", "text", n = 3)
+      .select("id").as[Long].collect().toSet
+    simIds shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    // and no null signature sneaks through either path
+    graft.dedup.NearDup
+      .minhashSignatures(withEmpty, "doc_id", "text", n = 3, numHashes = 4)
+      .filter(col("mh0").isNull).count() shouldBe 0L
+  }
 }
